@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+approximate variant as the scale path (candidate generation by random-
+hyperplane sign bits; the hyperplanes are derived deterministically from
+fixed seeds so runs are reproducible without RNG).
+
+Scale notes: the query side is expected to be small relative to the corpus,
+so queries are broadcast and the corpus streams — the scan is embarrassingly
+parallel, top-k is a per-query aggregation (shuffle keyed by query id, k rows
+per query out). The LSH variant cuts the scanned fraction to matching buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i via zip_with + aggregate — JVM-side, no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries x scan corpus.
+
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches (same id) are
+    excluded. Deterministic tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- LSH (random hyperplane) -------------------------------------------------
+
+def _hyperplane_sign(vec: Column, seed: int, dim: int) -> Column:
+    """Sign bit of <vec, h_seed> where h_seed is a deterministic pseudo-random
+    hyperplane: component i = fractional part of sin-based hash of (seed, i),
+    shifted to [-0.5, 0.5]. Stable across runs and engines."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    plane = F.transform(
+        idx,
+        lambda i: (F.sin((i.cast("double") + 1.0) * (seed * 12.9898 + 78.233)) * 43758.5453) % 1.0
+        - 0.5,
+    )
+    return F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec: Column, num_bits: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id (int) from `num_bits` sign bits."""
+    bucket = F.lit(0)
+    for b in range(num_bits):
+        bucket = bucket * 2 + _hyperplane_sign(vec, b + 1, dim)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    num_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+
+    At scale the corpus is pre-bucketed (written partitioned by bucket), so a
+    query touches 1/2^bits of the data. Recall improves with multi-probe /
+    fewer bits; this implementation keeps one probe for clarity.
+    """
+    c = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), num_bits, dim))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket(F.col(vec_col), num_bits, dim).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding", round_to: int | None = None
+) -> DataFrame:
+    """Per-label centroid via posexplode + avg per dimension (IVF coarse
+    quantizer building block). Output: (label, pos, value)."""
+    exploded = df.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+    out = exploded.groupBy(label_col, "pos").agg(F.avg("v").alias("value"))
+    if round_to is not None:
+        out = out.withColumn("value", F.round("value", round_to))
+    return out

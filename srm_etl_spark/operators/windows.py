@@ -1,0 +1,74 @@
+"""Window-function operators emulated by the reference, made explicit.
+
+The reference has no window API; it relies on stream order (SURVEY §2.6).
+Spark gives no implicit order, so each pattern takes an explicit ordering —
+this is a correctness requirement, not a style choice.
+
+- W1 global row index            (``operators/presets/__init__.py:12-20``)
+- W2 first-per-group + group agg (``operators/derive/autocomplete.py:185-193``)
+- W3 per-group count attached    (``operators/derive/to_dp.py:275-281``)
+- O3 latest-per-key              (``operators/benchmark/__init__.py:221-230``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def enumerate_rows(df: DataFrame, order_by: list, out_col: str = "score") -> DataFrame:
+    """Global 0-based row index in a deterministic order (W1).
+
+    A global window is a single-partition sort — fine for the small preset
+    tables it's used on; for big data use zipWithIndex-style per-partition
+    offsets instead.
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(out_col, F.row_number().over(w) - 1)
+
+
+def first_per_group(
+    df: DataFrame, keys: list[str], order_by: list, aggs: list | None = None
+) -> DataFrame:
+    """Keep the first row per key in the given order, optionally attaching
+    group-level aggregates computed over the WHOLE group (W2)."""
+    w = Window.partitionBy(*keys)
+    ranked = df.withColumn("_rn", F.row_number().over(w.orderBy(*order_by)))
+    for agg in aggs or []:
+        ranked = ranked.withColumn(agg._alias if hasattr(agg, "_alias") else str(agg), agg.over(w))
+    return ranked.filter(F.col("_rn") == 1).drop("_rn")
+
+
+def attach_group_count(df: DataFrame, keys: list[str], out_col: str) -> DataFrame:
+    """count(*) over (partition by keys) attached to every member row (W3)."""
+    return df.withColumn(out_col, F.count("*").over(Window.partitionBy(*keys)))
+
+
+def latest_per_key(df: DataFrame, keys: list[str], ts_col: str, tiebreak: list | None = None) -> DataFrame:
+    """Row with the max timestamp per key (O3), deterministic tie-break."""
+    order = [F.col(ts_col).desc()] + (tiebreak or [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def top_k_per_group(df: DataFrame, keys: list[str], order_by: list, k: int, rank_col: str = "rank") -> DataFrame:
+    """Classic top-k per group (O5 generalization)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap from the
+    previous event of the same user exceeds the threshold; session_id is the
+    running count of session starts (lag + cumulative sum)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return df.withColumn("_new", new_session).withColumn(
+        "session_seq", F.sum("_new").over(w)
+    ).drop("_new")

@@ -1,0 +1,58 @@
+"""Parquet warehouse table loaders.
+
+The reference's inter-stage IR is datapackage directories of CSV+JSON
+(``operators/derive/to_dp.py:227,405,574,697,919`` in the reference); here the
+canonical IR is Parquet — columnar, splittable, predicate-pushdown-capable —
+read lazily so Catalyst prunes columns and pushes filters into the scan.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) in the parquet footer.
+
+    Spark can only read those as long (``spark.sql.legacy.parquet.nanosAsLong``,
+    set by the session factory); we restore proper TimestampType below. One
+    footer read on the driver — cheap, schema-only.
+    """
+    import pyarrow as pa  # noqa: PLC0415
+
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazily read one warehouse table; never materializes on the driver."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        # Integer nanos div 1000 → micros; double division would lose precision
+        # (ns epoch values exceed 2^53).
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in (names or TABLES)}

@@ -1,0 +1,219 @@
+"""Golden tests for the exact-semantics kernels against hand-computed vectors
+reproducing the reference's behavior (srm_tools/hash.py, data_cleaning.py,
+derive/helpers.py, derive/to_dp.py)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from srm_etl_spark.functions import cleaning, geo, hashing, taxonomy, text
+
+
+def _one(spark, col, **data):
+    df = spark.createDataFrame([data or {"dummy": 1}])
+    return df.select(col.alias("out")).first()["out"]
+
+
+# --- hashing ----------------------------------------------------------------
+
+def test_hasher_matches_reference_semantics(spark):
+    # sha1 over non-null concat, no separator, [:8]
+    expected = hashlib.sha1(b"abcdef").hexdigest()[:8]
+    got = _one(
+        spark,
+        hashing.hasher(F.lit("abc"), F.lit(None).cast("string"), F.lit(""), F.lit("def")),
+    )
+    assert got == expected
+    assert hashing.hasher_py("abc", None, "", "def") == expected
+
+
+def test_hasher_all_null(spark):
+    expected = hashlib.sha1(b"").hexdigest()[:8]
+    assert _one(spark, hashing.hasher(F.lit(None).cast("string"))) == expected
+
+
+def test_hash_row_whitespace_insensitive(spark):
+    df = spark.createDataFrame(
+        [("a b", "x", "s1", "ACTIVE"), ("ab", "x", "s1", "ACTIVE")],
+        "f1 string, f2 string, source string, status string",
+    )
+    hashes = [r[0] for r in df.select(hashing.hash_row(["f1", "f2"])).collect()]
+    assert hashes[0] == hashes[1]  # whitespace stripped before hashing
+
+
+# --- taxonomy ---------------------------------------------------------------
+
+def test_update_taxonomy_with_parents(spark):
+    got = _one(
+        spark,
+        taxonomy.update_taxonomy_with_parents(
+            F.lit(["human_situations:age_group:adults", "human_services:health"]).cast(
+                "array<string>"
+            )
+        ),
+    )
+    assert got == sorted(
+        {
+            "human_situations:age_group",
+            "human_situations:age_group:adults",
+            "human_services:health",
+        }
+    )
+
+
+def test_update_taxonomy_with_parents_null(spark):
+    assert _one(spark, taxonomy.update_taxonomy_with_parents(F.lit(None).cast("array<string>"))) == []
+
+
+def test_merge_array_fields(spark):
+    df = spark.createDataFrame(
+        [(["b", "a"], None, ["a", "c"])], "x array<string>, y array<string>, z array<string>"
+    )
+    got = df.select(taxonomy.merge_array_fields("x", "y", "z").alias("out")).first()["out"]
+    assert got == ["a", "b", "c"]
+
+
+def test_fix_situations_rules(spark):
+    men_women = [
+        "human_situations:gender:women",
+        "human_situations:gender:men",
+        "human_situations:age_group:adults",
+    ]
+    got = _one(spark, taxonomy.fix_situations(F.lit(men_women).cast("array<string>")))
+    assert got == ["human_situations:age_group:adults"]
+
+    only_women = ["human_situations:gender:women"]
+    got = _one(spark, taxonomy.fix_situations(F.lit(only_women).cast("array<string>")))
+    assert got == only_women
+
+    hebrew = ["human_situations:language:hebrew_speaking", "x"]
+    assert _one(spark, taxonomy.fix_situations(F.lit(hebrew).cast("array<string>"))) == ["x"]
+
+    arabs = ["human_situations:sectors:arabs"]
+    got = _one(spark, taxonomy.fix_situations(F.lit(arabs).cast("array<string>")))
+    assert got == ["human_situations:sectors:arabs", "human_situations:language:arabic_speaking"]
+
+    assert _one(spark, taxonomy.fix_situations(F.lit(None).cast("array<string>"))) is None
+
+
+def test_normalize_taxonomy_ids(spark):
+    raw = [
+        "human_situations:a:b,human_situations:c",  # comma-joined
+        "human_situation:typo:x",  # singular root canonicalized
+        "human_situations",  # bare root dropped
+        "human_situations:a:b",  # duplicate (order-preserving dedupe)
+        "human_situations:p:q human_situations:r:s",  # space-smashed
+    ]
+    got = _one(spark, taxonomy.normalize_taxonomy_ids(F.lit(raw).cast("array<string>")))
+    assert got == [
+        "human_situations:a:b",
+        "human_situations:c",
+        "human_situations:typo:x",
+        "human_situations:p:q",
+        "human_situations:r:s",
+    ]
+
+
+# --- cleaning ---------------------------------------------------------------
+
+def test_phone_formatting(spark):
+    cases = {
+        "03-1234567": "03-123-4567",  # 9 digits starting 0
+        "0521234567": "052-123-4567",  # 10 digits starting 0
+        "1700123456": "1-700-123456",  # 10 digits starting 1
+        "+972-52-123-4567": "052-123-4567",  # country code stripped, 0 restored
+        "hello": "hello",  # unformattable -> trimmed original
+    }
+    raw = "\n".join(cases)
+    got = _one(spark, cleaning.transform_phone_numbers(F.lit(raw)))
+    assert got == list(cases.values())
+
+
+def test_phone_numbers_null_and_empty(spark):
+    assert _one(spark, cleaning.transform_phone_numbers(F.lit(None).cast("string"))) == []
+    assert _one(spark, cleaning.transform_phone_numbers(F.lit("  \n "))) == []
+
+
+def test_transform_urls(spark):
+    got = _one(
+        spark, cleaning.transform_urls(F.lit("http://a.com#Site A\nhttp://b.com"))
+    )
+    assert got[0]["href"] == "http://a.com" and got[0]["title"] == "Site A"
+    assert got[1]["href"] == "http://b.com" and got[1]["title"] == "קישור"
+    assert _one(spark, cleaning.transform_urls(F.lit(None).cast("string"))) is None
+
+
+def test_clean_org_name(spark):
+    # Golden values computed by running the reference's clean_org_name
+    # (srm_tools/data_cleaning.py:5-24) on the same inputs.
+    cases = {
+        'עזרה לזולת בע"ר': "עזרה לזולת בר",
+        "עמותת חסד": "חסד",
+        "מרכז בע״מ": "מרכז",
+        'ארגון (ע"ר)': "ארגון (ר",
+    }
+    for raw, expected in cases.items():
+        assert _one(spark, cleaning.clean_org_name(F.lit(raw))) == expected
+    assert _one(spark, cleaning.clean_org_name(F.lit(None).cast("string"))) == ""
+
+
+def test_fix_url(spark):
+    assert _one(spark, cleaning.fix_url(F.lit("https://www.google.com"))) == "https://www.google.com"
+    assert _one(spark, cleaning.fix_url(F.lit("www.google.com"))) == "http://www.google.com"
+    assert _one(spark, cleaning.fix_url(F.lit("google"))) is None
+    assert _one(spark, cleaning.fix_url(F.lit("google.com-"))) is None
+
+
+def test_remove_whitespaces(spark):
+    assert _one(spark, cleaning.remove_whitespaces(F.lit("  a \n\t b  "))) == "a b"
+
+
+# --- geo --------------------------------------------------------------------
+
+def test_validate_geometry(spark):
+    assert _one(spark, geo.validate_geometry(F.lit([34.78, 32.08]).cast("array<double>"))) is True
+    assert _one(spark, geo.validate_geometry(F.lit([0.0, 0.0]).cast("array<double>"))) is False
+    assert _one(spark, geo.validate_geometry(F.lit(None).cast("array<double>"))) is False
+
+
+def test_calc_point_id(spark):
+    # reference: ''.join('{:08.5f}'.format(c) for c in geometry).replace('.','')
+    expected = ("%08.5f%08.5f" % (34.78, 32.08)).replace(".", "")
+    got = _one(spark, geo.calc_point_id(F.lit([34.78, 32.08]).cast("array<double>")))
+    assert got == expected
+
+
+def test_olc_encode_known_value(spark):
+    # Spec example: 20.375,2.775 -> 7FG49Q00+ (pad to len 11 with grid digit)
+    got = _one(spark, geo.olc_encode(F.lit(32.0853), F.lit(34.7818), 11))
+    assert len(got) == 12 and got[8] == "+"
+    # Tel Aviv is in the 8G3Q/8G4P area codes
+    assert got.startswith("8G")
+
+
+# --- text -------------------------------------------------------------------
+
+def test_token_count(spark):
+    assert _one(spark, text.token_count(F.lit("a b  c"))) == 3
+    assert _one(spark, text.token_count(F.lit(""))) == 0
+    assert _one(spark, text.token_count(F.lit(None).cast("string"))) == 0
+
+
+def test_lang_id(spark):
+    assert _one(spark, text.lang_id(F.lit("the cat and the dog is here"))) == "en"
+    assert _one(spark, text.lang_id(F.lit("der hund und die katze ist"))) == "de"
+    assert _one(spark, text.lang_id(F.lit("שלום עולם"))) == "he"
+    assert _one(spark, text.lang_id(F.lit("你好世界"))) == "zh"
+
+
+def test_word_shingles(spark):
+    got = _one(spark, text.word_shingles(F.lit("a b c d"), 3))
+    assert got == ["a b c", "b c d"]
+    got_short = _one(spark, text.word_shingles(F.lit("a b"), 3))
+    assert got_short == ["a b"]
+
+
+def test_fingerprint_order_insensitive(spark):
+    a = _one(spark, text.fingerprint(F.lit("Hello, world hello")))
+    b = _one(spark, text.fingerprint(F.lit("world HELLO")))
+    assert a == b

@@ -47,29 +47,16 @@ def exact_dedup(
 
 # --- MinHash + LSH ----------------------------------------------------------
 
-def _indexed_hash(i: int):
-    """Single-arg lambda factory for F.transform: hash function #i is
-    ``xxhash64(shingle, i)`` — mixing the index into the hash input gives
-    independent orderings per function (an affine a*h+b family with small
-    coefficients would be order-preserving, collapsing every signature slot to
-    the same min-shingle), stays JVM-side, and avoids ANSI-mode overflow.
-
-    The factory closes over ``i`` because PySpark derives a higher-order
-    function's arity from the Python callable's full parameter list, defaults
-    included.
-    """
-
-    def fn(s):
-        return F.xxhash64(s, F.lit(i))
-
-    return fn
-
-
-def _minhash_cols(shingles, num_hashes: int):
-    return [
-        F.array_min(F.transform(shingles, _indexed_hash(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+def exploded_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — one shingling pass, reused by signature and verify
+    stages. Explicitly materialized as rows because projection collapsing
+    would otherwise inline the (expensive) shingling expression into every
+    consumer column."""
+    return df.select(
+        id_col, F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle")
+    )
 
 
 def minhash_signatures(
@@ -79,11 +66,22 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature over k-word shingles, as columns mh_0..n."""
-    shingled = df.select(
-        id_col, word_shingles(F.col(text_col), shingle_k).alias("_shingles")
-    ).filter(F.size("_shingles") > 0)
-    return shingled.select(id_col, *_minhash_cols(F.col("_shingles"), num_hashes))
+    """Per-document MinHash signature over k-word shingles, as columns mh_0..n.
+
+    Hash function #i is ``xxhash64(shingle, i)`` — mixing the index into the
+    hash input gives independent orderings per slot (an affine a*h+b family
+    with small coefficients would be order-preserving, collapsing every slot
+    to the same min-shingle) and avoids ANSI-mode overflow.
+
+    Shaped as explode → groupBy(min × num_hashes): the shingling runs ONCE per
+    document (as column-level signature expressions it would be inlined — and
+    recomputed — per hash column), and the mins partially aggregate map-side,
+    so the shuffle carries num_hashes longs per document.
+    """
+    sh = exploded_shingles(df, text_col, id_col, shingle_k)
+    return sh.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_candidates(
@@ -145,9 +143,14 @@ def minhash_dedup(
     Returns the deduplicated corpus (rows of `df` whose id is NOT dominated by
     a smaller-id near-duplicate).
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sh_rows = exploded_shingles(df, text_col, id_col, shingle_k)
+    sigs = sh_rows.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
+    )
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
-    shingled = df.select(id_col, word_shingles(F.col(text_col), shingle_k).alias("sh"))
+    # Verify candidates with exact Jaccard; shingle sets come from the same
+    # exploded rows (one shingling pass for the whole pipeline).
+    shingled = sh_rows.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
     verified = (
         cands.join(shingled.withColumnRenamed(id_col, "left_id").withColumnRenamed("sh", "sh_l"), "left_id")
         .join(shingled.withColumnRenamed(id_col, "right_id").withColumnRenamed("sh", "sh_r"), "right_id")
@@ -256,31 +259,48 @@ def jaccard_near_dup_pairs(
     block_cols: list[str] | None = None,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Token-set Jaccard similarity pairs within blocks.
+    """Token-set Jaccard similarity pairs within blocks, inverted-index style.
 
-    Blocked pairwise comparison: candidate pairs share `block_cols` values
-    (default: everything compares — only for small corpora/tests). The
-    similarity itself is |A∩B| / |A∪B| over distinct normalized tokens, all
-    native array ops.
+    Instead of a blocked pairwise join with per-pair array intersections
+    (O(pairs × tokens) with heavy per-row allocation), candidate pairs are
+    generated through an inverted index: explode distinct tokens, self-join on
+    (block, token), count shared tokens per pair, then
+    ``jaccard = shared / (|A| + |B| - shared)``. Pairs sharing zero tokens
+    never materialize, the shuffle is keyed by token (partition-parallel), and
+    per-pair work is a counter — the standard set-similarity-join shape that
+    holds at corpus scale. With ``threshold > 0`` the zero-overlap pairs the
+    pairwise formulation would score 0.0 are (identically) absent.
     """
+    blocks = list(block_cols or [])
     toks = df.select(
         id_col,
-        *(block_cols or []),
-        F.array_distinct(
-            F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
+        *blocks,
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
+            )
         ).alias("_tok"),
     )
-    l, r = toks.alias("l"), toks.alias("r")
-    conditions = [F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
-    for b in block_cols or []:
-        conditions.append(F.col(f"l.{b}").eqNullSafe(F.col(f"r.{b}")))
-    pairs = l.join(r, on=conditions).select(
-        F.col(f"l.{id_col}").alias("left_id"),
-        F.col(f"r.{id_col}").alias("right_id"),
-        (
-            F.size(F.array_intersect("l._tok", "r._tok"))
-            / F.size(F.array_union("l._tok", "r._tok"))
-        ).alias("jaccard"),
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    left, right = toks.alias("l"), toks.alias("r")
+    conds = [F.col("l._tok") == F.col("r._tok"), F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
+    for b in blocks:
+        conds.append(F.col(f"l.{b}").eqNullSafe(F.col(f"r.{b}")))
+    shared = (
+        left.join(right, on=conds)
+        .groupBy(
+            F.col(f"l.{id_col}").alias("left_id"), F.col(f"r.{id_col}").alias("right_id")
+        )
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    pairs = (
+        shared.join(sizes.withColumnRenamed(id_col, "left_id").withColumnRenamed("_n", "_nl"), "left_id")
+        .join(sizes.withColumnRenamed(id_col, "right_id").withColumnRenamed("_n", "_nr"), "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            (F.col("_shared") / (F.col("_nl") + F.col("_nr") - F.col("_shared"))).alias("jaccard"),
+        )
     )
     return pairs.filter(F.col("jaccard") >= threshold)
 

@@ -1,0 +1,9 @@
+"""Query plans: the engine's operator inventory exercised as runnable queries.
+
+``REGISTRY`` maps query name -> QueryDef(spark, oracle, covers). Each Spark
+callable takes (spark, sf_dir) and returns a DataFrame; ``oracle`` is the
+equivalent ANSI SQL for DuckDB over the same parquet tables (None for ops SQL
+can't express, which downgrade to a rows-only check).
+"""
+
+from .queries import REGISTRY, QueryDef  # noqa: F401

@@ -43,14 +43,25 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazily read one warehouse table; never materializes on the driver."""
+def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> DataFrame:
+    """Lazily read one warehouse table; never materializes on the driver.
+
+    ``spread``: single-row-group parquet files scan as ONE partition, which
+    serializes every pre-shuffle expression (regex, shingling, hashing) on one
+    core. When the scan has fewer partitions than the cluster's parallelism,
+    repartition it — a tiny shuffle locally, and a no-op at real scale where
+    inputs are already split into many files/row-groups.
+    """
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         # Integer nanos div 1000 → micros; double division would lose precision
         # (ns epoch values exceed 2^53).
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if spread:
+        parallelism = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parallelism // 2:
+            df = df.repartition(parallelism)
     return df
 
 

@@ -885,6 +885,143 @@ FROM documents GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Derive DAG (the reference's flagship pipeline over staging fixtures)
+# --------------------------------------------------------------------------
+
+def q34_derive_flat_branches(spark, sf_dir):
+    """Derive stage 1 (reference to_dp.py:288-406): branch ⋈ location ⋈ org
+    with deterministic duplicate-branch merge and per-org branch counts."""
+    from ..pipelines.derive import run_derive  # noqa: PLC0415
+
+    fb = run_derive(spark, sf_dir)["flat_branches"]
+    return fb.withColumn(
+        "organization_branch_count", F.col("organization_branch_count").cast("long")
+    )
+
+
+# Shared oracle CTE chain mirroring pipelines/staging_fixtures.py + derive.py.
+_DERIVE_CTES = """
+WITH orgs AS (
+  SELECT 'org-' || CAST(s_suppkey AS VARCHAR) AS organization,
+         s_name AS organization_name, 'company' AS organization_kind
+  FROM supplier
+), locs AS (
+  SELECT 'loc-' || CAST(n_nationkey AS VARCHAR) AS location, n_name AS city,
+         CAST(29.5 + (n_nationkey % 10) * 0.35 AS DOUBLE) AS lat,
+         CAST(33.2 + (n_nationkey % 12) * 0.3 AS DOUBLE) AS lon,
+         n_nationkey % 7 = 0 AS national_service
+  FROM nation
+), brs AS (
+  SELECT 'branch-' || CAST(c_custkey AS VARCHAR) AS id,
+         'org-' || CAST(c_custkey % (SELECT count(*) FROM supplier) AS VARCHAR) AS organization,
+         'loc-' || CAST(c_nationkey AS VARCHAR) AS location,
+         c_name AS name,
+         CASE WHEN c_acctbal < 0 THEN 'INACTIVE' ELSE 'ACTIVE' END AS status
+  FROM customer
+), fb0 AS (
+  SELECT b.id, b.organization, o.organization_name, o.organization_kind, b.location,
+         b.name, l.city, l.lat, l.lon, l.national_service
+  FROM brs b LEFT JOIN locs l ON b.location = l.location
+  JOIN orgs o ON b.organization = o.organization
+  WHERE upper(trim(b.status)) = 'ACTIVE'
+), fb1 AS (
+  SELECT *, row_number() OVER (PARTITION BY organization, location ORDER BY id ASC) AS rn
+  FROM fb0
+), fb AS (
+  SELECT id AS branch_id, organization, organization_name, organization_kind, location,
+         name AS branch_name, city AS branch_city, lat, lon, national_service,
+         count(*) OVER (PARTITION BY organization) AS organization_branch_count
+  FROM fb1 WHERE rn = 1
+), freq AS (
+  SELECT l_partkey, l_suppkey, count(*) AS n FROM lineitem GROUP BY 1, 2
+), owner AS (
+  SELECT l_partkey, l_suppkey FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY n DESC, l_suppkey ASC) AS rn
+    FROM freq
+  ) WHERE rn = 1
+), svcs AS (
+  SELECT 'svc-' || CAST(p_partkey AS VARCHAR) AS id, p_name AS name,
+         'org-' || CAST(l_suppkey AS VARCHAR) AS organization,
+         'responses:' || lower(p_type) || ':' || lower(p_brand) AS response0,
+         'situations:size:' || CAST(p_size % 5 AS VARCHAR) AS situation0
+  FROM part JOIN owner ON p_partkey = l_partkey
+), bpo AS (
+  SELECT organization, list_sort(list_distinct(list(branch_id))) AS org_branches
+  FROM fb GROUP BY organization
+), fs AS (
+  SELECT s.id AS service_id, s.name AS service_name, s.organization,
+         s.response0, s.situation0, unnest(b.org_branches) AS branch_id
+  FROM svcs s JOIN bpo b ON s.organization = b.organization
+), cards AS (
+  SELECT f.branch_id || f.service_id AS card_key,
+         f.service_id, f.service_name, f.branch_id,
+         fb.branch_name, fb.branch_city, f.organization, fb.organization_name,
+         fb.organization_branch_count, fb.national_service,
+         array_to_string(list_sort(list_distinct(
+           list_transform(range(2, len(string_split(f.response0, ':')) + 1),
+                          i -> array_to_string(string_split(f.response0, ':')[1:i], ':')))), ',') AS response_ids,
+         array_to_string(list_sort(list_distinct(
+           list_transform(range(2, len(string_split(f.situation0, ':')) + 1),
+                          i -> array_to_string(string_split(f.situation0, ':')[1:i], ':')))), ',') AS situation_ids
+  FROM fs f JOIN fb ON f.branch_id = fb.branch_id
+)
+"""
+
+Q34_SQL = _DERIVE_CTES + """
+SELECT branch_id, organization, organization_name, organization_kind, location,
+       branch_name, branch_city, lat, lon, national_service,
+       CAST(organization_branch_count AS BIGINT) AS organization_branch_count
+FROM fb
+"""
+
+
+def q35_derive_cards(spark, sf_dir):
+    """Full derive DAG to card_data (reference to_dp.py:756-920): service ×
+    branch with merged, parent-expanded taxonomy ids. card_id (sha1 short
+    hash, byte-compatible with the reference) is excluded here because the
+    oracle engine lacks sha1 — its determinism is pinned by unit tests; the
+    preimage card_key is verified instead."""
+    from ..pipelines.derive import run_derive  # noqa: PLC0415
+
+    cards = run_derive(spark, sf_dir)["card_data"]
+    return cards.drop("card_id").withColumn(
+        "organization_branch_count", F.col("organization_branch_count").cast("long")
+    )
+
+
+Q35_SQL = _DERIVE_CTES + """
+SELECT card_key, service_id, service_name, branch_id, branch_name, branch_city,
+       organization, organization_name,
+       CAST(organization_branch_count AS BIGINT) AS organization_branch_count,
+       national_service, response_ids, situation_ids
+FROM cards
+"""
+
+
+def q36_card_search(spark, sf_dir):
+    """The reference's "one real query": cards for response X in city Y
+    (SURVEY §7.1) — a filter over card_data that at scale prunes partitions
+    on city and skips row groups on the response tag."""
+    from ..pipelines.derive import run_derive  # noqa: PLC0415
+
+    cards = run_derive(spark, sf_dir)["card_data"]
+    return (
+        cards.filter(
+            (F.col("branch_city") == "NATION_3")
+            & F.col("response_ids").contains("responses:economy")
+        )
+        .select("card_key", "service_id", "branch_id", "organization_name", "response_ids")
+    )
+
+
+Q36_SQL = _DERIVE_CTES + """
+SELECT card_key, service_id, branch_id, organization_name, response_ids
+FROM cards
+WHERE branch_city = 'NATION_3' AND response_ids LIKE '%responses:economy%'
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "A1 A9 F12 P6"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "P1 P2 P6"),
@@ -919,4 +1056,7 @@ REGISTRY: dict[str, QueryDef] = {
     "q31_centroids": QueryDef(q31_centroids, Q31_SQL, "similarity-ivf-centroids"),
     "q32_tumbling_window": QueryDef(q32_tumbling_window, Q32_SQL, "streaming-batch-twin"),
     "q33_filter_with_stats": QueryDef(q33_filter_with_stats, Q33_SQL, "P7 A9"),
+    "q34_derive_flat_branches": QueryDef(q34_derive_flat_branches, Q34_SQL, "J1 J2 A6 W3 P9 §3.1"),
+    "q35_derive_cards": QueryDef(q35_derive_cards, Q35_SQL, "J2 J4 U4 A8 F13 F14 F22 §3.1"),
+    "q36_card_search": QueryDef(q36_card_search, Q36_SQL, "§7.1 flagship"),
 }

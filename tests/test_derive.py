@@ -1,0 +1,64 @@
+"""Derive-DAG invariants that the SQL oracle can't cover.
+
+Reference semantics pinned here:
+- card_id = sha1(branch_id + service_id)[:8]  (srm_tools/hash.py:4-6 and
+  operators/derive/to_dp.py:798-803 in the reference) — byte-exact;
+- duplicate-branch merge keeps exactly one branch per (organization,
+  location) (to_dp.py:237-286);
+- organization_branch_count counts post-merge branches (to_dp.py:275-281);
+- the service × branch fan-out has a unique (service_id, branch_id) PK
+  (to_dp.py:580-586,637).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from srm_etl_spark.functions.hashing import hasher_py
+from srm_etl_spark.pipelines.derive import run_derive
+
+
+@pytest.fixture(scope="module")
+def stages(spark, sf_dir):
+    return run_derive(spark, sf_dir)
+
+
+def test_card_id_matches_reference_hasher(stages):
+    rows = stages["card_data"].select("card_id", "branch_id", "service_id").limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r.card_id == hasher_py(r.branch_id, r.service_id)
+        assert len(r.card_id) == 8
+
+
+def test_flat_branches_unique_per_org_location(stages):
+    fb = stages["flat_branches"]
+    dups = fb.groupBy("organization", "location").count().filter(F.col("count") > 1)
+    assert dups.count() == 0
+
+
+def test_org_branch_count_consistent(stages):
+    fb = stages["flat_branches"]
+    recomputed = fb.groupBy("organization").count()
+    joined = fb.select("organization", "organization_branch_count").distinct().join(
+        recomputed, "organization"
+    )
+    bad = joined.filter(F.col("organization_branch_count") != F.col("count"))
+    assert bad.count() == 0
+
+
+def test_flat_table_pk_unique(stages):
+    ft = stages["flat_table"]
+    dups = ft.groupBy("service_id", "branch_id").count().filter(F.col("count") > 1)
+    assert dups.count() == 0
+
+
+def test_card_taxonomy_parent_expansion(stages):
+    rows = stages["card_data"].select("response_ids").limit(20).collect()
+    for r in rows:
+        ids = r.response_ids.split(",")
+        # every 3-segment tag must ride with its 2-segment parent, sorted
+        assert ids == sorted(ids)
+        full = [t for t in ids if t.count(":") == 2]
+        for t in full:
+            parent = t.rsplit(":", 1)[0]
+            assert parent in ids

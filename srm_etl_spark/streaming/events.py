@@ -1,0 +1,139 @@
+"""Streaming event pipelines (capability extension over the strictly-batch
+reference — SURVEY §2.12).
+
+The same logical plans as the batch twins (plans/queries.py q32, q17), lifted
+to Structured Streaming: a file source replayed incrementally, event-time
+watermarks bounding state, and window aggregates that emit finalized windows.
+State stores shard by group key across executors, so every operator here
+scales with the cluster exactly like its batch twin.
+
+Design rules:
+- watermark BEFORE any stateful op (Spark requires it; it also caps state);
+- aggregations keyed by (window, key) — never a global collect;
+- ``availableNow`` triggers for batch-replay tests; continuous micro-batches
+  in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+# File-source schema when the parquet carries TIMESTAMP(NANOS): the session
+# reads those as longs (spark.sql.legacy.parquet.nanosAsLong) and we restore.
+EVENT_SCHEMA_NANOS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, source_dir: str, nanos_ts: bool = True
+) -> DataFrame:
+    """File-source stream of event rows; ts restored to TimestampType."""
+    schema = EVENT_SCHEMA_NANOS if nanos_ts else EVENT_SCHEMA
+    df = spark.readStream.schema(schema).parquet(source_dir)
+    if nanos_ts:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tumbling_window_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per (tumbling window, event_type) count + value sum. The streaming twin
+    of q32 — identical plan, plus the watermark that lets Spark finalize and
+    evict window state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event rates: each event lands in window/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based), the streaming twin of the batch
+    sessionize operator (operators/windows.py) — state is one open session
+    per user, merged/finalized by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event stream on event_id within the watermark horizon —
+    the streaming analogue of the engine's exact dedup; state is one key per
+    in-horizon event id."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
+    """Replay the available data through the streaming plan into an in-memory
+    table (tests / local inspection). Returns the finished query."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,83 @@
+"""End-to-end Structured Streaming tests: replay the events table through a
+file source with availableNow, land in a memory sink, and compare against the
+equivalent batch computation."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from srm_etl_spark.sources.tables import load_table
+from srm_etl_spark.streaming import (
+    session_window_counts,
+    stream_events,
+    streaming_dedup,
+    tumbling_window_counts,
+)
+from srm_etl_spark.streaming.events import run_to_memory
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, events_dir):
+    stream = tumbling_window_counts(stream_events(spark, events_dir))
+    run_to_memory(stream, "tumbling_test")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.table("tumbling_test").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+    want = {(r.ws, r.event_type): (r.n, r.sum_value) for r in batch.collect()}
+    # Append mode emits only FINALIZED windows: the watermark ends at
+    # max_event_time - 2h, so windows still open at end-of-replay are
+    # (correctly) withheld. Everything emitted must match the batch twin, and
+    # every window the watermark passed must have been emitted.
+    from datetime import timedelta  # noqa: PLC0415
+
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    horizon = max_ts - timedelta(hours=2)
+    finalized = {k for k in want if k[0] + timedelta(hours=1) <= horizon}
+    assert set(got) >= finalized
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert v == want[k]
+    assert len(got) > 0
+
+
+def test_streaming_dedup_keeps_all_unique(spark, sf_dir, events_dir):
+    stream = streaming_dedup(stream_events(spark, events_dir))
+    run_to_memory(stream, "dedup_test")
+    n_stream = spark.table("dedup_test").count()
+    n_batch = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert n_stream == n_batch
+
+
+def test_session_windows_complete(spark, sf_dir, events_dir):
+    stream = session_window_counts(stream_events(spark, events_dir), gap="30 minutes")
+    run_to_memory(stream, "session_test")
+    out = spark.table("session_test")
+    total_events = out.agg(F.sum("n_events")).first()[0]
+    n_all = load_table(spark, sf_dir, "events").count()
+    # sessions still open inside the final watermark horizon are withheld by
+    # append mode; everything older must have been finalized and emitted
+    assert 0.9 * n_all <= total_events <= n_all
+    # session integrity: no two sessions of the same user overlap
+    a = out.select([F.col(c).alias(f"a_{c}") for c in out.columns])
+    b = out.select([F.col(c).alias(f"b_{c}") for c in out.columns])
+    overlaps = a.join(
+        b,
+        (F.col("a_user_id") == F.col("b_user_id"))
+        & (F.col("a_session_start") < F.col("b_session_start"))
+        & (F.col("b_session_start") < F.col("a_session_end")),
+    )
+    assert overlaps.count() == 0

@@ -123,6 +123,66 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Vectorized exact top-k: one numpy matmul per Arrow batch.
+
+    The scale path: queries (assumed driver-small, e.g. ≤10^5) ship to every
+    task as a closure matrix; each corpus partition computes a (batch × query)
+    cosine matrix with BLAS and emits only its LOCAL top-k per query, so the
+    shuffle carries k rows per (query, partition) — global ranking then
+    touches k × partitions rows per query instead of the whole corpus.
+    Versus the per-row expression variant (:func:`brute_force_topk`) this is
+    the 10-100× Arrow/BLAS speedup the engine reaches for when the HOF path
+    becomes the bottleneck.
+    """
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0
+    qunit = qmat / qnorm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norm = np.linalg.norm(mat, axis=1, keepdims=True)
+            norm[norm == 0] = 1.0
+            sims = (mat / norm) @ qunit.T  # (batch, queries)
+            out = {query_id_col: [], "neighbor_id": [], "cosine": []}
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                if cand_idx.size == 0:
+                    continue
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
+                out[query_id_col].extend([qid] * len(top))
+                out["neighbor_id"].extend(ids[top].tolist())
+                out["cosine"].extend(col[top].tolist())
+            yield pd.DataFrame(out)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        batches, f"{query_id_col} long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding", round_to: int | None = None
 ) -> DataFrame:

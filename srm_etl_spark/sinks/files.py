@@ -1,0 +1,94 @@
+"""File sinks: Parquet stages, GeoJSON, sitemaps.
+
+Mirrors the reference's dump targets (``dump_to_path`` CSV/GeoJSON at
+``operators/derive/to_dp.py:227,919`` / ``to_mapbox.py:202``; sitemap chunking
+at ``operators/derive/to_sitemap.py:41-95``) re-expressed as distributed
+writes: every sink is a DataFrame transformation ending in a Spark write —
+no driver-side row loops, so they hold at any output size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def write_parquet_stage(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Canonical inter-stage write (the engine's datapackage equivalent)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.option("partitionOverwriteMode", "dynamic").partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def geojson_features(
+    df: DataFrame, lon_col: str = "lon", lat_col: str = "lat", props: list[str] | None = None
+) -> DataFrame:
+    """One GeoJSON Feature (as a JSON string column ``feature``) per row —
+    computed distributed with to_json, never on the driver."""
+    props = props or [c for c in df.columns if c not in (lon_col, lat_col)]
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(F.col(lon_col), F.col(lat_col)).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(*[F.col(p).alias(p) for p in props]).alias("properties"),
+        )
+    )
+    return df.select(feature.alias("feature"))
+
+
+def write_geojson(
+    df: DataFrame,
+    path: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    props: list[str] | None = None,
+) -> None:
+    """Newline-delimited GeoJSON features (GeoJSONSeq — what tippecanoe and
+    most geo tooling ingest at scale; a FeatureCollection wrapper would force
+    a single-writer file)."""
+    geojson_features(df, lon_col, lat_col, props).write.mode("overwrite").text(path)
+
+
+def sitemap_documents(df: DataFrame, url_col: str = "url", urls_per_file: int = 50_000) -> DataFrame:
+    """Chunk URLs into ≤N-per-file sitemap XML documents.
+
+    Returns (file_index, xml) rows — one row per sitemap file. The global
+    row-number over the URL order is a single-pass window; at extreme scale
+    swap for a per-partition offset scheme, but sitemap corpora are ≤50M URLs
+    (the protocol's own 50k-files × 50k-URLs cap).
+    """
+    w = Window.orderBy(url_col)
+    indexed = df.select(url_col).withColumn(
+        "file_index", ((F.row_number().over(w) - 1) / urls_per_file).cast("long")
+    )
+    return (
+        indexed.groupBy("file_index")
+        .agg(F.array_sort(F.collect_list(url_col)).alias("urls"))
+        .select(
+            "file_index",
+            F.concat_ws(
+                "\n",
+                F.lit('<?xml version="1.0" encoding="UTF-8"?>'),
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.array_join(
+                    F.transform(
+                        F.col("urls"),
+                        lambda u: F.concat(F.lit("<url><loc>"), u, F.lit("</loc></url>")),
+                    ),
+                    "\n",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+            F.size("urls").alias("n_urls"),
+        )
+    )
+
+
+def write_sitemaps(df: DataFrame, path: str, url_col: str = "url", urls_per_file: int = 50_000) -> None:
+    """Write the chunked sitemap XML documents, one file per chunk."""
+    docs = sitemap_documents(df, url_col, urls_per_file)
+    docs.select("xml").repartition(max(docs.count(), 1)).write.mode("overwrite").text(path)

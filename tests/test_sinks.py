@@ -1,0 +1,84 @@
+"""Sink tests: GeoJSON feature generation, sitemap chunking invariants, ES
+mapping generation and bulk-action stamping — all without external services."""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from srm_etl_spark.sinks import es_mapping, revision_sweep_body, to_es_actions
+from srm_etl_spark.sinks.files import geojson_features, sitemap_documents
+
+
+def test_geojson_features(spark):
+    df = spark.createDataFrame(
+        [(34.78, 32.08, "tlv", 3), (35.21, 31.77, "jlm", 5)],
+        "lon double, lat double, name string, n long",
+    )
+    feats = [json.loads(r.feature) for r in geojson_features(df).collect()]
+    assert len(feats) == 2
+    by_name = {f["properties"]["name"]: f for f in feats}
+    assert by_name["tlv"]["geometry"]["coordinates"] == [34.78, 32.08]
+    assert by_name["tlv"]["type"] == "Feature"
+    assert by_name["jlm"]["properties"]["n"] == 5
+
+
+def test_sitemap_chunking(spark):
+    urls = spark.range(2500).select(
+        F.concat(F.lit("https://example.org/card/"), F.col("id")).alias("url")
+    )
+    docs = sitemap_documents(urls, urls_per_file=1000).collect()
+    assert len(docs) == 3  # 2500 urls / 1000 per file (sitemap.org invariant)
+    assert sorted(d.n_urls for d in docs) == [500, 1000, 1000]
+    for d in docs:
+        assert d.xml.startswith('<?xml version="1.0"')
+        assert d.xml.count("<loc>") == d.n_urls
+        assert d.xml.rstrip().endswith("</urlset>")
+    # no URL lost or duplicated across chunks
+    all_locs = sum(d.xml.count("example.org/card/") for d in docs)
+    assert all_locs == 2500
+
+
+def test_es_mapping_from_metadata():
+    schema = StructType(
+        [
+            StructField("card_id", StringType(), metadata={"es:type": "keyword"}),
+            StructField("name", StringType(), metadata={"es:type": "hebrew"}),
+            StructField("suggest", StringType(), metadata={"es:type": "autocomplete"}),
+            StructField("hidden", StringType(), metadata={"es:index": False}),
+            StructField("score", DoubleType()),
+            StructField("tags", ArrayType(StringType()), metadata={"es:type": "keyword"}),
+            StructField(
+                "address",
+                StructType([StructField("city", StringType()), StructField("n", LongType())]),
+            ),
+        ]
+    )
+    m = es_mapping(schema)["properties"]
+    assert m["card_id"] == {"type": "keyword"}
+    assert m["name"] == {"type": "text", "analyzer": "hebrew"}
+    assert m["suggest"]["type"] == "search_as_you_type"
+    assert m["hidden"]["index"] is False
+    assert m["score"] == {"type": "double"}
+    assert m["tags"] == {"type": "keyword"}  # ES is array-transparent
+    assert m["address"]["properties"]["n"] == {"type": "long"}
+
+
+def test_es_actions_and_sweep(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    actions = to_es_actions(df, "cards", "id", revision="rev123").collect()
+    assert len(actions) == 2
+    act = json.loads(actions[0].action_json)
+    doc = json.loads(actions[0].doc_json)
+    assert act["index"]["_index"] == "cards"
+    assert act["index"]["_id"] in ("1", "2")
+    assert doc["revision"] == "rev123"
+    sweep = revision_sweep_body("rev123")
+    assert sweep["query"]["bool"]["must_not"] == [{"term": {"revision": "rev123"}}]

@@ -26,10 +26,16 @@ def update_taxonomy_with_parents(ids: Column) -> Column:
     """
     prefixes = F.transform(
         F.coalesce(ids, F.array()),
-        lambda x: F.transform(
-            F.sequence(F.lit(2), F.size(F.split(x, ":"))),
-            lambda i: F.array_join(F.slice(F.split(x, ":"), F.lit(1), i), ":"),
-        ),
+        # F.sequence(2, n) is DESCENDING [2,1] when n < 2, which would expand a
+        # single-segment id to itself; the reference's range(2, n+1) yields []
+        # there — guard so sub-2-segment ids contribute nothing.
+        lambda x: F.when(
+            F.size(F.split(x, ":")) >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.size(F.split(x, ":"))),
+                lambda i: F.array_join(F.slice(F.split(x, ":"), F.lit(1), i), ":"),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
     return F.array_sort(F.array_distinct(F.flatten(prefixes)))
 

@@ -29,14 +29,18 @@ class Stats:
         under the same name (evaluated lazily, as a separate branch).
         """
         obs = Observation(name)
+        # filter(keep) drops NULL-predicate rows too, so count drops as
+        # NOT(coalesce(keep, false)) — a bare ~keep is NULL for NULL predicates
+        # and would fall into otherwise(0), making seen != dropped + kept.
+        kept_pred = F.coalesce(keep, F.lit(False))
         observed = df.observe(
             obs,
-            F.sum(F.when(~keep, 1).otherwise(0)).alias("dropped"),
+            F.sum(F.when(kept_pred, 0).otherwise(1)).alias("dropped"),
             F.count(F.lit(1)).alias("seen"),
         )
         self._observations[name] = obs
         if report:
-            self._reports[name] = df.filter(~keep)
+            self._reports[name] = df.filter(~kept_pred)
         return observed.filter(keep)
 
     def get(self, name: str) -> dict:

@@ -299,7 +299,10 @@ WITH lvl1 AS (
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY c_mktsegment, o_orderpriority
 )
-SELECT c_mktsegment, count(*) AS n_priorities, max(freq) AS max_freq, sum(freq) AS total_orders
+SELECT c_mktsegment, count(*) AS n_priorities, max(freq) AS max_freq,
+       -- DuckDB sum(BIGINT) is HUGEINT (int128), which some client paths
+       -- materialize as double ("123.0" vs Spark's "123") — pin to BIGINT.
+       CAST(sum(freq) AS BIGINT) AS total_orders
 FROM lvl1 GROUP BY c_mktsegment
 """
 
@@ -869,18 +872,21 @@ def q33_filter_with_stats(spark, sf_dir):
     seen/dropped/kept counts for a quality predicate (the pipeline form uses
     df.observe — same numbers, zero extra passes)."""
     d = _t(spark, sf_dir, "documents")
-    keep = F.col("n_chars") > 200
+    # NULL-robust split: rows whose predicate is NULL count as dropped, the
+    # same thing filter(keep) would do to them.
+    keep = F.coalesce(F.col("n_chars") > 200, F.lit(False))
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("seen"),
-        F.sum(F.when(~keep, 1).otherwise(0)).alias("dropped"),
+        F.sum(F.when(keep, 0).otherwise(1)).alias("dropped"),
         F.sum(F.when(keep, 1).otherwise(0)).alias("kept"),
     )
 
 
 Q33_SQL = """
 SELECT source, count(*) AS seen,
-       sum(CASE WHEN NOT (n_chars > 200) THEN 1 ELSE 0 END) AS dropped,
-       sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS kept
+       -- CASTs pin DuckDB's HUGEINT sums to BIGINT (see Q09)
+       CAST(sum(CASE WHEN coalesce(n_chars > 200, false) THEN 0 ELSE 1 END) AS BIGINT) AS dropped,
+       CAST(sum(CASE WHEN coalesce(n_chars > 200, false) THEN 1 ELSE 0 END) AS BIGINT) AS kept
 FROM documents GROUP BY source
 """
 

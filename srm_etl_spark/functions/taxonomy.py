@@ -121,3 +121,39 @@ def normalize_taxonomy_ids(ids: Column) -> Column:
     )
     # array_distinct preserves first-appearance order.
     return F.when(ids.isNull() | (F.size(ids) == 0), ids).otherwise(F.array_distinct(kept))
+
+
+# Age-group tags in the reference's emission order with their overlap windows
+# (srm_tools/situations.py:42-62): tag kept when [min_age, max_age] intersects
+# the window; `seniors` is open-ended above 55; all six at once means "no age
+# restriction" and collapses to an empty list.
+_AGE_WINDOWS = [
+    ("adults", 31, 54),
+    ("young_adults", 20, 30),
+    ("teens", 13, 19),
+    ("infants", 0, 1),
+    ("children", 2, 12),
+]
+
+
+def situations_for_age_range(min_age: Column, max_age: Column) -> Column:
+    """Age interval -> array of ``human_situations:age_group:*`` tags.
+
+    Mirrors reference semantics exactly (srm_tools/situations.py:42-62):
+    null bounds default to [0, 120]; a tag is emitted when the interval
+    overlaps its window; all 6 tags at once -> empty array.
+    """
+    mn = F.coalesce(min_age.cast("long"), F.lit(0))
+    mx = F.coalesce(max_age.cast("long"), F.lit(120))
+    conds = [
+        (tag, (mn <= hi) & (mx >= lo)) for tag, lo, hi in _AGE_WINDOWS
+    ] + [("seniors", mx >= 55)]
+    arr = F.array_compact(
+        F.array(
+            *[
+                F.when(cond, F.lit(f"human_situations:age_group:{tag}"))
+                for tag, cond in conds
+            ]
+        )
+    )
+    return F.when(F.size(arr) == 6, F.array().cast("array<string>")).otherwise(arr)

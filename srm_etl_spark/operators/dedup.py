@@ -404,9 +404,13 @@ def embedding_near_dup_pairs(
     """
     from .similarity import cosine_similarity  # noqa: PLC0415
 
-    base = df.select(id_col, vec_col)
+    # Block expression is evaluated against the FULL input row (it may
+    # reference columns outside id/vec, e.g. a label or an LSH bucket of
+    # another column) — prune to (id, vec, block) only afterwards.
     if block_expr is not None:
-        base = base.withColumn("_blk", block_expr)
+        base = df.withColumn("_blk", block_expr).select(id_col, vec_col, "_blk")
+    else:
+        base = df.select(id_col, vec_col)
     l, r = base.alias("l"), base.alias("r")
     conds = [F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
     if block_expr is not None:

@@ -7,3 +7,6 @@ can't express, which downgrade to a rows-only check).
 """
 
 from .queries import REGISTRY, QueryDef  # noqa: F401
+from .queries_ext import EXT_REGISTRY
+
+REGISTRY.update(EXT_REGISTRY)

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .expr import let
+
 
 def update_taxonomy_with_parents(ids: Column) -> Column:
     """Expand each id ``a:b:c`` into all its prefixes with >= 2 segments.
@@ -24,18 +26,23 @@ def update_taxonomy_with_parents(ids: Column) -> Column:
     (the reference builds a set and returns ``sorted(ret)``). Null input maps
     to the empty list.
     """
-    prefixes = F.transform(
-        F.coalesce(ids, F.array()),
+    def expand(parts: Column) -> Column:
         # F.sequence(2, n) is DESCENDING [2,1] when n < 2, which would expand a
         # single-segment id to itself; the reference's range(2, n+1) yields []
         # there — guard so sub-2-segment ids contribute nothing.
-        lambda x: F.when(
-            F.size(F.split(x, ":")) >= 2,
+        n = F.size(parts)
+        return F.when(
+            n >= 2,
             F.transform(
-                F.sequence(F.lit(2), F.size(F.split(x, ":"))),
-                lambda i: F.array_join(F.slice(F.split(x, ":"), F.lit(1), i), ":"),
+                F.sequence(F.lit(2), n),
+                lambda i: F.array_join(F.slice(parts, F.lit(1), i), ":"),
             ),
-        ).otherwise(F.array().cast("array<string>")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    prefixes = F.transform(
+        F.coalesce(ids, F.array()),
+        # let-bound: split once per id, not once per prefix length.
+        lambda x: let(F.split(x, ":"), expand),
     )
     return F.array_sort(F.array_distinct(F.flatten(prefixes)))
 

@@ -232,16 +232,7 @@ def fingerprint(text: Column) -> Column:
     return F.sha1(F.array_join(toks, " "))
 
 
-def _let(value: Column, body) -> Column:
-    """Let-binding for column expressions: evaluate `value` ONCE, pass it to
-    `body` as a lambda variable.
-
-    ``transform(array(value), v -> body(v))[1]`` — without this, a
-    subexpression referenced inside a higher-order lambda is INLINED into the
-    lambda body and re-evaluated per element (e.g. a shingle transform that
-    re-normalizes + re-splits the whole document for every start index —
-    a measured ~100× slowdown on shingling at sf0.1)."""
-    return F.element_at(F.transform(F.array(value), body), 1)
+from .expr import let as _let  # noqa: E402 — shared let-binding (see expr.py)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:

@@ -134,12 +134,18 @@ def card_data(flat_table_df: DataFrame) -> DataFrame:
 
 
 def run_derive(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Build every derive stage from the staging fixtures; all lazy."""
+    """Build every derive stage from the staging fixtures; lazy except
+    flat_branches, which feeds BOTH flat_services and flat_table — persisted
+    so the branch ⋈ location ⋈ org dedup runs once per action, not twice
+    (the reference materializes this stage to disk for the same reason,
+    to_dp.py:405)."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
     orgs = FIX.organizations(spark, sf_dir)
     locs = FIX.locations(spark, sf_dir)
     brs = FIX.branches(spark, sf_dir)
     svcs = FIX.services(spark, sf_dir)
-    fb = flat_branches(brs, locs, orgs)
+    fb = flat_branches(brs, locs, orgs).persist(StorageLevel.MEMORY_AND_DISK)
     fs = flat_services(svcs, fb)
     ft = flat_table(fs, fb)
     cards = card_data(ft)

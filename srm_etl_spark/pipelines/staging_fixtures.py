@@ -19,6 +19,8 @@ the derive queries), so the whole DAG stays verifiable against DuckDB.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,10 +49,18 @@ def locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _supplier_count(sf_dir: str) -> int:
+    """|supplier| is a catalog fact — one pyarrow footer read per sf_dir,
+    cached (was a Spark count() job per derive run)."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    return pq.ParquetFile(f"{sf_dir}/supplier.parquet").metadata.num_rows
+
+
 def branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
-    n_orgs = s.count()  # driver-side scalar: |supplier| is a catalog fact
+    n_orgs = _supplier_count(sf_dir)
     return c.select(
         F.concat(F.lit("branch-"), F.col("c_custkey")).alias("id"),
         F.concat(F.lit("org-"), F.col("c_custkey") % n_orgs).alias("organization"),
@@ -63,13 +73,15 @@ def branches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def services(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Service per part, owned by the org (supplier) that ships it most;
     deterministic ownership via (count desc, suppkey asc) ranking."""
-    from pyspark.sql import Window  # noqa: PLC0415
-
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     freq = li.groupBy("l_partkey", "l_suppkey").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("l_partkey").orderBy(F.desc("n"), F.asc("l_suppkey"))
-    owner = freq.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # Ownership = argmax by (n desc, suppkey asc) — a max_by aggregate, not a
+    # ranked window: saves the per-partition sort and reuses map-side partial
+    # aggregation; identical keeper to row_number()==1 over that ordering.
+    owner = freq.groupBy("l_partkey").agg(
+        F.max_by("l_suppkey", F.struct(F.col("n"), -F.col("l_suppkey"))).alias("l_suppkey")
+    )
     return (
         p.join(owner, p.p_partkey == owner.l_partkey, "inner")
         .select(

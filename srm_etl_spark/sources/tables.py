@@ -8,6 +8,9 @@ read lazily so Catalyst prunes columns and pushes filters into the scan.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,21 +29,28 @@ TABLES = [
 ]
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
+@functools.lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as TIMESTAMP(NANOS) in the parquet footer.
 
     Spark can only read those as long (``spark.sql.legacy.parquet.nanosAsLong``,
     set by the session factory); we restore proper TimestampType below. One
-    footer read on the driver — cheap, schema-only.
+    footer read on the driver per distinct path (cached — bench/driver load
+    the same tables hundreds of times).
     """
     import pyarrow as pa  # noqa: PLC0415
 
     schema = pq.read_schema(path)
-    return [
+    return tuple(
         f.name
         for f in schema
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _file_bytes(path: str) -> int:
+    return os.path.getsize(path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> DataFrame:
@@ -67,8 +77,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = True)
         # (ns epoch values exceed 2^53).
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if spread:
+        # Scan parallelism ≈ ceil(file_bytes / maxPartitionBytes), and a
+        # single-row-group file can't split below one partition per file.
+        # Deciding from the (cached) file size avoids df.rdd.getNumPartitions,
+        # which converts the plan to an RDD on every load — measurable fixed
+        # cost when the bench loads tables hundreds of times.
         parallelism = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < parallelism // 2:
+        max_bytes = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        )
+        est_partitions = max(1, _file_bytes(path) // max_bytes)
+        if est_partitions < parallelism // 2:
             df = df.repartition(parallelism)
     return df
 

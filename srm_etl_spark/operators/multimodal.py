@@ -84,14 +84,25 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
-def decode_image_features(df: DataFrame, bin_col: str = "media") -> DataFrame:
+def decode_image_features(
+    df: DataFrame, bin_col: str = "media", passthrough: list[str] | None = None
+) -> DataFrame:
     """Arrow-batched decode → (content_id, width, height, luminance).
 
     Errors are captured per row (``decode_error``) rather than failing the
     stage — at 100 TB some corrupt bytes are a statistical certainty and a
     task retry loop must not be the error channel.
+
+    ``passthrough``: extra columns carried through the decode stage unchanged
+    (e.g. the document key), so callers don't need a post-decode join.
     """
+    passthrough = list(passthrough or [])
     with_id = df.withColumn("media_content_id", F.sha1(F.col(bin_col)))
+    extra_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in passthrough
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -115,10 +126,13 @@ def decode_image_features(df: DataFrame, bin_col: str = "media") -> DataFrame:
                     out["height"].append(None)
                     out["mean_luminance"].append(None)
                     out["decode_error"].append(type(ex).__name__)
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for c in passthrough:
+                res[c] = pdf[c].values
+            yield res
 
-    return with_id.select("media_content_id", bin_col).mapInPandas(
-        batches, IMAGE_FEATURES_SCHEMA
+    return with_id.select("media_content_id", bin_col, *passthrough).mapInPandas(
+        batches, IMAGE_FEATURES_SCHEMA + extra_schema
     )
 
 

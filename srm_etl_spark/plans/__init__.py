@@ -8,5 +8,7 @@ can't express, which downgrade to a rows-only check).
 
 from .queries import REGISTRY, QueryDef  # noqa: F401
 from .queries_ext import EXT_REGISTRY
+from .queries_ext2 import EXT2_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
+REGISTRY.update(EXT2_REGISTRY)

@@ -55,9 +55,19 @@ EVENT_SCHEMA_NANOS = StructType(
 def stream_events(
     spark: SparkSession, source_dir: str, nanos_ts: bool = True
 ) -> DataFrame:
-    """File-source stream of event rows; ts restored to TimestampType."""
+    """File-source stream of event rows; ts restored to TimestampType.
+
+    ``source_dir`` may be a directory (the production shape: new files land,
+    the stream picks them up) or a single ``.parquet`` file — the file source
+    requires a directory, so a file path becomes (parent, pathGlobFilter)."""
+    import os  # noqa: PLC0415
+
     schema = EVENT_SCHEMA_NANOS if nanos_ts else EVENT_SCHEMA
-    df = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if source_dir.endswith(".parquet") and os.path.isfile(source_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(source_dir))
+        source_dir = os.path.dirname(source_dir)
+    df = reader.parquet(source_dir)
     if nanos_ts:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -136,3 +136,83 @@ def fuzzy_join(
     joined = left.join(F.broadcast(right) if not block_cols else right, on=conds if conds else None, how="cross" if not conds else "inner")
     dist = F.levenshtein(left[left_col], right[right_col])
     return joined.withColumn("levenshtein", dist).filter(F.col("levenshtein") <= max_distance)
+
+
+# F27 — strict enum mapping (reference entities/__init__.py:396-520: when-
+# cascades guarded by `assert` on unknown vocabulary)
+
+def enum_map(col: Column, mapping: dict, strict: bool = True) -> Column:
+    """Map an enum column through a literal dict; unknown values either fail
+    the job (``raise_error`` — the reference's assert, surfacing vocabulary
+    drift at run time) or pass through as NULL."""
+    expr = None
+    for k, v in mapping.items():
+        cond = col == F.lit(k)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    if expr is None:
+        raise ValueError("enum_map requires a non-empty mapping")
+    if strict:
+        fallback = F.when(
+            col.isNull(), F.lit(None)
+        ).otherwise(
+            F.raise_error(F.concat(F.lit("enum_map: unknown value: "), col.cast("string")))
+        )
+        return expr.otherwise(fallback)
+    return expr.otherwise(F.lit(None))
+
+
+# F28 — `data` envelope pack/unpack (reference srm_tools/processors.py:20-50,
+# mde_utils.py:171-181): the Airtable protocol rides row payloads in a single
+# object column.
+
+def pack_data(df: DataFrame, cols: list[str], out_col: str = "data") -> DataFrame:
+    """Fold ``cols`` into one struct column (the fetch-side envelope)."""
+    return df.select(
+        *[c for c in df.columns if c not in cols],
+        F.struct(*[F.col(c) for c in cols]).alias(out_col),
+    )
+
+
+def unpack_data(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """Spread the envelope struct back onto top-level columns (update_data
+    flow step); envelope fields win on name collision."""
+    keep = [c for c in df.columns if c != data_col]
+    spread = [f"{data_col}.{f.name}" for f in df.schema[data_col].dataType.fields]
+    names = {f.name for f in df.schema[data_col].dataType.fields}
+    return df.select(*[c for c in keep if c not in names], *spread)
+
+
+# A7 — implements-merge (reference merge_duplicate_services, to_dp.py:409-447):
+# a service row can declare it `implements` another source's service; the
+# implemented original must not ALSO surface for orgs that implement it.
+
+def implements_merge(
+    services: DataFrame,
+    id_col: str = "id",
+    org_col: str = "organization",
+    implements_col: str = "implements",
+) -> DataFrame:
+    """Drop rows shadowed by an implementing service.
+
+    The reference sorts implementors first and keeps a driver-side seen-set
+    (order-dependent streaming scan); the Spark reformulation is order-free
+    (SURVEY §7.2 watch-list #2): build the (implemented id, implementing org)
+    set, then left-anti join originals against it — one small shuffle keyed
+    by the service id, broadcastable when the implementor set is small.
+    """
+    implemented = (
+        services.filter(F.col(implements_col).isNotNull())
+        .select(
+            F.col(implements_col).alias(id_col),
+            F.col(org_col).alias("_impl_org"),
+        )
+        .distinct()
+    )
+    return services.join(
+        implemented,
+        on=[
+            services[id_col] == implemented[id_col],
+            services[org_col] == implemented["_impl_org"],
+        ],
+        how="left_anti",
+    )

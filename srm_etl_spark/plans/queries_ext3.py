@@ -1,0 +1,177 @@
+"""Operator-inventory queries, round-2 extension set #3 (q57-q59).
+
+Covers the last §2.9/§2.5 stragglers with oracle-checked entries:
+
+- F7/F8/F24: HTML sanitize, base64-or-passthrough, Hebrew text walk → q57
+- F5/F6: fuzzy address/org-name splitting (bounded-error substring)  → q58
+- A7: implements-merge (order-free join reformulation)               → q59
+
+The oracles never re-implement the kernels — they compute the expected
+output in closed form from the synthesized inputs, so a hash match proves
+the Spark kernel end-to-end (same pattern as q54's binary round-trip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.fuzzy import address_parts
+from ..functions.html import base64_or_passthrough, sanitize_html, select_text_fields
+from ..operators.relational import implements_merge
+from .queries import QueryDef, _t
+
+# --------------------------------------------------------------------------
+# q57 — HTML sanitize + base64 fallback + Hebrew token walk
+# --------------------------------------------------------------------------
+
+_HEB = ["שלום", "מרכז", "עזרה"]
+
+
+def q57_html_text_clean(spark, sf_dir):
+    """F7 sanitize_html (regexp chain, fully codegen), F8 base64 fallback
+    decode, F24 recursive Hebrew-token walk — on synthesized HTML wrapping
+    each document's source tag. The oracle reproduces the *expected cleaned
+    text* in closed form, not the regex chain."""
+    d = _t(spark, sf_dir, "documents")
+    heb = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_HEB[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_HEB[1]))
+        .otherwise(F.lit(_HEB[2]))
+    )
+    html = F.concat(
+        F.lit("<p>Hello &amp; "), heb, F.lit("</p><li>"), F.col("source"), F.lit("</li>")
+    )
+    b64raw = F.when(
+        F.col("doc_id") % 2 == 0, F.base64(F.encode(F.col("source"), "UTF-8"))
+    ).otherwise(F.lit("!!notb64"))
+    cleaned = d.select(
+        "doc_id",
+        sanitize_html(html).alias("clean_text"),
+        base64_or_passthrough(b64raw).alias("decoded"),
+    )
+    return cleaned.select(
+        "doc_id",
+        "clean_text",
+        "decoded",
+        select_text_fields(cleaned, ["clean_text"]).alias("heb_tokens"),
+    )
+
+
+Q57_SQL = """
+SELECT doc_id,
+       'Hello & ' ||
+         CASE WHEN doc_id % 3 = 0 THEN 'שלום'
+              WHEN doc_id % 3 = 1 THEN 'מרכז'
+              ELSE 'עזרה' END || chr(10) || source AS clean_text,
+       CASE WHEN doc_id % 2 = 0 THEN source ELSE '!!notb64' END AS decoded,
+       [CASE WHEN doc_id % 3 = 0 THEN 'שלום'
+             WHEN doc_id % 3 = 1 THEN 'מרכז'
+             ELSE 'עזרה' END] AS heb_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# q58 — fuzzy address split (F5/F6)
+# --------------------------------------------------------------------------
+
+_CITIES = ["תל אביב", "ירושלים", "חיפה", "באר שבע"]
+
+
+def q58_address_parts(spark, sf_dir):
+    """F5/F6 fuzzy substring split: the city is embedded exactly in 4 of 5
+    rows and with one substituted character in the 5th — both paths of the
+    bounded-error scan (functions/fuzzy.py) produce a split the oracle can
+    state in closed form. Arrow-batched map, no shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    city = (
+        F.when(k % 4 == 0, F.lit(_CITIES[0]))
+        .when(k % 4 == 1, F.lit(_CITIES[1]))
+        .when(k % 4 == 2, F.lit(_CITIES[2]))
+        .otherwise(F.lit(_CITIES[3]))
+    )
+    # every 5th row embeds the city with its 2nd character substituted
+    addr_city = F.when(
+        k % 5 == 0,
+        F.concat(F.substring(city, 1, 1), F.lit("X"), F.substring(city, 3, 100)),
+    ).otherwise(city)
+    base = c.select(
+        k.alias("key"),
+        city.alias("city"),
+        F.concat(
+            F.lit("הרצל "), (k % 90 + 1).cast("string"), F.lit(" "), addr_city
+        ).alias("address"),
+    )
+    parts = base.withColumn("p", address_parts(F.col("address"), F.col("city")))
+    return parts.select(
+        "key",
+        F.col("p.primary").alias("street"),
+        F.col("p.secondary").alias("city_part"),
+        F.col("p.match_start").cast("long").alias("match_start"),
+    )
+
+
+Q58_SQL = """
+WITH base AS (
+  SELECT c_custkey AS key,
+         CASE WHEN c_custkey % 4 = 0 THEN 'תל אביב'
+              WHEN c_custkey % 4 = 1 THEN 'ירושלים'
+              WHEN c_custkey % 4 = 2 THEN 'חיפה'
+              ELSE 'באר שבע' END AS city,
+         'הרצל ' || CAST(c_custkey % 90 + 1 AS VARCHAR) AS street
+  FROM customer
+)
+SELECT key, street,
+       CASE WHEN key % 5 = 0
+            THEN substr(city, 1, 1) || 'X' || substr(city, 3)
+            ELSE city END AS city_part,
+       CAST(length(street) + 1 AS BIGINT) AS match_start
+FROM base
+"""
+
+
+# --------------------------------------------------------------------------
+# q59 — implements-merge (A7)
+# --------------------------------------------------------------------------
+
+def q59_implements_merge(spark, sf_dir):
+    """A7 as an order-free plan (operators/relational.py:implements_merge):
+    services whose id is implemented by another service of the same org are
+    dropped — left-anti join against the (implemented id, org) set, replacing
+    the reference's sort-then-seen-set streaming scan (to_dp.py:409-447)."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    svc = p.select(
+        F.concat(F.lit("svc-"), k.cast("string")).alias("id"),
+        F.concat(F.lit("org-"), (k % 50).cast("string")).alias("organization"),
+        F.when(
+            (k % 10 == 7) & (k >= 50),
+            F.concat(F.lit("svc-"), (k - 50).cast("string")),
+        ).alias("implements"),
+    )
+    return implements_merge(svc)
+
+
+Q59_SQL = """
+WITH svc AS (
+  SELECT 'svc-' || CAST(p_partkey AS VARCHAR) AS id,
+         'org-' || CAST(p_partkey % 50 AS VARCHAR) AS organization,
+         CASE WHEN p_partkey % 10 = 7 AND p_partkey >= 50
+              THEN 'svc-' || CAST(p_partkey - 50 AS VARCHAR) END AS implements
+  FROM part
+)
+SELECT s.id, s.organization, s.implements
+FROM svc s
+WHERE NOT EXISTS (
+  SELECT 1 FROM svc i
+  WHERE i.implements = s.id AND i.organization = s.organization
+)
+"""
+
+
+EXT3_REGISTRY = {
+    "q57_html_text_clean": QueryDef(q57_html_text_clean, Q57_SQL, "F7 F8 F24"),
+    "q58_address_parts": QueryDef(q58_address_parts, Q58_SQL, "F5 F6"),
+    "q59_implements_merge": QueryDef(q59_implements_merge, Q59_SQL, "A7 W4"),
+}

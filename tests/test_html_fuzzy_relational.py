@@ -1,0 +1,106 @@
+"""Tests for html/fuzzy kernels (F5-F8, F24) and relational additions
+(F27 enum_map, F28 envelope, A7 implements_merge)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from srm_etl_spark.functions.fuzzy import fuzzy_find
+from srm_etl_spark.functions.html import (
+    base64_or_passthrough,
+    sanitize_html,
+    select_text_fields,
+)
+from srm_etl_spark.operators.relational import (
+    enum_map,
+    implements_merge,
+    pack_data,
+    unpack_data,
+)
+
+
+def test_sanitize_html(spark):
+    rows = [
+        ("<p>שלום &amp; ברוכים</p><li>אחד</li><li>שניים</li>",),
+        ("plain text",),
+        ("<div>a&nbsp;b</div><h2>head</h2>tail",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "html string")
+    got = [r.t for r in df.select(sanitize_html(F.col("html")).alias("t")).collect()]
+    assert got == ["שלום & ברוכים\nאחד\nשניים", "plain text", "a b\nhead\ntail", ""]
+
+
+def test_base64_or_passthrough(spark):
+    import base64
+
+    valid = base64.b64encode("שלום עולם".encode()).decode("ascii")
+    rows = [(valid,), ("not base64!!",), ("אבג",), (None,)]
+    df = spark.createDataFrame(rows, "v string")
+    got = [r.o for r in df.select(base64_or_passthrough(F.col("v")).alias("o")).collect()]
+    assert got == ["שלום עולם", "not base64!!", "אבג", None]
+
+
+def test_select_text_fields_walks_nested(spark):
+    df = spark.createDataFrame(
+        [("מרכז העיר", ["תל אביב", "en only"], ("עזרה", 5))],
+        "name string, tags array<string>, extra struct<label:string,n:int>",
+    )
+    out = df.select(select_text_fields(df).alias("toks")).collect()[0].toks
+    assert out == sorted({"מרכז", "העיר", "תל", "אביב", "עזרה"})
+
+
+@pytest.mark.parametrize(
+    ("hay", "needle", "expect"),
+    [
+        ("הרצל 5 תל אביב", "תל אביב", 7),
+        ("הרצל 5 תXל אביב", "תל אביב", 7),  # insertion inside
+        ("הרצל 5 תל-אביב", "תל אביב", 7),  # substitution
+        ("הרצל 5 תלאביב", "תל אביב", 7),  # deletion
+        ("הרצל 5", "תל אביב", -1),
+        ("", "x", -1),
+    ],
+)
+def test_fuzzy_find(hay, needle, expect):
+    assert fuzzy_find(hay, needle) == expect
+
+
+def test_enum_map_strict_raises(spark):
+    df = spark.createDataFrame([("a",), ("zz",)], "v string")
+    mapped = df.select(enum_map(F.col("v"), {"a": 1, "b": 2}).alias("m"))
+    with pytest.raises(Exception, match="unknown value: zz"):
+        mapped.collect()
+
+
+def test_enum_map_lenient_and_null(spark):
+    df = spark.createDataFrame([("a",), ("zz",), (None,)], "v string")
+    got = [
+        r.m
+        for r in df.select(
+            enum_map(F.col("v"), {"a": 1, "b": 2}, strict=False).alias("m")
+        ).collect()
+    ]
+    assert got == [1, None, None]
+
+
+def test_pack_unpack_roundtrip(spark):
+    df = spark.createDataFrame([(1, "x", 2.0)], "id long, a string, b double")
+    packed = pack_data(df, ["a", "b"])
+    assert set(packed.columns) == {"id", "data"}
+    unpacked = unpack_data(packed)
+    assert sorted(unpacked.columns) == ["a", "b", "id"]
+    r = unpacked.collect()[0]
+    assert (r.id, r.a, r.b) == (1, "x", 2.0)
+
+
+def test_implements_merge(spark):
+    svc = spark.createDataFrame(
+        [
+            ("s1", "o1", None),  # implemented by s9 within o1 -> dropped
+            ("s1", "o2", None),  # same id, other org -> kept
+            ("s9", "o1", "s1"),  # the implementor -> kept
+            ("s2", "o1", None),  # untouched -> kept
+        ],
+        "id string, organization string, implements string",
+    )
+    kept = {(r.id, r.organization) for r in implements_merge(svc).collect()}
+    assert kept == {("s1", "o2"), ("s9", "o1"), ("s2", "o1")}

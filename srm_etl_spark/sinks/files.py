@@ -111,3 +111,46 @@ def write_sitemaps(df: DataFrame, path: str, url_col: str = "url", urls_per_file
         .partitionBy("file_index")
         .text(path)
     )
+
+
+def write_datapackage(
+    df: DataFrame, path: str, name: str, fmt: str = "csv"
+) -> dict:
+    """K1 dump_to_path: resource file(s) + a ``datapackage.json`` manifest
+    (the reference's inter-stage IR, to_dp.py:227,919). The resource is
+    written distributed (one file per partition — coalesce upstream if a
+    single file is required); the manifest is driver-side metadata.
+
+    Returns the manifest dict (also written to ``<path>/datapackage.json``).
+    """
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    res_dir = os.path.join(path, name)
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", "true").csv(res_dir)
+    elif fmt == "json":
+        writer.json(res_dir)
+    else:
+        writer.parquet(res_dir)
+    manifest = {
+        "name": name,
+        "resources": [
+            {
+                "name": name,
+                "path": name,
+                "format": fmt,
+                "schema": {
+                    "fields": [
+                        {"name": f.name, "type": f.dataType.simpleString()}
+                        for f in df.schema.fields
+                    ]
+                },
+            }
+        ],
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "datapackage.json"), "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, ensure_ascii=False, indent=1)
+    return manifest

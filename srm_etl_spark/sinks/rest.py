@@ -1,0 +1,106 @@
+"""REST-publisher protocol builders: Airtable-style batch upserts (K4/K6)
+and CKAN dataset publication (K5).
+
+The reference's writers are HTTP loops; the engine keeps the *protocol*
+(batching, no-op-update skipping, payload shapes) as pure functions over
+DataFrames, with the transport injected — the same seam its ingest twins use
+(sources/connectors.py). Everything here is driver-side by design: staging
+writes are 10²-10⁵ curated rows (reference batches of 10-50,
+load/airtable.py:104-111), not the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def batched(rows: Iterable[dict], size: int) -> Iterator[list[dict]]:
+    buf: list[dict] = []
+    for r in rows:
+        buf.append(r)
+        if len(buf) == size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def upsert_payloads(
+    df: DataFrame,
+    key: str = "id",
+    batch_size: int = 10,
+    typecast: bool = True,
+) -> Iterator[dict]:
+    """K4/K6: batch upsert request bodies for an Airtable-shaped API.
+
+    Rows with a non-null ``_record_id`` become updates, others creates —
+    the caller prepares ``_record_id`` by joining against the fetched state
+    and dropping unchanged rows (operators/upsert.py:staging_upsert), which
+    reproduces ``update_if_exists_if_not_create`` + ``should_update_record``
+    (load/airtable.py:150-214, :15-39)."""
+    has_rid = "_record_id" in df.columns
+    field_cols = [c for c in df.columns if c not in (key, "_record_id")]
+    it = df.toLocalIterator()  # streams partitions; no full collect
+    for batch in batched((r.asDict(recursive=True) for r in it), batch_size):
+        updates, creates = [], []
+        for row in batch:
+            fields = {c: row[c] for c in field_cols}
+            rid = row.get("_record_id") if has_rid else None
+            if rid:
+                updates.append({"id": rid, "fields": fields})
+            else:
+                creates.append({"fields": fields})
+        if updates:
+            yield {"method": "PATCH", "records": updates, "typecast": typecast}
+        if creates:
+            yield {"method": "POST", "records": creates, "typecast": typecast}
+
+
+def publish_rest(
+    payloads: Iterable[dict], send: Callable[[dict], None], max_batches: int | None = None
+) -> int:
+    """Drive the transport; returns the number of batches sent."""
+    n = 0
+    for p in payloads:
+        if max_batches is not None and n >= max_batches:
+            break
+        send(p)
+        n += 1
+    return n
+
+
+def ckan_dataset_payload(
+    df: DataFrame,
+    name: str,
+    title: str | None = None,
+    resource_format: str = "CSV",
+) -> dict:
+    """K5: CKAN package_create/patch body with a schema-bearing resource
+    (reference srm_tools/stats.py:25-35, operators/backup/__init__.py:36-44)."""
+    fields = [
+        {"id": f.name, "type": f.dataType.simpleString()} for f in df.schema.fields
+    ]
+    return {
+        "name": name,
+        "title": title or name,
+        "resources": [
+            {"name": name, "format": resource_format, "schema": {"fields": fields}}
+        ],
+    }
+
+
+def es_bulk_lines(df: DataFrame, index: str, id_col: str) -> DataFrame:
+    """K3 helper: the `_bulk` NDJSON line pairs (action + source) as a
+    DataFrame — built distributed, written by any text sink."""
+    action = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(index).alias("_index"), F.col(id_col).alias("_id")
+            ).alias("index")
+        )
+    )
+    source = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    return df.select(F.concat_ws("\n", action, source).alias("bulk"))

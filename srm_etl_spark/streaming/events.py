@@ -147,3 +147,62 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running event count + value total, carried across micro-batches in the
+    state store.
+
+    This is the escape hatch for stateful logic Spark's built-in windows
+    can't express (per-key model state, custom eviction, session payloads).
+    State shards by group key across executors like any keyed state; the
+    watermark bounds how long idle keys stay resident (processing-time
+    timeout evicts them here).
+    """
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(key, pdf_iter, state: "GroupState"):
+        import pandas as pd  # noqa: PLC0415
+
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

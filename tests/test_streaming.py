@@ -81,3 +81,29 @@ def test_session_windows_complete(spark, sf_dir, events_dir):
         & (F.col("b_session_start") < F.col("a_session_end")),
     )
     assert overlaps.count() == 0
+
+
+def test_running_user_totals_stateful(spark, sf_dir):
+    """applyInPandasWithState: replayed totals equal the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.sources.tables import load_table
+    from srm_etl_spark.streaming.events import running_user_totals, run_to_memory, stream_events
+
+    s = stream_events(spark, f"{sf_dir}/events.parquet")
+    run_to_memory(running_user_totals(s), "running_totals", mode="update")
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("running_totals").collect()
+    }
+    expect = {
+        r.user_id: (r.n, r.total)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .collect()
+    }
+    assert got == expect

@@ -13,6 +13,8 @@ the Spark kernel end-to-end (same pattern as q54's binary round-trip).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import functions as F
 
 from ..functions.fuzzy import address_parts
@@ -170,8 +172,59 @@ WHERE NOT EXISTS (
 """
 
 
+# --------------------------------------------------------------------------
+# q60 — custom stateful streaming operator, oracle-checked
+# --------------------------------------------------------------------------
+
+_Q60_SINK_IDS = itertools.count()
+
+
+def q60_stream_running_totals(spark, sf_dir):
+    """Custom stateful streaming op (streaming/events.py:running_user_totals,
+    applyInPandasWithState): replay events, carry per-user (count, total) in
+    the state store across micro-batches, then reduce the update-mode sink to
+    final state — n_events is monotone per key, so max_by picks the last
+    update. Values are scaled to integer micros BEFORE the stream so the
+    Python-side accumulation is exact and order-independent (float sums in
+    state would drift from any SQL oracle)."""
+    from ..streaming.events import (  # noqa: PLC0415
+        run_to_memory,
+        running_user_totals,
+        stream_events,
+    )
+
+    name = f"q60_sink_{next(_Q60_SINK_IDS)}"
+    s = stream_events(spark, f"{sf_dir}/events.parquet")
+    scaled = s.withColumn("value", F.round(F.col("value") * 1000000))
+    run_to_memory(running_user_totals(scaled), name, mode="update")
+    sink = spark.table(name)
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("scaled_total"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("scaled_total") / 1000000).alias("total_value"),
+        )
+    )
+
+
+Q60_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 EXT3_REGISTRY = {
     "q57_html_text_clean": QueryDef(q57_html_text_clean, Q57_SQL, "F7 F8 F24"),
     "q58_address_parts": QueryDef(q58_address_parts, Q58_SQL, "F5 F6"),
     "q59_implements_merge": QueryDef(q59_implements_merge, Q59_SQL, "A7 W4"),
+    "q60_stream_running_totals": QueryDef(
+        q60_stream_running_totals, Q60_SQL, "§2.12 stateful applyInPandasWithState"
+    ),
 }

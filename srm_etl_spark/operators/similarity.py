@@ -193,3 +193,85 @@ def centroids(
     if round_to is not None:
         out = out.withColumn("value", F.round("value", round_to))
     return out
+
+
+def centroid_vectors(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding", round_to: int | None = 6
+) -> DataFrame:
+    """Centroids re-assembled as array columns: (label, centroid).
+
+    ``round_to`` pins each component to a fixed decimal grid so downstream
+    argmax decisions (cell assignment, probe ranking) are bit-identical
+    across engines whose float summation order differs."""
+    c = centroids(df, label_col, vec_col, round_to=round_to)
+    return c.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "value"))), lambda s: s.value
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into centroid cells,
+    probe the ``nprobe`` nearest cells per query, and rank only vectors in
+    probed cells.
+
+    The scale shape: the coarse quantizer is small by construction (≤10^5
+    cells even for billion-vector corpora), so both the cell assignment and
+    the query probing are broadcast joins with a map-side-combined argmax —
+    the corpus is scanned once, shuffled once (keyed by cell id when written
+    ``partitionBy(cell)``), and a query reads nprobe/ncells of the data.
+    Output: (query_id, neighbor_id, cosine, rank), ties broken by id.
+    """
+    if cents is None:
+        cents = centroid_vectors(corpus, label_col, vec_col)
+    cents = cents.select(F.col(label_col).alias("_cell"), F.col("centroid"))
+
+    # cell assignment: argmax cosine over the broadcast quantizer; max_by on a
+    # (sim, -cell) struct keeps it a hash aggregate (partial map-side combine),
+    # not a window over the fanned-out cross product
+    sim = cosine_similarity(F.col(vec_col), F.col("centroid"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select(id_col, vec_col, F.col("_cell"), sim.alias("_csim"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by("_cell", F.struct(F.col("_csim"), (-F.col("_cell")).alias("_t"))).alias("_cell"),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
+
+    # probe: top-nprobe cells per query by centroid cosine, same argmax trick
+    # via ranked window over the (queries × cells) product — queries are small
+    q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
+    qsim = cosine_similarity(F.col("_qvec"), F.col("centroid"))
+    pw = Window.partitionBy(query_id_col).orderBy(F.desc("_psim"), F.asc("_cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(query_id_col, "_qvec", "_cell", qsim.alias("_psim"))
+        .withColumn("_prn", F.row_number().over(pw))
+        .filter(F.col("_prn") <= nprobe)
+        .select(query_id_col, "_qvec", "_cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "_cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine_similarity(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

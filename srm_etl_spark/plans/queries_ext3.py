@@ -220,6 +220,78 @@ FROM events GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q61 — IVF approximate nearest neighbors, fully oracle-checked
+# --------------------------------------------------------------------------
+
+def q61_ivf_topk(spark, sf_dir):
+    """IVF ANN (operators/similarity.py:ivf_topk): per-label centroids form
+    the coarse quantizer, every vector is re-assigned to its nearest centroid
+    (argmax over a broadcast quantizer, map-side-combined), each query probes
+    its 2 nearest cells and ranks only those cells' vectors. Unlike the LSH
+    variant (q30, rows-only), every step here is deterministic and
+    SQL-expressible, so the whole approximate index is value-hash-checked.
+    Centroid components are pinned to a 1e-6 grid so argmax decisions match
+    across engines with different float-summation orders. (The synthetic
+    embeddings are isotropic, so recall ≈ the probed fraction — the check is
+    about the index plumbing being exactly right, not clustered-data recall.)"""
+    from ..operators import similarity as SIM  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = SIM.ivf_topk(emb, queries, k=5, nprobe=2)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+Q61_SQL = """
+WITH dims AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+), cdim AS (
+  SELECT label, pos, round(avg(v), 6) AS value FROM dims GROUP BY label, pos
+), cent AS (
+  SELECT label, list(value ORDER BY pos) AS centroid FROM cdim GROUP BY label
+), assigned AS (
+  SELECT e.vec_id, e.embedding, c.label,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) DESC,
+                    c.label ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cent c
+), cells AS (
+  SELECT vec_id, embedding, label FROM assigned WHERE rn = 1
+), probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, c.label,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.centroid) DESC,
+                    c.label ASC
+         ) AS prn
+  FROM embeddings q CROSS JOIN cent c
+  WHERE q.vec_id < 5
+), scored AS (
+  SELECT p.query_id, m.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(m.embedding AS DOUBLE[]), CAST(p.qvec AS DOUBLE[])) AS cos_raw
+  FROM (SELECT query_id, qvec, label FROM probes WHERE prn <= 2) p
+  JOIN cells m ON m.label = p.label
+  WHERE m.vec_id != p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 EXT3_REGISTRY = {
     "q57_html_text_clean": QueryDef(q57_html_text_clean, Q57_SQL, "F7 F8 F24"),
     "q58_address_parts": QueryDef(q58_address_parts, Q58_SQL, "F5 F6"),
@@ -227,4 +299,5 @@ EXT3_REGISTRY = {
     "q60_stream_running_totals": QueryDef(
         q60_stream_running_totals, Q60_SQL, "§2.12 stateful applyInPandasWithState"
     ),
+    "q61_ivf_topk": QueryDef(q61_ivf_topk, Q61_SQL, "IVF ANN (similarity ext)"),
 }

@@ -14,6 +14,7 @@ import os
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = [
     "region",
@@ -74,8 +75,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = True)
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         # Integer nanos div 1000 → micros; double division would lose precision
-        # (ns epoch values exceed 2^53).
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # (ns epoch values exceed 2^53). Only applies when the scan actually
+        # surfaced the column as a long — newer Spark reads TIMESTAMP(NANOS)
+        # natively as timestamp_ntz (micros-truncated), needing no rewrite.
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if spread:
         # Scan parallelism ≈ ceil(file_bytes / maxPartitionBytes), and a
         # single-row-group file can't split below one partition per file.

@@ -52,16 +52,44 @@ EVENT_SCHEMA_NANOS = StructType(
 )
 
 
+def _ts_is_nanos(path: str) -> bool:
+    """Sniff the parquet footer: is ``ts`` stored as TIMESTAMP(NANOS)?
+
+    The warehouse has shipped both units across generations; deciding from
+    the footer (one driver-side metadata read) keeps the stream correct for
+    either, instead of hardcoding a division that shifts micros data to 1970.
+    """
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return False
+        path = files[0]
+    try:
+        f = pq.read_schema(path).field("ts")
+    except (KeyError, OSError):
+        return False
+    return pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+
+
 def stream_events(
-    spark: SparkSession, source_dir: str, nanos_ts: bool = True
+    spark: SparkSession, source_dir: str, nanos_ts: bool | None = None
 ) -> DataFrame:
     """File-source stream of event rows; ts restored to TimestampType.
 
     ``source_dir`` may be a directory (the production shape: new files land,
     the stream picks them up) or a single ``.parquet`` file — the file source
-    requires a directory, so a file path becomes (parent, pathGlobFilter)."""
+    requires a directory, so a file path becomes (parent, pathGlobFilter).
+    ``nanos_ts=None`` auto-detects the stored unit from the footer."""
     import os  # noqa: PLC0415
 
+    if nanos_ts is None:
+        nanos_ts = _ts_is_nanos(source_dir)
     schema = EVENT_SCHEMA_NANOS if nanos_ts else EVENT_SCHEMA
     reader = spark.readStream.schema(schema)
     if source_dir.endswith(".parquet") and os.path.isfile(source_dir):

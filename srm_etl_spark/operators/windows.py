@@ -67,7 +67,11 @@ def sessionize(
     previous event of the same user exceeds the threshold; session_id is the
     running count of session starts (lag + cumulative sum)."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # cast via TIMESTAMP: TIMESTAMP_NTZ (how newer Spark reads the warehouse
+    # parquet) has no direct → BIGINT cast; LTZ does, and under the engine's
+    # UTC session timezone the NTZ→LTZ hop is value-preserving.
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn("_new", new_session).withColumn(
         "session_seq", F.sum("_new").over(w)

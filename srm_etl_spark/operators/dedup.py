@@ -423,6 +423,68 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
+def embedding_near_dup_pairs_arrow(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """BLAS-backed twin of :func:`embedding_near_dup_pairs`: per-block cosine
+    matrix via ``applyInPandas`` + numpy matmul, emitting only pairs at or
+    above ``threshold``.
+
+    Same pair set and float64 cosine semantics as the expression variant (the
+    per-vector normalize + dot decomposition is algebraically identical;
+    parity-tested), ~2 orders of magnitude faster: per-pair work drops from an
+    interpreted higher-order expression walk to one fused BLAS row. This is
+    the engine's standard escalation — built-in expressions until the hot loop
+    is dense numeric, then one Arrow-batched kernel.
+
+    Scale notes: the shuffle is one hash-partition by block (identical to the
+    grouped formulation the expression variant joins through); within a block
+    the matrix is computed in ``chunk_rows`` strips, so task memory is
+    O(chunk_rows × block) floats, not O(block²). Blocks are expected to be
+    bounded (an LSH bucket / IVF cell — q30/q61's machinery); a skewed block
+    bounds the longest task exactly as it bounds the blocked join.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    group_cols = [block_col] if block_col else []
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable")
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []})
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        zero = norm[:, 0] == 0
+        norm[zero] = 1.0
+        unit = mat / norm
+        out_l, out_r, out_c = [], [], []
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            sims = unit[lo:hi] @ unit.T  # (strip, n)
+            if zero.any():  # zero-norm rows: cosine defined as 0.0
+                sims[zero[lo:hi], :] = 0.0
+                sims[:, zero] = 0.0
+            # upper triangle only (id_l < id_r after the sort)
+            si, sj = np.nonzero(sims >= threshold)
+            keep = lo + si < sj
+            si, sj = si[keep], sj[keep]
+            out_l.extend(ids[lo + si].tolist())
+            out_r.extend(ids[sj].tolist())
+            out_c.extend(sims[si, sj].tolist())
+        return pd.DataFrame({"left_id": out_l, "right_id": out_r, "cosine": out_c})
+
+    base = df.select(id_col, vec_col, *group_cols)
+    grouped = base.groupBy(*group_cols) if group_cols else base.groupBy(F.lit(1).alias("_g"))
+    return grouped.applyInPandas(score, "left_id long, right_id long, cosine double")
+
+
 # --- composite-key dedup (reference A8) -------------------------------------
 
 def dedup_by_keys(df: DataFrame, keys: list[str], order_by: list | None = None) -> DataFrame:

@@ -30,7 +30,7 @@ from ..functions.taxonomy import (
     normalize_taxonomy_ids,
     situations_for_age_range,
 )
-from ..operators.dedup import embedding_near_dup_pairs
+from ..operators.dedup import embedding_near_dup_pairs_arrow
 from .queries import QueryDef, _t
 
 
@@ -440,13 +440,16 @@ SELECT * FROM ranked WHERE score <= 100
 # --------------------------------------------------------------------------
 
 def q45_embedding_near_dup(spark, sf_dir):
-    """Embedding near-dup pairs: cosine >= threshold within label blocks.
-    The block expression keeps the self-join linear in block count — the
-    100 TB shape swaps the label for an LSH bucket (q30 exercises that path);
-    the pair semantics and verification stay identical."""
+    """Embedding near-dup pairs: cosine >= threshold within label blocks,
+    scored by the per-block BLAS kernel (operators/dedup.py:
+    embedding_near_dup_pairs_arrow). Blocking keeps the comparison linear in
+    block count — the 100 TB shape swaps the label for an LSH bucket (q30
+    exercises that path); the pair semantics and verification stay
+    identical. The expression-only twin (embedding_near_dup_pairs) is
+    parity-tested in tests/test_dedup.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(
-        emb, "embedding", "vec_id", threshold=0.3, block_expr=F.col("label")
+    pairs = embedding_near_dup_pairs_arrow(
+        emb, "embedding", "vec_id", threshold=0.3, block_col="label"
     )
     return pairs.select(
         "left_id", "right_id", F.round(F.col("cosine"), 6).alias("cosine")

@@ -119,3 +119,41 @@ def test_dedup_by_keys_deterministic(spark):
     )
     out = DD.dedup_by_keys(df, ["k"], order_by=[F.asc("v")]).orderBy("k").collect()
     assert [(r.k, r.v) for r in out] == [(1, "a"), (2, "c")]
+
+
+def test_embedding_near_dup_arrow_matches_expression(spark):
+    """BLAS kernel and expression HOF variant must emit the same pair set and
+    (to 9dp) the same cosines — including zero-norm vectors scoring 0.0."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        blk = i % 3
+        rows.append((i, blk, [rng.uniform(-1, 1) for _ in range(16)]))
+    rows.append((60, 0, [0.0] * 16))  # zero-norm: cosine defined as 0.0
+    rows.append((61, 0, rows[0][2]))  # exact duplicate of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+
+    expr = DD.embedding_near_dup_pairs(
+        df, "embedding", "vec_id", threshold=0.2, block_expr=F.col("label")
+    )
+    arrow = DD.embedding_near_dup_pairs_arrow(
+        df, "embedding", "vec_id", threshold=0.2, block_col="label", chunk_rows=7
+    )
+    e = {(r.left_id, r.right_id): r.cosine for r in expr.collect()}
+    a = {(r.left_id, r.right_id): r.cosine for r in arrow.collect()}
+    assert set(e) == set(a) and len(a) > 0
+    for k in e:
+        assert abs(e[k] - a[k]) < 1e-9
+    assert a[(0, 61)] == pytest.approx(1.0)
+
+
+def test_embedding_near_dup_arrow_unblocked(spark):
+    """block_col=None compares across the whole frame (single group)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0001]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = DD.embedding_near_dup_pairs_arrow(df, "embedding", "vec_id", threshold=0.9)
+    assert [(r.left_id, r.right_id) for r in got.collect()] == [(1, 2)]

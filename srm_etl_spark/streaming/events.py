@@ -163,6 +163,34 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right-side events landing within
+    ``[left_ts, left_ts + max_delay]`` for the same key.
+
+    The time-range predicate plus both watermarks is what lets Spark expire
+    join state: a buffered left row can be dropped once the right watermark
+    passes ``left_ts + max_delay`` (state is bounded by delay + watermark, not
+    by stream length). Column names must be disjoint across sides — rename
+    before calling.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     """Replay the available data through the streaming plan into an in-memory
     table (tests / local inspection). Returns the finished query."""

@@ -107,3 +107,38 @@ def test_running_user_totals_stateful(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (click -> purchase within 30 min) must
+    produce exactly the batch join's pair count."""
+    from srm_etl_spark.sources.tables import load_table
+    from srm_etl_spark.streaming.events import interval_join, run_to_memory, stream_events
+
+    def side(event_type, ts_name, extra=None):
+        s = stream_events(spark, f"{sf_dir}/events.parquet").filter(
+            F.col("event_type") == event_type
+        )
+        cols = ["user_id", F.col("ts").alias(ts_name)]
+        return s.select(*cols)
+
+    joined = interval_join(
+        side("click", "click_ts"), side("purchase", "purchase_ts"),
+        "user_id", "click_ts", "purchase_ts",
+        max_delay="30 minutes", watermark="60 days",
+    )
+    run_to_memory(joined, "ij_sink", mode="append")
+    got = spark.table("ij_sink").count()
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("cts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("puid"), F.col("ts").alias("pts")
+    )
+    expect = c.join(
+        p,
+        (c.user_id == p.puid)
+        & (p.pts >= c.cts)
+        & (p.pts <= c.cts + F.expr("INTERVAL 30 MINUTES")),
+    ).count()
+    assert got == expect and got > 0

@@ -1,0 +1,99 @@
+"""Physical-plan invariants for scale-critical queries.
+
+Correctness gates prove the answers; these tests pin the *plan shapes* that
+make the answers affordable at 100 TB: predicate pushdown into the parquet
+scan, column pruning, broadcast joins for dimension tables, whole-stage
+codegen in the hot path, and the absence of accidental cartesian products.
+A regression here is invisible at sf0.01 and catastrophic at cluster scale.
+"""
+
+import pytest
+
+from srm_etl_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+def _formatted(spark, name):
+    df = REGISTRY[name].spark(spark, SF)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def _simple(spark, name):
+    df = REGISTRY[name].spark(spark, SF)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    return qe.explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _formatted(spark, "q02_filter_project")
+    assert "EqualTo(l_returnflag,R)" in plan, "filter must be pushed into the parquet scan"
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _formatted(spark, "q02_filter_project")
+    scan = plan.split("ReadSchema")[1].splitlines()[0]
+    # 16-column lineitem pruned to exactly what the query touches
+    assert "l_comment" not in scan and "l_shipdate" not in scan
+    assert "l_extendedprice" in scan
+
+
+def test_dimension_joins_are_broadcast(spark):
+    for name in ["q04_revenue_by_nation", "q03_left_join_enrich"]:
+        plan = _simple(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dimension join must broadcast"
+        assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_products(spark):
+    # band join q52 legitimately uses BroadcastNestedLoopJoin (tiny broadcast
+    # side); a CartesianProduct — both sides shuffled everywhere — is never OK.
+    for name in [
+        "q01_pricing_summary", "q05_brand_agg", "q07_collect_set_join",
+        "q09_two_level_agg", "q11_window_topk", "q28_jaccard_pairs",
+        "q45_embedding_near_dup", "q52_band_join",
+    ]:
+        assert "CartesianProduct" not in _simple(spark, name), name
+
+
+def test_band_join_broadcasts_tiny_dim(spark):
+    assert "BroadcastNestedLoopJoin" in _simple(spark, "q52_band_join")
+
+
+def test_hot_path_stays_vectorized_and_codegen_capable(spark):
+    # Under AQE the '*(N)' codegen markers only appear in the finalized plan,
+    # so assert the ingredients instead: vectorized parquet reads
+    # (Batched: true) and hash aggregation (codegen-capable; Sort/Object
+    # aggregate would mean the agg fell off the fast path).
+    for name in ["q01_pricing_summary", "q04_revenue_by_nation"]:
+        plan = _formatted(spark, name)
+        assert "Batched: true" in plan, f"{name}: scan not vectorized"
+        assert "HashAggregate" in plan, f"{name}: aggregation not hash-based"
+        assert "SortAggregate" not in plan, f"{name}: SortAggregate in hot path"
+
+
+def test_windows_are_partitioned(spark):
+    # every Window in the inventory must carry a partition spec — an empty
+    # one serializes the whole dataset through one task
+    for name in ["q11_window_topk", "q13_latest_per_user", "q17_sessionize"]:
+        plan = _simple(spark, name)
+        for line in plan.splitlines():
+            if "Window " in line and "windowspecdefinition" in line:
+                assert "windowspecdefinition()" not in line, f"{name}: unpartitioned window"
+
+
+def test_aqe_enabled_in_engine_session(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+@pytest.mark.parametrize("name", ["q26_minhash_dedup", "q62_dup_clusters"])
+def test_heavy_dedup_plans_have_no_cartesian(spark, name):
+    # these build multi-stage DAGs (persist + self-joins / iterative labels);
+    # q62 executes propagation rounds while building, so just assert the
+    # returned plan is join-keyed, not cartesian
+    assert "CartesianProduct" not in _simple(spark, name), name

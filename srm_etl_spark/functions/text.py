@@ -120,6 +120,78 @@ def with_text_features(df, text_col: str = "text"):
     return d.withColumn("n_tokens", F.col("_tf_n")).drop("_tf_toks", "_tf_n")
 
 
+# PII redaction ---------------------------------------------------------------
+
+# Patterns are deliberately RE2-compatible (no lookarounds/backrefs): the same
+# literal patterns must run identically under Spark's Java regex and any
+# RE2-based engine (DuckDB oracle, Go sidecars). Order matters: URLs first so
+# an address inside a URL doesn't get half-redacted.
+_PII_PATTERNS = [
+    (r"https?://\S+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b0\d{1,2}-\d{3}-\d{4}\b", "<PHONE>"),
+    (r"\b\d{9,}\b", "<NUM>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, URLs, IPv4s, phone-shaped and long digit runs.
+
+    The standard pre-training scrub pass: a chain of native ``regexp_replace``
+    calls — whole-stage codegen, one pass per pattern, no Python. Extend
+    ``_PII_PATTERNS`` for locale-specific shapes.
+    """
+    out = text
+    for pattern, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+# C4/Gopher-style quality flags ----------------------------------------------
+
+
+def with_quality_flags(df, text_col: str = "text"):
+    """Attach C4/Gopher-shaped keep/drop signals as integer-exact booleans.
+
+    Every flag is an integer comparison over counts (no float ratios), so the
+    decision is bit-identical on any engine — a requirement when the filter
+    list is audited across systems. Columns: n_tokens, total_word_chars,
+    n_punct, n_stopwords, length_ok (≥50 tokens), word_len_ok (mean word
+    length in [3,10] via 3n ≤ Σlen ≤ 10n), symbol_ok (punct ≤ 10% of
+    non-space chars), stop_ok (≥2 stopwords — Gopher's 'has common words'
+    rule), keep (all of the above).
+    """
+    toks = tokens(F.col(text_col))
+    d = df.withColumn("_qf_toks", toks)
+    n = F.size("_qf_toks")
+    total = F.aggregate(F.col("_qf_toks"), F.lit(0), lambda acc, t: acc + F.length(t))
+    nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[\p{L}\p{N}\s]", ""))
+    stop = F.size(
+        F.filter(F.transform(F.col("_qf_toks"), F.lower), lambda t: t.isin(*_STOPWORDS))
+    )
+    d = (
+        d.withColumn("n_tokens", n)
+        .withColumn("total_word_chars", total)
+        .withColumn("n_punct", punct)
+        .withColumn("n_stopwords", stop)
+        .withColumn("length_ok", F.col("n_tokens") >= 50)
+        .withColumn(
+            "word_len_ok",
+            (F.lit(3) * F.col("n_tokens") <= F.col("total_word_chars"))
+            & (F.col("total_word_chars") <= F.lit(10) * F.col("n_tokens")),
+        )
+        .withColumn("symbol_ok", F.col("n_punct") * 10 <= nonspace)
+        .withColumn("stop_ok", F.col("n_stopwords") >= 2)
+        .withColumn(
+            "keep",
+            F.col("length_ok") & F.col("word_len_ok") & F.col("symbol_ok") & F.col("stop_ok"),
+        )
+    )
+    return d.drop("_qf_toks")
+
+
 # Language identification -----------------------------------------------------
 
 # Script-range detection first (CJK / Hebrew / Arabic / Cyrillic), then a tiny

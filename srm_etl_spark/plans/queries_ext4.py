@@ -157,8 +157,172 @@ GROUP BY c.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q65 — PII redaction (pre-training scrub pass)
+# --------------------------------------------------------------------------
+
+
+def q65_redact_pii(spark, sf_dir):
+    """PII scrub (functions/text.py:redact_pii): every document gets a
+    deterministic synthetic PII suffix (email, URL, IPv4, phone, long account
+    number — derived from doc_id so both engines build the identical input),
+    then the native regexp_replace chain redacts it. The oracle applies the
+    same RE2-safe patterns in DuckDB; a hash match proves the redaction is
+    engine-exact, not just similar."""
+    from ..functions.text import redact_pii  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), did.cast("string"),
+        F.lit("@example.com or https://site"), (did % 10).cast("string"),
+        F.lit(".example.com/p ip "), (did % 223 + 1).cast("string"),
+        F.lit(".0.2."), (did % 250).cast("string"),
+        F.lit(" phone 054-"), F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" acct "), (did * 1000003 + 123456789).cast("string"),
+    )
+    return d.select("doc_id", redact_pii(pii_text).alias("redacted"))
+
+
+Q65_SQL = """
+WITH pii AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or https://site' || CAST(doc_id % 10 AS VARCHAR)
+              || '.example.com/p ip ' || CAST(doc_id % 223 + 1 AS VARCHAR)
+              || '.0.2.' || CAST(doc_id % 250 AS VARCHAR)
+              || ' phone 054-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' acct ' || CAST(doc_id * 1000003 + 123456789 AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, 'https?://\\S+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           '\\b0\\d{1,2}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+         '\\b\\d{9,}\\b', '<NUM>', 'g') AS redacted
+FROM pii
+"""
+
+
+# --------------------------------------------------------------------------
+# q66 — C4/Gopher quality flags (integer-exact keep/drop signals)
+# --------------------------------------------------------------------------
+
+
+def q66_quality_flags(spark, sf_dir):
+    """C4/Gopher-shaped document filter flags
+    (functions/text.py:with_quality_flags): every keep/drop signal is an
+    integer comparison over counts, so the filter decision is bit-identical
+    across engines — the property an audited training-data pipeline needs."""
+    from ..functions.text import with_quality_flags  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    return with_quality_flags(d, "text").select(
+        "doc_id", "n_tokens", "total_word_chars", "n_punct", "n_stopwords",
+        "length_ok", "word_len_ok", "symbol_ok", "stop_ok", "keep",
+    )
+
+
+Q66_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS n_punct
+  FROM documents
+), counted AS (
+  SELECT doc_id, nonspace, n_punct,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS INT) AS total_word_chars,
+         CAST(len(list_filter(list_transform(toks, t -> lower(t)), t -> list_contains(
+           ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t
+         ))) AS INT) AS n_stopwords
+  FROM base
+)
+SELECT doc_id, n_tokens, total_word_chars, n_punct, n_stopwords,
+       n_tokens >= 50 AS length_ok,
+       3 * n_tokens <= total_word_chars AND total_word_chars <= 10 * n_tokens AS word_len_ok,
+       n_punct * 10 <= nonspace AS symbol_ok,
+       n_stopwords >= 2 AS stop_ok,
+       (n_tokens >= 50) AND (3 * n_tokens <= total_word_chars AND total_word_chars <= 10 * n_tokens)
+         AND (n_punct * 10 <= nonspace) AND (n_stopwords >= 2) AS keep
+FROM counted
+"""
+
+
+# --------------------------------------------------------------------------
+# q67 — within-document repetition stats (Gopher repetition rules)
+# --------------------------------------------------------------------------
+
+
+def q67_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals: per document, total vs distinct token
+    occurrences and the dominant token with its count (ties broken by token
+    string). The explode → two-level aggregate is the distributed shape —
+    the per-(doc, token) count is a map-side-combined hash aggregate, and
+    the per-doc reduction rides a struct-min argmax, not a window over the
+    fanned-out token stream."""
+    from ..functions.text import normalized_text, tokens  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(tokens(normalized_text(F.col("text")))).alias("tok"))
+    cnt = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    top = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("tok"))).alias("_top"),
+    )
+    return top.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.col("n_tokens") - F.col("n_distinct")).alias("n_repeated"),
+        F.col("_top.tok").alias("top_token"),
+        (-F.col("_top.nc")).alias("top_token_count"),
+    )
+
+
+_Q67_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), "
+    "'[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+Q67_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({_Q67_NORM}, ' '), t -> t != '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), ranked AS (
+  SELECT doc_id, tok, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok ASC) AS rn
+  FROM cnt
+), totals AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM cnt GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens, t.n_distinct,
+       t.n_tokens - t.n_distinct AS n_repeated,
+       r.tok AS top_token, r.c AS top_token_count
+FROM totals t JOIN ranked r ON r.doc_id = t.doc_id AND r.rn = 1
+"""
+
+
 EXT4_REGISTRY = {
     "q62_dup_clusters": QueryDef(q62_dup_clusters, Q62_SQL, "dedup clustering (connected components)"),
     "q63_sketch_agg": QueryDef(q63_sketch_agg, Q63_SQL, "sketch aggregates (HLL++ / approx percentile)"),
     "q64_stream_join": QueryDef(q64_stream_join, Q64_SQL, "§2.12 stream-stream interval join"),
+    "q65_redact_pii": QueryDef(q65_redact_pii, Q65_SQL, "text-pii-redaction"),
+    "q66_quality_flags": QueryDef(q66_quality_flags, Q66_SQL, "text-quality C4/Gopher flags"),
+    "q67_repetition_stats": QueryDef(q67_repetition_stats, Q67_SQL, "text-repetition Gopher rules"),
 }

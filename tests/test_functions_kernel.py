@@ -229,3 +229,28 @@ def test_fingerprint_order_insensitive(spark):
     a = _one(spark, text.fingerprint(F.lit("Hello, world hello")))
     b = _one(spark, text.fingerprint(F.lit("world HELLO")))
     assert a == b
+
+
+def test_redact_pii(spark):
+    from srm_etl_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("mail a@b.co or see https://x.io/y?z=1 at 10.0.0.1 call 054-123-4567 acct 123456789",)],
+        "t string",
+    )
+    got = df.select(redact_pii(F.col("t")).alias("r")).first().r
+    assert got == "mail <EMAIL> or see <URL> at <IP> call <PHONE> acct <NUM>"
+
+
+def test_quality_flags_integer_exact(spark):
+    from srm_etl_spark.functions.text import with_quality_flags
+
+    good = "the quick brown fox and the lazy dog " * 10  # 90 tokens, stopwords present
+    df = spark.createDataFrame(
+        [(1, good), (2, "short text"), (3, "!!! ??? ### $$$ %%%")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in with_quality_flags(df, "text").collect()}
+    assert rows[1].keep and rows[1].length_ok and rows[1].stop_ok
+    assert not rows[2].length_ok and not rows[2].keep
+    assert not rows[3].symbol_ok and not rows[3].keep

@@ -69,10 +69,14 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # checkpoint the improvement set ONCE: the emptiness probe and the
+        # union both read the materialized result instead of re-running the
+        # neighbor-min join per consumer
         improved = (
             labels.join(nbr_min, labels.node == nbr_min.a)
             .filter(F.col("nbr_min") < F.col("component"))
             .select("node", F.col("nbr_min").alias("component"))
+            .localCheckpoint(eager=True)
         )
         if improved.isEmpty():
             edges.unpersist()

@@ -444,10 +444,14 @@ def embedding_near_dup_pairs_arrow(
 
     Scale notes: the shuffle is one hash-partition by block (identical to the
     grouped formulation the expression variant joins through); within a block
-    the matrix is computed in ``chunk_rows`` strips, so task memory is
-    O(chunk_rows × block) floats, not O(block²). Blocks are expected to be
-    bounded (an LSH bucket / IVF cell — q30/q61's machinery); a skewed block
-    bounds the longest task exactly as it bounds the blocked join.
+    peak task memory is the O(block × dim) base/unit float64 matrices (plus
+    the Arrow batch itself) and an O(chunk_rows × block) similarity strip —
+    the striping caps the *pairwise* term at O(chunk_rows × block) instead of
+    O(block²), but the block matrices are resident regardless, so block-size
+    budgets must be set against O(block × dim + chunk_rows × block). Blocks
+    are expected to be bounded (an LSH bucket / IVF cell — q30/q61's
+    machinery); a skewed block bounds the longest task exactly as it bounds
+    the blocked join.
     """
     import numpy as np  # noqa: PLC0415
 

@@ -52,15 +52,32 @@ def connected_components(
     has not converged after ``max_iter`` rounds rather than returning a wrong
     labeling.
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def _ckpt(df: DataFrame):
+        """Eager localCheckpoint + the set of persistent-RDD ids it created,
+        so the round loop can free exactly its own blocks later (executor
+        storage would otherwise grow linearly with iteration count)."""
+        before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        out = df.localCheckpoint(eager=True)
+        after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        return out, after - before
+
+    def _free(ids) -> None:
+        rdds = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = rdds.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+
     e = pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    labels = (
+    labels, labels_ids = _ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         # min label among each node's neighbors, this round
@@ -72,17 +89,21 @@ def connected_components(
         # checkpoint the improvement set ONCE: the emptiness probe and the
         # union both read the materialized result instead of re-running the
         # neighbor-min join per consumer
-        improved = (
+        improved, improved_ids = _ckpt(
             labels.join(nbr_min, labels.node == nbr_min.a)
             .filter(F.col("nbr_min") < F.col("component"))
             .select("node", F.col("nbr_min").alias("component"))
-            .localCheckpoint(eager=True)
         )
         if improved.isEmpty():
             edges.unpersist()
+            _free(improved_ids)
             return labels
         keep = labels.join(improved.select("node"), "node", "left_anti")
-        labels = keep.union(improved).localCheckpoint(eager=True)
+        new_labels, new_ids = _ckpt(keep.union(improved))
+        # the new labels are materialized; prior rounds' blocks are dead
+        _free(labels_ids)
+        _free(improved_ids)
+        labels, labels_ids = new_labels, new_ids
     edges.unpersist()
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iter} rounds "

@@ -8,8 +8,6 @@ identically to its DuckDB oracle.
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import functions as F
 
 from ..operators.graph import duplicate_clusters
@@ -103,9 +101,6 @@ FROM orders GROUP BY o_orderpriority
 # q64 — stream-stream interval join (click -> purchase within 30 minutes)
 # --------------------------------------------------------------------------
 
-_Q64_SINK_IDS = itertools.count()
-
-
 def q64_stream_join(spark, sf_dir):
     """Stream-stream inner join with a time-range predicate
     (streaming/events.py:interval_join): purchases landing within 30 minutes
@@ -114,33 +109,51 @@ def q64_stream_join(spark, sf_dir):
     watermark exceeds the replayed span so no pair is dropped and the result
     equals the batch join the oracle runs — the per-microbatch state pruning
     (right watermark past click_ts + delay) is exactly what bounds join state
-    on an unbounded cluster deployment."""
+    on an unbounded cluster deployment.
+
+    The replay pins a smaller shuffle-partition count for the stream: the
+    state-store count is fixed at query start from spark.sql.shuffle.partitions,
+    and a one-file local replay doesn't need 32 HDFS-backed stores (a real
+    deployment sizes this to the cluster, not the default). The memory sink is
+    reduced to the tiny per-user aggregate and dropped before returning, so
+    repeated invocations in one session hold no sink state."""
     from ..streaming.events import interval_join, run_to_memory, stream_events  # noqa: PLC0415
 
-    name = f"q64_sink_{next(_Q64_SINK_IDS)}"
-    clicks = (
-        stream_events(spark, f"{sf_dir}/events.parquet")
-        .filter(F.col("event_type") == "click")
-        .select("user_id", F.col("ts").alias("click_ts"))
-    )
-    purchases = (
-        stream_events(spark, f"{sf_dir}/events.parquet")
-        .filter(F.col("event_type") == "purchase")
-        .select("user_id", F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value"))
-    )
-    joined = interval_join(
-        clicks, purchases, "user_id", "click_ts", "purchase_ts",
-        max_delay="30 minutes", watermark="60 days",
-    )
-    run_to_memory(joined, name, mode="append")
-    sink = spark.table(name)
-    return sink.groupBy("user_id").agg(
+    name = "q64_sink"
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        clicks = (
+            stream_events(spark, f"{sf_dir}/events.parquet")
+            .filter(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("click_ts"))
+        )
+        purchases = (
+            stream_events(spark, f"{sf_dir}/events.parquet")
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+        )
+        joined = interval_join(
+            clicks, purchases, "user_id", "click_ts", "purchase_ts",
+            max_delay="30 minutes", watermark="60 days",
+        )
+        run_to_memory(joined, name, mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+    agg = spark.table(name).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("purchase_ts").alias("n_purchases"),
         F.round(F.sum(F.col("purchase_value").cast("decimal(18,6)")).cast("double"), 6).alias(
             "sum_purchase_value"
         ),
     )
+    out = spark.createDataFrame(agg.collect(), agg.schema)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 Q64_SQL = """

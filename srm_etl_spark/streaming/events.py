@@ -66,9 +66,16 @@ def _ts_is_nanos(path: str) -> bool:
     import pyarrow.parquet as pq  # noqa: PLC0415
 
     if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        # recurse: partitioned sources keep their files under key=value subdirs
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
         if not files:
-            return False
+            raise FileNotFoundError(
+                f"stream_events: no parquet files under {path!r}; cannot "
+                "sniff the ts unit (pass nanos_ts explicitly for an "
+                "empty-at-start source)"
+            )
         path = files[0]
     try:
         f = pq.read_schema(path).field("ts")

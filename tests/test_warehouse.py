@@ -36,6 +36,7 @@ def bucketed_tables(spark, tmp_path_factory):
 
 
 def test_cobucketed_join_has_no_exchange(spark, bucketed_tables):
+    saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
@@ -48,7 +49,7 @@ def test_cobucketed_join_has_no_exchange(spark, bucketed_tables):
             F.broadcast(spark.table("b_customer")), "o_custkey"
         ).count()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_threshold)
 
 
 def test_bucket_pruning_single_key(spark, bucketed_tables):

@@ -340,18 +340,33 @@ def jaccard_near_dup_pairs(
     id_col: str = "doc_id",
     block_cols: list[str] | None = None,
     threshold: float = 0.5,
+    strategy: str = "auto",
+    bitmap_max_vocab: int = 4096,
 ) -> DataFrame:
-    """Token-set Jaccard similarity pairs within blocks, inverted-index style.
+    """Token-set Jaccard similarity pairs within blocks. Exact — both physical
+    strategies produce the identical pair set; ``strategy`` only picks the
+    plan:
 
-    Instead of a blocked pairwise join with per-pair array intersections
-    (O(pairs × tokens) with heavy per-row allocation), candidate pairs are
-    generated through an inverted index: explode distinct tokens, self-join on
-    (block, token), count shared tokens per pair, then
-    ``jaccard = shared / (|A| + |B| - shared)``. Pairs sharing zero tokens
-    never materialize, the shuffle is keyed by token (partition-parallel), and
-    per-pair work is a counter — the standard set-similarity-join shape that
-    holds at corpus scale. With ``threshold > 0`` the zero-overlap pairs the
-    pairwise formulation would score 0.0 are (identically) absent.
+    - ``"index"`` — inverted-index set-similarity join: explode distinct
+      tokens, self-join on (block, token), count shared tokens per pair, then
+      ``jaccard = shared / (|A| + |B| - shared)``. The shuffle is keyed by
+      token (partition-parallel) and pairs sharing zero tokens never
+      materialize. This is the shape that holds for open-vocabulary corpora,
+      BUT its candidate volume is Σ_token n_token² — a token present in most
+      docs of a block contributes O(block²) join rows by itself.
+    - ``"bitmap"`` — when the (normalized) vocabulary is small, each doc's
+      token set packs into a fixed-width bitmap of 64-bit words; the pair scan
+      becomes a block-wise self-join where shared-token counting is
+      ``bit_count(l & r)`` per word — no token-keyed shuffle at all, and the
+      per-pair cost is vocab/64 machine words. Dense-overlap data (exactly
+      the case that blows up the inverted index) costs O(block² · vocab/64)
+      with tiny constants. The quadratic term is bounded by ``block_cols``,
+      same as every blocked pairwise comparison in this module.
+    - ``"auto"`` — one driver-side vocabulary probe picks bitmap iff the
+      vocabulary fits ``bitmap_max_vocab`` (≤ 64 words per doc).
+
+    With ``threshold > 0`` the zero-overlap pairs a naive pairwise
+    formulation would score 0.0 are (identically) absent from both paths.
     """
     blocks = list(block_cols or [])
     toks = df.select(
@@ -363,6 +378,12 @@ def jaccard_near_dup_pairs(
             )
         ).alias("_tok"),
     )
+    if strategy == "auto":
+        # capped distinct-count probe: one small job on the token projection
+        probe = toks.select("_tok").distinct().limit(bitmap_max_vocab + 1).count()
+        strategy = "bitmap" if probe <= bitmap_max_vocab else "index"
+    if strategy == "bitmap":
+        return _jaccard_pairs_bitmap(toks, id_col, blocks, threshold)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     left, right = toks.alias("l"), toks.alias("r")
     conds = [F.col("l._tok") == F.col("r._tok"), F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
@@ -385,6 +406,67 @@ def jaccard_near_dup_pairs(
         )
     )
     return pairs.filter(F.col("jaccard") >= threshold)
+
+
+def _jaccard_pairs_bitmap(
+    toks: DataFrame, id_col: str, blocks: list[str], threshold: float
+) -> DataFrame:
+    """Bitmap path of :func:`jaccard_near_dup_pairs`: token sets as packed
+    64-bit words, shared counts via ``bit_count`` — see the caller's docstring.
+
+    The vocabulary table is tiny by construction (the caller only routes here
+    under ``bitmap_max_vocab``), so the global ``row_number`` that assigns
+    dense token ids and the dimension-side broadcast are both single-partition
+    no-ops at any corpus size.
+    """
+    import math  # noqa: PLC0415
+
+    vocab = toks.select("_tok").distinct()
+    n_vocab = vocab.count()
+    if n_vocab == 0:
+        sess = toks.sparkSession
+        return sess.createDataFrame(
+            [], "left_id long, right_id long, jaccard double"
+        )
+    n_words = max(1, math.ceil(n_vocab / 64))
+    vid = vocab.withColumn("_vid", F.row_number().over(Window.orderBy("_tok")) - 1)
+    # one plain LONG column per 64-vocab word — the hot per-pair expression
+    # below stays inside whole-stage codegen (an array-typed mask would drop
+    # every pair into interpreted higher-order lambdas)
+    word_cols = [
+        F.expr(
+            f"aggregate(filter(_vids, v -> v div 64 = {w}), 0L, "
+            "(acc, v) -> acc | shiftleft(1L, CAST(v % 64 AS INT)))"
+        ).alias(f"_m{w}")
+        for w in range(n_words)
+    ]
+    docs = (
+        toks.join(F.broadcast(vid), "_tok")
+        .groupBy(id_col, *blocks)
+        .agg(F.collect_set("_vid").alias("_vids"))
+        .select(id_col, *blocks, *word_cols, F.size("_vids").alias("_n"))
+    )
+    left, right = docs.alias("l"), docs.alias("r")
+    conds = [F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
+    for b in blocks:
+        conds.append(F.col(f"l.{b}").eqNullSafe(F.col(f"r.{b}")))
+    shared = F.expr(
+        " + ".join(f"bit_count(l._m{w} & r._m{w})" for w in range(n_words))
+    )
+    pairs = left.join(right, on=conds).select(
+        F.col(f"l.{id_col}").alias("left_id"),
+        F.col(f"r.{id_col}").alias("right_id"),
+        shared.alias("_shared"),
+        F.col("l._n").alias("_nl"),
+        F.col("r._n").alias("_nr"),
+    )
+    return (
+        pairs.withColumn(
+            "jaccard", F.col("_shared") / (F.col("_nl") + F.col("_nr") - F.col("_shared"))
+        )
+        .filter((F.col("_shared") > 0) & (F.col("jaccard") >= threshold))
+        .select("left_id", "right_id", "jaccard")
+    )
 
 
 # --- embedding near-dup -----------------------------------------------------
@@ -493,8 +575,24 @@ def embedding_near_dup_pairs_arrow(
 
 def dedup_by_keys(df: DataFrame, keys: list[str], order_by: list | None = None) -> DataFrame:
     """Deterministic first-row-per-key dedup (reference seen-set filter,
-    ``to_dp.py:580-586``): explicit ordering instead of stream order."""
-    w = Window.partitionBy(*keys).orderBy(*(order_by or [F.col(k) for k in keys]))
+    ``to_dp.py:580-586``): explicit ordering instead of stream order.
+
+    When ``order_by`` is plain ascending column names (strings), the keeper is
+    computed as one hash aggregate — ``min(struct(order cols, full row))`` —
+    which partial-aggregates map-side, so the shuffle carries one row per key
+    instead of the whole table through a partition sort (the window
+    formulation's cost). Ties on the order columns are broken by the full row
+    struct, so the result is deterministic even for duplicate order keys.
+    Column objects (``F.desc(...)`` etc.) fall back to the window plan.
+    """
+    order_by = order_by or list(keys)
+    if all(isinstance(o, str) for o in order_by):
+        row = F.struct(*[F.col(c) for c in df.columns]).alias("_row")
+        keeper = F.min(
+            F.struct(*[F.col(c) for c in order_by], row)
+        ).alias("_keep")
+        return df.groupBy(*[F.col(k) for k in keys]).agg(keeper).select("_keep._row.*")
+    w = Window.partitionBy(*keys).orderBy(*order_by)
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )

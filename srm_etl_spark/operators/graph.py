@@ -70,9 +70,28 @@ def connected_components(
             if rdd is not None:
                 rdd.unpersist(False)
 
-    e = pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
-    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # symmetrize with one explode — a union of the plan with its swap would
+    # execute the (possibly expensive) upstream pair-generation plan twice.
+    # Then pre-partition on the per-round join key and cache THAT layout: the
+    # cached relation keeps hash(b) as its output partitioning, so every
+    # round's edges⋈labels join shuffles only the (small, shrinking) label
+    # side — the edge list is shuffled exactly once for the whole algorithm.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(left_col).alias("a"), F.col(right_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(right_col).alias("a"), F.col(left_col).alias("b")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .repartition(F.col("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels, labels_ids = _ckpt(
         edges.select(F.col("a").alias("node"))
@@ -86,24 +105,26 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
-        # checkpoint the improvement set ONCE: the emptiness probe and the
-        # union both read the materialized result instead of re-running the
-        # neighbor-min join per consumer
-        improved, improved_ids = _ckpt(
-            labels.join(nbr_min, labels.node == nbr_min.a)
-            .filter(F.col("nbr_min") < F.col("component"))
-            .select("node", F.col("nbr_min").alias("component"))
+        # one left join folds the neighbor minimum into every label (least()
+        # skips nulls for isolated-this-round nodes); the convergence flag
+        # rides in the checkpointed data, so each round is a single
+        # materialization plus a cached-read emptiness probe — no
+        # anti-join+union reshuffle, no separate improvement checkpoint
+        new_labels, new_ids = _ckpt(
+            labels.join(nbr_min, labels.node == nbr_min.a, "left").select(
+                "node",
+                F.least("component", "nbr_min").alias("component"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("component"), F.lit(False)
+                ).alias("_changed"),
+            )
         )
-        if improved.isEmpty():
-            edges.unpersist()
-            _free(improved_ids)
-            return labels
-        keep = labels.join(improved.select("node"), "node", "left_anti")
-        new_labels, new_ids = _ckpt(keep.union(improved))
-        # the new labels are materialized; prior rounds' blocks are dead
+        converged = new_labels.filter(F.col("_changed")).isEmpty()
         _free(labels_ids)
-        _free(improved_ids)
-        labels, labels_ids = new_labels, new_ids
+        labels, labels_ids = new_labels.select("node", "component"), new_ids
+        if converged:
+            edges.unpersist()
+            return labels
     edges.unpersist()
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iter} rounds "

@@ -411,7 +411,7 @@ def q14_dedup_composite_key(spark, sf_dir):
     out = dedup_by_keys(
         li,
         ["l_orderkey", "l_partkey"],
-        order_by=[F.asc("l_linenumber"), F.asc("l_quantity"), F.asc("l_extendedprice")],
+        order_by=["l_linenumber", "l_quantity", "l_extendedprice"],
     )
     return out.select(
         "l_orderkey", "l_partkey",

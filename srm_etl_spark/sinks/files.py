@@ -21,6 +21,32 @@ def write_parquet_stage(df: DataFrame, path: str, partition_by: list[str] | None
     w.parquet(path)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    target_files: int | None = None,
+) -> None:
+    """Layout-clustered parquet write: range-partition on ``cluster_cols``
+    (e.g. a z-order key from plans/queries_ext5.q70_zorder_key) and sort
+    within partitions, so each output file covers a narrow, non-overlapping
+    key range and parquet min/max row-group stats prune scans on the
+    clustered dimensions. This is the write side of Delta/Iceberg
+    ``OPTIMIZE ZORDER`` expressed with stock Spark primitives.
+
+    ``target_files`` controls file count (defaults to the session's shuffle
+    parallelism via ``repartitionByRange``'s default); at 100 TB pick
+    ``total_bytes / ~512 MB``.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    parted = (
+        df.repartitionByRange(target_files, *cols)
+        if target_files
+        else df.repartitionByRange(*cols)
+    )
+    parted.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
 def geojson_features(
     df: DataFrame, lon_col: str = "lon", lat_col: str = "lat", props: list[str] | None = None
 ) -> DataFrame:

@@ -104,3 +104,31 @@ def test_es_actions_and_sweep(spark):
     assert doc["revision"] == "rev123"
     sweep = revision_sweep_body("rev123")
     assert sweep["query"]["bool"]["must_not"] == [{"term": {"revision": "rev123"}}]
+
+
+def test_write_clustered_disjoint_ranges(spark, tmp_path):
+    """Clustered write: per-file zval ranges must not overlap, so min/max
+    row-group stats can prune scans on the clustered key."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from srm_etl_spark.plans.queries_ext5 import q70_zorder_key
+    from srm_etl_spark.sinks.files import write_clustered
+
+    z = q70_zorder_key(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "clustered")
+    write_clustered(z, path, ["zval"], target_files=4)
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        names = [md.schema.column(c).name for c in range(len(md.schema))]
+        idx = names.index("zval")
+        stats = md.row_group(0).column(idx).statistics
+        ranges.append((stats.min, stats.max))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},..)"

@@ -134,11 +134,18 @@ def q04_revenue_by_nation(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # collapse the snowflake before it touches the fact table: the
+    # supplier⋈nation⋈region denormalization is supplier-sized, so the fact
+    # side sees ONE broadcast exchange instead of three (one broadcast build
+    # job, one executor-resident hash relation)
+    dim = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name", "r_name")
+    )
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
         .groupBy("n_name", "r_name")
         .agg(
             F.sum(revenue).cast("double").alias("revenue"),

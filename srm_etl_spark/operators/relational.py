@@ -216,3 +216,31 @@ def implements_merge(
         ],
         how="left_anti",
     )
+
+
+# P5b — manual-override shadow columns (reference operators/derive/helpers.py:155-157)
+
+def resolve_manual_overrides(df: DataFrame, overrides: dict[str, str]) -> DataFrame:
+    """Curator columns shadow scraped values: ``{"name": "name_manual", ...}``
+    replaces each target with its manual twin when the twin is present.
+
+    Reference semantics are Python truthiness (``row['name_manual'] or v``,
+    helpers.py:155-157): None, '' and [] all mean "no override" — so the
+    predicate is type-aware (length/size > 0), not a bare isNotNull. The
+    manual columns are dropped afterwards, as the reference's delete_fields
+    does (helpers.py:171).
+    """
+    from pyspark.sql.types import ArrayType, StringType  # noqa: PLC0415
+
+    out = df
+    for target, manual in overrides.items():
+        m = F.col(manual)
+        dtype = df.schema[manual].dataType
+        if isinstance(dtype, StringType):
+            present = m.isNotNull() & (F.length(m) > 0)
+        elif isinstance(dtype, ArrayType):
+            present = m.isNotNull() & (F.size(m) > 0)
+        else:
+            present = m.isNotNull()
+        out = out.withColumn(target, F.when(present, m).otherwise(F.col(target)))
+    return out.drop(*overrides.values())

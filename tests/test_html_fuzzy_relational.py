@@ -104,3 +104,22 @@ def test_implements_merge(spark):
     )
     kept = {(r.id, r.organization) for r in implements_merge(svc).collect()}
     assert kept == {("s1", "o2"), ("s9", "o1"), ("s2", "o1")}
+
+
+def test_resolve_manual_overrides(spark):
+    from srm_etl_spark.operators.relational import resolve_manual_overrides
+
+    df = spark.createDataFrame(
+        [
+            ("scraped", "Manual", ["a"], ["m1"]),
+            ("scraped", None, ["a"], None),
+            ("scraped", "", ["a"], []),  # empty string/array = no override
+        ],
+        "name string, name_manual string, tags array<string>, tags_manual array<string>",
+    )
+    out = resolve_manual_overrides(
+        df, {"name": "name_manual", "tags": "tags_manual"}
+    ).collect()
+    assert [r.name for r in out] == ["Manual", "scraped", "scraped"]
+    assert [r.tags for r in out] == [["m1"], ["a"], ["a"]]
+    assert "name_manual" not in out[0].asDict()

@@ -157,3 +157,20 @@ def test_embedding_near_dup_arrow_unblocked(spark):
     )
     got = DD.embedding_near_dup_pairs_arrow(df, "embedding", "vec_id", threshold=0.9)
     assert [(r.left_id, r.right_id) for r in got.collect()] == [(1, 2)]
+
+
+def test_dedup_by_keys_agg_and_window_paths_agree(spark):
+    """String order_by (hash-aggregate path) and Column order_by (window
+    path) must pick identical keepers, including on order-key ties."""
+    rows = [
+        (1, 2, "b", 10.0),
+        (1, 2, "a", 9.0),
+        (1, 2, "a", 9.0),  # exact duplicate: tie at every level
+        (2, 1, "z", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k1 int, k2 int, v string, x double")
+    fast = DD.dedup_by_keys(df, ["k1", "k2"], order_by=["v", "x"])
+    slow = DD.dedup_by_keys(df, ["k1", "k2"], order_by=[F.asc("v"), F.asc("x")])
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    got = {(r.k1, r.k2): (r.v, r.x) for r in fast.collect()}
+    assert got == {(1, 2): ("a", 9.0), (2, 1): ("z", 1.0)}

@@ -45,8 +45,23 @@ def attach_group_count(df: DataFrame, keys: list[str], out_col: str) -> DataFram
 
 
 def latest_per_key(df: DataFrame, keys: list[str], ts_col: str, tiebreak: list | None = None) -> DataFrame:
-    """Row with the max timestamp per key (O3), deterministic tie-break."""
-    order = [F.col(ts_col).desc()] + (tiebreak or [])
+    """Row with the max timestamp per key (O3), deterministic tie-break.
+
+    When ``tiebreak`` is plain column names (strings, each a further
+    descending key), the keeper is one hash aggregate —
+    ``max(struct(ts, tiebreaks, full row))`` — whose map-side partial
+    aggregation shuffles one row per key instead of sorting the whole table
+    in partition windows. Column-object tiebreaks (mixed asc/desc) keep the
+    window plan.
+    """
+    tiebreak = tiebreak or []
+    if all(isinstance(t, str) for t in tiebreak):
+        row = F.struct(*[F.col(c) for c in df.columns]).alias("_row")
+        keeper = F.max(
+            F.struct(F.col(ts_col), *[F.col(t) for t in tiebreak], row)
+        ).alias("_keep")
+        return df.groupBy(*[F.col(k) for k in keys]).agg(keeper).select("_keep._row.*")
+    order = [F.col(ts_col).desc()] + tiebreak
     w = Window.partitionBy(*keys).orderBy(*order)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 

@@ -392,7 +392,7 @@ def q13_latest_per_user(spark, sf_dir):
     """O3 latest-per-key (reference sort+last agg): newest event per user,
     event_id tie-break, as a ranked window — one shuffle on the key."""
     ev = _t(spark, sf_dir, "events")
-    out = latest_per_key(ev, ["user_id"], "ts", tiebreak=[F.desc("event_id")])
+    out = latest_per_key(ev, ["user_id"], "ts", tiebreak=["event_id"])
     return out.select(
         "user_id", "event_id", "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),

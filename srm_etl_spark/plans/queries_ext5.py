@@ -64,7 +64,7 @@ GROUP BY o_orderpriority
 def q69_bloom_semi_join(spark, sf_dir):
     """Customers with at least one high-value urgent order, resolved as a
     bloom-pruned semi-join (operators/bloom.py): the build side's keys are
-    folded into a 2^18-bit filter by a distributed bit_or aggregate, the
+    folded into a 2^16-bit filter by a distributed bit_or aggregate, the
     customer scan is pruned by a codegen'd might-contain predicate sitting on
     top of the scan, and the closing exact semi-join removes false positives
     — so the result equals the plain semi-join the oracle runs, while the
@@ -74,9 +74,9 @@ def q69_bloom_semi_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     build = o.filter(
-        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 200000)
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 450000)
     ).select("o_custkey")
-    out = bloom_semi_join(c, build, "c_custkey", "o_custkey", num_bits=1 << 18)
+    out = bloom_semi_join(c, build, "c_custkey", "o_custkey", num_bits=1 << 16)
     return out.select(
         "c_custkey", "c_name", "c_nationkey",
         F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
@@ -89,7 +89,7 @@ FROM customer c
 WHERE EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey
-    AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 200000
+    AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 450000
 )
 """
 

@@ -35,3 +35,9 @@ def test_duplicate_clusters_sizes(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "left_id long, right_id long")
     rows = {r.node: (r.component, r.cluster_size) for r in duplicate_clusters(df).collect()}
     assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)}
+
+
+def test_empty_pair_set(spark):
+    pairs = spark.createDataFrame([], "left_id long, right_id long")
+    out = connected_components(pairs)
+    assert out.count() == 0

@@ -212,6 +212,87 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     return q
 
 
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension.
+
+    The static side is re-planned per micro-batch (so a refreshed dimension
+    table is picked up without restarting the query) and broadcast — the
+    stream side never shuffles, which is what keeps a high-rate enrichment
+    stage at wire speed on a cluster. No watermark is needed: stream-static
+    joins are stateless.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def latest_staging_version(path: str) -> str | None:
+    """Highest ``v=N`` subdir under a versioned staging root, or None."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    versions = sorted(
+        glob.glob(os.path.join(path, "v=*")),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    return versions[-1] if versions else None
+
+
+def stream_upsert_to_staging(
+    stream: DataFrame,
+    staging_root: str,
+    key: str,
+    source_id: str | None = None,
+    checkpoint: str | None = None,
+):
+    """Incremental merge: each micro-batch runs the engine's upsert primitive
+    (operators/upsert.py:staging_upsert — the reference's airtable_updater
+    lifecycle, SURVEY §2.10) against the staging table and publishes a new
+    version.
+
+    ``foreachBatch`` is the bridge: inside it the micro-batch is a plain
+    DataFrame, so the same batch MERGE (full-outer join on key, soft-delete
+    status, change-hash skip) serves both the scheduled-batch and the
+    streaming deployment — one upsert implementation, two drivers. Each
+    batch writes ``{staging_root}/v={batch_id}`` and readers take the
+    highest version (write-new-then-repoint — the same atomic-swap
+    discipline as the ES revision sweep, K3); nothing is collected to the
+    driver and no path is overwritten while being read. On a transactional
+    table format the version directory collapses into a MERGE commit.
+    """
+    from ..operators.upsert import staging_upsert  # noqa: PLC0415
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = latest_staging_version(staging_root)
+        if latest:
+            current = spark.read.parquet(latest)
+        else:
+            # bootstrap: empty staging with the upsert bookkeeping columns
+            # (the change hash covers source+status, reference
+            # update_table.py:28-32)
+            current = (
+                spark.createDataFrame([], batch_df.schema)
+                .withColumn("source", F.lit(None).cast("string"))
+                .withColumn("status", F.lit(None).cast("string"))
+            )
+        merged = staging_upsert(
+            current, batch_df, key=key, source_id=source_id, only_changed=False
+        )
+        merged.drop("_changed").write.mode("overwrite").parquet(
+            f"{staging_root}/v={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: applyInPandasWithState
 # ---------------------------------------------------------------------------

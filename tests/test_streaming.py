@@ -142,3 +142,52 @@ def test_interval_join_matches_batch(spark, sf_dir):
         & (p.pts <= c.cts + F.expr("INTERVAL 30 MINUTES")),
     ).count()
     assert got == expect and got > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    from srm_etl_spark.streaming.events import run_to_memory, stream_events, stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue")], "event_type string, family string"
+    )
+    s = stream_static_enrich(stream_events(spark, f"{sf_dir}/events.parquet"), dim, "event_type")
+    run_to_memory(s, "enriched", mode="append")
+    got = spark.table("enriched")
+    ev = load_table(spark, sf_dir, "events", spread=False)
+    want = ev.join(dim, "event_type", "left")
+    assert got.count() == want.count()
+    assert got.filter(F.col("family") == "revenue").count() == ev.filter(
+        F.col("event_type") == "purchase"
+    ).count()
+    spark.catalog.dropTempView("enriched")
+
+
+def test_stream_upsert_to_staging_matches_batch_merge(spark, sf_dir, tmp_path):
+    from srm_etl_spark.operators.upsert import staging_upsert
+    from srm_etl_spark.streaming.events import (
+        latest_staging_version,
+        stream_events,
+        stream_upsert_to_staging,
+    )
+
+    root = str(tmp_path / "staging")
+    s = stream_events(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    stream_upsert_to_staging(s, root, key="event_id", source_id="events")
+    final = spark.read.parquet(latest_staging_version(root))
+
+    ev = load_table(spark, sf_dir, "events", spread=False).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    empty = (
+        spark.createDataFrame([], ev.schema)
+        .withColumn("source", F.lit(None).cast("string"))
+        .withColumn("status", F.lit(None).cast("string"))
+    )
+    want = staging_upsert(
+        empty, ev, key="event_id", source_id="events", only_changed=False
+    ).drop("_changed")
+    assert final.count() == want.count()
+    assert final.filter(F.col("status") != "ACTIVE").count() == 0
+    assert sorted(final.columns) == sorted(want.columns)

@@ -286,6 +286,53 @@ SELECT source, bigram, n, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q73 — stream-static enrichment (streaming replay, oracle-checked)
+# --------------------------------------------------------------------------
+
+
+def q73_stream_enrich(spark, sf_dir):
+    """Stream-static join replayed through Structured Streaming
+    (streaming/events.py:stream_static_enrich): the event stream is enriched
+    against a broadcast dimension — stateless, no watermark — then reduced
+    per enrichment key in complete output mode, so the memory sink holds
+    only the aggregate, never the joined stream. The oracle runs the same
+    join+aggregate as batch SQL; equality proves the streaming plan computes
+    the batch answer."""
+    from ..streaming.events import run_to_memory, stream_events, stream_static_enrich  # noqa: PLC0415
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        "event_type string, family string",
+    )
+    s = stream_static_enrich(
+        stream_events(spark, f"{sf_dir}/events.parquet"), dim, "event_type", how="inner"
+    )
+    agg = s.groupBy("family").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+            "sum_value"
+        ),
+    )
+    run_to_memory(agg, "q73_sink", mode="complete")
+    out_df = spark.table("q73_sink")
+    out = spark.createDataFrame(out_df.collect(), out_df.schema)
+    spark.catalog.dropTempView("q73_sink")
+    return out
+
+
+Q73_SQL = """
+SELECT f.family,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events e
+JOIN (VALUES ('click','engagement'), ('view','engagement'), ('purchase','revenue'))
+     AS f(event_type, family)
+  ON e.event_type = f.event_type
+GROUP BY f.family
+"""
+
+
 EXT5_REGISTRY = {
     "q68_stratified_sample": QueryDef(
         q68_stratified_sample, Q68_SQL, "deterministic hash-split sampling"
@@ -301,5 +348,8 @@ EXT5_REGISTRY = {
     ),
     "q72_bigram_stats": QueryDef(
         q72_bigram_stats, Q72_SQL, "corpus n-gram statistics"
+    ),
+    "q73_stream_enrich": QueryDef(
+        q73_stream_enrich, Q73_SQL, "§2.12 stream-static enrichment join"
     ),
 }

@@ -47,6 +47,48 @@ def write_clustered(
     parted.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files (optionally re-sorted),
+    publish via write-new-then-swap. Returns the output file count.
+
+    Streaming micro-batches, per-partition upserts, and over-parallel writes
+    all accumulate small files; at warehouse scale the resulting
+    footer/open-cost per scan dominates. Compaction is maintenance, not a
+    query — scheduled like the reference schedules its pipelines. The swap
+    (write to ``<path>.__compact__``, rename over) keeps readers consistent
+    on a local/HDFS-style filesystem; object stores or table formats replace
+    the rename with their own commit.
+    """
+    import math  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        cols = [F.col(c) for c in sort_cols]
+        df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    else:
+        df = df.coalesce(n_files)
+    tmp = f"{path.rstrip('/')}.__compact__"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
 def geojson_features(
     df: DataFrame, lon_col: str = "lon", lat_col: str = "lat", props: list[str] | None = None
 ) -> DataFrame:

@@ -132,3 +132,21 @@ def test_write_clustered_disjoint_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},..)"
+
+
+def test_compact_parquet(spark, tmp_path):
+    from srm_etl_spark.sinks.files import compact_parquet
+
+    path = str(tmp_path / "many_small")
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    src.repartition(16).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 16
+    before = src.count()
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n == 1
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert sorted(after.columns) == sorted(src.columns)

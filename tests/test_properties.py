@@ -1,0 +1,112 @@
+"""Property tests (SURVEY §5 implication b): the exact-semantics kernels —
+the functions every downstream id and golden hash depends on — checked
+against independent driver-side reimplementations of the *reference's*
+semantics over hypothesis-generated inputs.
+
+Each example batches all generated rows into one DataFrame (one Spark job
+per example, not per row); max_examples is kept small because a local Spark
+job costs ~10² ms.
+"""
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from srm_etl_spark.functions.hashing import hasher, hasher_py
+from srm_etl_spark.functions.taxonomy import update_taxonomy_with_parents
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_txt = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+    max_size=12,
+)
+
+
+def _parents_ref(ids):
+    """Reference helpers.py:100-107, reimplemented independently."""
+    ret = set()
+    for i in ids:
+        parts = i.split(":")
+        for n in range(2, len(parts) + 1):
+            ret.add(":".join(parts[:n]))
+    return sorted(ret)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(_txt | st.none(), _txt | st.none(), _txt | st.none()), min_size=1, max_size=20))
+def test_hasher_matches_reference_bytes(spark, rows):
+    """Spark hasher == sha1(utf8 concat of non-null args)[:8] for arbitrary
+    unicode and null patterns (reference srm_tools/hash.py:4-6)."""
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    got = [r.h for r in df.select(hasher("a", "b", "c").alias("h")).collect()]
+    want = [
+        hashlib.sha1("".join(v for v in row if v).encode("utf-8")).hexdigest()[:8]
+        for row in rows
+    ]
+    assert got == want
+    # driver twin agrees with itself and with the column expression
+    assert [hasher_py(*row) for row in rows] == want
+
+
+_seg = st.text(alphabet="abcxyz_", min_size=0, max_size=4)
+_tax_id = st.builds(lambda segs: ":".join(segs), st.lists(_seg, min_size=1, max_size=4))
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.lists(_tax_id, max_size=6), min_size=1, max_size=15))
+def test_taxonomy_parent_expansion_matches_reference(spark, id_lists):
+    """Prefix expansion == the reference's set-union-sorted semantics for
+    arbitrary segment shapes incl. empty segments and 1-segment ids
+    (reference helpers.py:100-107)."""
+    df = spark.createDataFrame([(ids,) for ids in id_lists], "ids array<string>")
+    got = [
+        r.out
+        for r in df.select(
+            update_taxonomy_with_parents(F.col("ids")).alias("out")
+        ).collect()
+    ]
+    assert got == [_parents_ref(ids) for ids in id_lists]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(_txt | st.none(), _txt | st.none()),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_hash_row_is_whitespace_insensitive_and_field_sensitive(spark, rows):
+    """Change-hash invariants (reference update_table.py:28-32): injected
+    whitespace never changes the hash; changing a tracked field's non-space
+    content always does."""
+    from srm_etl_spark.functions.hashing import hash_row
+
+    df = spark.createDataFrame(
+        [(a, b, "s", "ACTIVE") for a, b in rows],
+        "a string, b string, source string, status string",
+    )
+    base = [r.h for r in df.select(hash_row(["a", "b"]).alias("h")).collect()]
+    # inject whitespace only into non-null values: a NULL field contributes
+    # no ### slot at all (concat_ws skips nulls), so NULL -> ' ' would change
+    # the field's presence, not its whitespace
+    spaced = df.select(
+        F.when(
+            F.col("a").isNotNull(), F.concat(F.lit(" "), F.col("a"), F.lit("\t "))
+        ).alias("a"),
+        "b", "source", "status",
+    )
+    got_spaced = [r.h for r in spaced.select(hash_row(["a", "b"]).alias("h")).collect()]
+    assert got_spaced == base  # whitespace stripped before hashing
+    changed = df.select(
+        F.concat_ws("", F.col("a"), F.lit("Z")).alias("a"), "b", "source", "status"
+    )
+    got_changed = [r.h for r in changed.select(hash_row(["a", "b"]).alias("h")).collect()]
+    assert all(g != b for g, b in zip(got_changed, base))

@@ -110,13 +110,18 @@ def flat_table(flat_services_df: DataFrame, flat_branches_df: DataFrame) -> Data
     return joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def card_data(flat_table_df: DataFrame) -> DataFrame:
+def card_data(flat_table_df: DataFrame, autotag_rules: DataFrame | None = None) -> DataFrame:
     """Cards: one row per (service, branch) with merged + parent-expanded
     taxonomy ids (F13/F14) and the stable short card id (F22,
-    sha1-of-concat — byte-compatible with the reference's hasher)."""
+    sha1-of-concat — byte-compatible with the reference's hasher).
+
+    ``autotag_rules`` (optional) applies the rule-driven tag injection
+    between taxonomy expansion and the string join — the reference's
+    card_data_flow order (to_dp.py:810 autotagging after normalize/map,
+    before scoring)."""
     response_ids = update_taxonomy_with_parents(F.col("responses"))
     situation_ids = update_taxonomy_with_parents(F.col("situations"))
-    return flat_table_df.select(
+    cards = flat_table_df.select(
         hasher(F.col("branch_id"), F.col("service_id")).alias("card_id"),
         F.concat(F.col("branch_id"), F.col("service_id")).alias("card_key"),
         "service_id",
@@ -128,9 +133,21 @@ def card_data(flat_table_df: DataFrame) -> DataFrame:
         "organization_name",
         "organization_branch_count",
         "national_service",
-        F.array_join(response_ids, ",").alias("response_ids"),
-        F.array_join(situation_ids, ",").alias("situation_ids"),
+        response_ids.alias("response_ids"),
+        situation_ids.alias("situation_ids"),
     )
+    if autotag_rules is not None:
+        from .autotagging import apply_auto_tagging  # noqa: PLC0415
+
+        cards = apply_auto_tagging(
+            cards,
+            autotag_rules,
+            field_cols=("organization_name", "service_name"),
+            key_col="card_key",
+        ).drop("auto_tagged")
+    return cards.withColumn(
+        "response_ids", F.array_join(F.col("response_ids"), ",")
+    ).withColumn("situation_ids", F.array_join(F.col("situation_ids"), ","))
 
 
 _DERIVE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}

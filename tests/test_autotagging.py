@@ -67,3 +67,26 @@ def test_unmatched_rows_get_empty_audit(spark):
         F.col("card_key") == "k1"
     ).first()
     assert out["auto_tagged"] == []
+
+
+def test_autotagging_in_derive_dag(spark):
+    """card_data accepts an autotag rules table and injects tags between
+    parent expansion and the string join (reference card_data_flow order)."""
+    from srm_etl_spark.pipelines.derive import card_data, flat_branches, flat_services, flat_table
+    from srm_etl_spark.pipelines import staging_fixtures as FIX
+
+    sf = "/root/testdata/sf0.001"
+    fb = flat_branches(FIX.branches(spark, sf), FIX.locations(spark, sf), FIX.organizations(spark, sf))
+    ft = flat_table(flat_services(FIX.services(spark, sf), fb), fb)
+    plain = card_data(ft)
+    one_name = plain.select("service_name").first()[0]
+    rules = spark.createDataFrame(
+        [(0, one_name, ["service_name"], ["human_situations:test:tag"], [])],
+        "rule_idx int, query string, fields array<string>, "
+        "situation_ids array<string>, response_ids array<string>",
+    )
+    tagged = card_data(ft, autotag_rules=rules)
+    assert plain.count() == tagged.count()
+    assert sorted(plain.columns) == sorted(tagged.columns)
+    hit = tagged.filter(F.col("situation_ids").contains("human_situations:test:tag"))
+    assert hit.count() >= 1

@@ -93,10 +93,12 @@ def connected_components(
         .repartition(F.col("b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # fused first round: label(v) = min(v, min neighbor) is a pure aggregate
+    # over the (symmetric) edge list — no join needed, one round saved
     labels, labels_ids = _ckpt(
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("component"))
+        .select(F.col("a").alias("node"), "component")
     )
     for _ in range(max_iter):
         # min label among each node's neighbors, this round

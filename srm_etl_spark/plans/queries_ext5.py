@@ -169,10 +169,14 @@ def q71_passage_dedup(spark, sf_dir):
     document reports how many of its chunks also occur elsewhere — the
     C4-style sub-document dedup signal (their unit is the line; this corpus
     has no newlines, so the unit is a fixed token window). Distribution
-    shape: explode → count by chunk (map-side-combined hash agg) → hash join
-    back → per-doc agg; at open-corpus scale the chunk grouping key would be
-    ``xxhash64(chunk)`` so the shuffle carries 8-byte keys — here the join
-    key stays the chunk text because the oracle must replay it exactly."""
+    shape: explode → attach the corpus-wide occurrence count as a window
+    aggregate over the chunk key → per-doc agg. The window (ONE shuffle on
+    chunk) replaces a count+self-join formulation that re-tokenized and
+    re-exploded the whole corpus for the counts side — caught by a plan
+    audit showing two Generate+scan branches. At open-corpus scale the
+    chunk key would be ``xxhash64(chunk)`` so the shuffle carries 8-byte
+    keys — here it stays the chunk text because the oracle must replay it
+    exactly."""
     from ..functions.text import normalized_text, tokens  # noqa: PLC0415
 
     d = _t(spark, sf_dir, "documents")
@@ -193,14 +197,12 @@ def q71_passage_dedup(spark, sf_dir):
             )
         ).alias("chunk"),
     ).filter(F.length("chunk") > 0)
-    counts = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("_n"))
-    per_doc = (
-        chunks.join(counts, "chunk")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum((F.col("_n") > 1).cast("long")).alias("n_dup_chunks"),
-        )
+    counted = chunks.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("chunk"))
+    )
+    per_doc = counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("_n") > 1).cast("long")).alias("n_dup_chunks"),
     )
     return per_doc.select(
         "doc_id", "n_chunks", "n_dup_chunks",

@@ -440,11 +440,17 @@ def _jaccard_pairs_bitmap(
         ).alias(f"_m{w}")
         for w in range(n_words)
     ]
+    # persist the packed representation: it feeds BOTH sides of the
+    # self-join, and without it each side re-runs tokenize+pack over the
+    # corpus (2 extra full passes). The cached table is the COMPRESSED form —
+    # n_words longs + size per doc, not the text — and CacheManager dedups
+    # identical plans across invocations.
     docs = (
         toks.join(F.broadcast(vid), "_tok")
         .groupBy(id_col, *blocks)
         .agg(F.collect_set("_vid").alias("_vids"))
         .select(id_col, *blocks, *word_cols, F.size("_vids").alias("_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     left, right = docs.alias("l"), docs.alias("r")
     conds = [F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]

@@ -23,6 +23,7 @@ import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from ..functions.text import normalized_text, tokens, word_shingles
 
@@ -408,6 +409,9 @@ def jaccard_near_dup_pairs(
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
+_BITMAP_CACHE: DataFrame | None = None
+
+
 def _jaccard_pairs_bitmap(
     toks: DataFrame, id_col: str, blocks: list[str], threshold: float
 ) -> DataFrame:
@@ -424,10 +428,17 @@ def _jaccard_pairs_bitmap(
     vocab = toks.select("_tok").distinct()
     n_vocab = vocab.count()
     if n_vocab == 0:
-        sess = toks.sparkSession
-        return sess.createDataFrame(
-            [], "left_id long, right_id long, jaccard double"
+        # empty frame's pair-id type must inherit id_col's type (string doc
+        # ids etc.) so both strategies keep an identical schema contract
+        id_type = toks.schema[id_col].dataType
+        empty_schema = StructType(
+            [
+                StructField("left_id", id_type),
+                StructField("right_id", id_type),
+                StructField("jaccard", DoubleType()),
+            ]
         )
+        return toks.sparkSession.createDataFrame([], empty_schema)
     n_words = max(1, math.ceil(n_vocab / 64))
     vid = vocab.withColumn("_vid", F.row_number().over(Window.orderBy("_tok")) - 1)
     # one plain LONG column per 64-vocab word — the hot per-pair expression
@@ -443,15 +454,30 @@ def _jaccard_pairs_bitmap(
     # persist the packed representation: it feeds BOTH sides of the
     # self-join, and without it each side re-runs tokenize+pack over the
     # corpus (2 extra full passes). The cached table is the COMPRESSED form —
-    # n_words longs + size per doc, not the text — and CacheManager dedups
-    # identical plans across invocations.
+    # n_words longs + size per doc, not the text. The returned pair frame is
+    # lazy, so the cache must outlive this call (unpersisting here would
+    # evict before the join runs); instead each invocation reuses the
+    # previous invocation's cache when the plan is identical (warm repeats)
+    # and evicts it when it differs — bounding accumulation to one packed
+    # table per session.
+    global _BITMAP_CACHE  # noqa: PLW0603
     docs = (
         toks.join(F.broadcast(vid), "_tok")
         .groupBy(id_col, *blocks)
         .agg(F.collect_set("_vid").alias("_vids"))
         .select(id_col, *blocks, *word_cols, F.size("_vids").alias("_n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if _BITMAP_CACHE is not None:
+        try:
+            if docs.sameSemantics(_BITMAP_CACHE):
+                docs = _BITMAP_CACHE
+            else:
+                _BITMAP_CACHE.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001, S110 — prior session may be gone
+            pass
+    if docs is not _BITMAP_CACHE:
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        _BITMAP_CACHE = docs
     left, right = docs.alias("l"), docs.alias("r")
     conds = [F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
     for b in blocks:

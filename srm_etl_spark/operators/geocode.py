@@ -153,19 +153,25 @@ def geocode_locations(
                 hit = None if pluscode else resolver(kw)
                 if hit:
                     row.update({k: v for k, v in hit.items() if k in row})
-                missing = any(
-                    row[f] is None
-                    for f in ("resolved_lat", "resolved_lon", "resolved_address")
-                )
-                if (missing or row["accuracy"] not in ACCURATE_TYPES) and fallback:
+                def _missing(r=row):
+                    return any(
+                        r[f] is None
+                        for f in ("resolved_lat", "resolved_lon", "resolved_address")
+                    )
+
+                if _missing() or row["accuracy"] not in ACCURATE_TYPES:
                     # reference __init__.py:63-91 (incl. pluscode accuracy pin)
-                    hit = fallback(kw)
+                    hit = fallback(kw) if fallback else None
                     if hit:
                         row.update({k: v for k, v in hit.items() if k in row})
                         if pluscode:
                             row.update(accuracy="ADDR_V1", resolved_address=kw)
-                    else:
-                        row["geo_status"] = "NOT_FOUND"
+                # NOT_FOUND whenever the row is still unresolved after the
+                # (optional) fallback — independent of whether a fallback was
+                # supplied (reference __init__.py:89-90 marks such rows so
+                # they stop being reselected next run).
+                if _missing():
+                    row["geo_status"] = "NOT_FOUND"
                 if (
                     row["resolved_lat"] is not None
                     and row["resolved_lon"] is not None
@@ -201,6 +207,16 @@ def geocode_locations(
         filled = filled.withColumn(
             c, F.coalesce(new, F.col(c)) if c in keyed.columns else new
         )
+    # pluscode pin: the kernel (keyword-space, deduped) can only pin the
+    # keyword; the reference pins the ROW's id (__init__.py:86-88) — restore
+    # that here where the row is in scope again.
+    pluscode_pinned = is_pluscode(F.col("_keyword")) & (F.col("accuracy") == "ADDR_V1")
+    filled = filled.withColumn(
+        "resolved_address",
+        F.when(pluscode_pinned, F.col(id_col).cast("string")).otherwise(
+            F.col("resolved_address")
+        ),
+    )
     return (
         filled.withColumn(
             "resolved_address", clean_resolved_address(F.col("resolved_address"))

@@ -44,24 +44,72 @@ def attach_group_count(df: DataFrame, keys: list[str], out_col: str) -> DataFram
     return df.withColumn(out_col, F.count("*").over(Window.partitionBy(*keys)))
 
 
+def _contains_unorderable(dt) -> bool:
+    """True if the type can't participate in struct min/max ordering
+    (MapType anywhere in the nesting)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType  # noqa: PLC0415
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_unorderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_unorderable(f.dataType) for f in dt.fields)
+    return False
+
+
+def _inverted_ts(col, dt):
+    """Order-inverted copy of the timestamp column (largest → smallest), with
+    nulls mapped to +∞ so they lose — matching the window path's
+    ``desc_nulls_last`` default. None when the type can't be inverted."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DateType,
+        FractionalType,
+        IntegralType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
+        # micros fit a double exactly (< 2^53 until year ~2255)
+        inv = (-F.unix_micros(col.cast("timestamp"))).cast("double")
+        return F.coalesce(inv, F.lit(float("inf")))
+    if isinstance(dt, IntegralType):
+        return F.coalesce((-col).cast("long"), F.lit(2**63 - 1))
+    if isinstance(dt, FractionalType):
+        return F.coalesce(-col.cast("double"), F.lit(float("inf")))
+    return None
+
+
 def latest_per_key(df: DataFrame, keys: list[str], ts_col: str, tiebreak: list | None = None) -> DataFrame:
     """Row with the max timestamp per key (O3), deterministic tie-break.
 
-    When ``tiebreak`` is plain column names (strings, each a further
-    descending key), the keeper is one hash aggregate —
-    ``max(struct(ts, tiebreaks, full row))`` — whose map-side partial
+    Tiebreak columns given as plain names order ASCENDING (the plain
+    ``orderBy`` default — same contract as the window plan). When the
+    timestamp type is invertible (timestamp/date/numeric) and every column
+    type is orderable, the keeper is one hash aggregate —
+    ``min(struct(-ts, tiebreaks, full row))`` — whose map-side partial
     aggregation shuffles one row per key instead of sorting the whole table
-    in partition windows. Column-object tiebreaks (mixed asc/desc) keep the
-    window plan.
+    in partition windows. Column-object tiebreaks (explicit asc/desc),
+    string-typed timestamps, and frames containing unorderable columns
+    (MapType) keep the window plan.
     """
     tiebreak = tiebreak or []
     if all(isinstance(t, str) for t in tiebreak):
-        row = F.struct(*[F.col(c) for c in df.columns]).alias("_row")
-        keeper = F.max(
-            F.struct(F.col(ts_col), *[F.col(t) for t in tiebreak], row)
-        ).alias("_keep")
-        return df.groupBy(*[F.col(k) for k in keys]).agg(keeper).select("_keep._row.*")
-    order = [F.col(ts_col).desc()] + tiebreak
+        inv = _inverted_ts(F.col(ts_col), df.schema[ts_col].dataType)
+        if inv is not None and not any(
+            _contains_unorderable(f.dataType) for f in df.schema.fields
+        ):
+            row = F.struct(*[F.col(c) for c in df.columns]).alias("_row")
+            keeper = F.min(
+                F.struct(inv.alias("_its"), *[F.col(t) for t in tiebreak], row)
+            ).alias("_keep")
+            return (
+                df.groupBy(*[F.col(k) for k in keys]).agg(keeper).select("_keep._row.*")
+            )
+    order = [F.col(ts_col).desc()] + [
+        F.col(t).asc() if isinstance(t, str) else t for t in tiebreak
+    ]
     w = Window.partitionBy(*keys).orderBy(*order)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 

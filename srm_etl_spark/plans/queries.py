@@ -401,7 +401,7 @@ def q13_latest_per_user(spark, sf_dir):
 
 Q13_SQL = """
 SELECT user_id, event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str FROM (
-  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
   FROM events
 ) WHERE rn = 1
 """

@@ -151,9 +151,16 @@ def q64_stream_join(spark, sf_dir):
             "sum_purchase_value"
         ),
     )
-    out = spark.createDataFrame(agg.collect(), agg.schema)
+    # detach the result from the memory-sink view without driver-resident
+    # rows: write the (already small, per-user) aggregate to a scratch
+    # parquet and hand back the lazy read — driver memory stays O(1) however
+    # many distinct users the stream carries
+    import tempfile  # noqa: PLC0415
+
+    out_path = tempfile.mkdtemp(prefix="srm_q64_agg_") + "/agg"
+    agg.write.mode("overwrite").parquet(out_path)
     spark.catalog.dropTempView(name)
-    return out
+    return spark.read.parquet(out_path)
 
 
 Q64_SQL = """

@@ -61,9 +61,11 @@ def compact_parquet(
     all accumulate small files; at warehouse scale the resulting
     footer/open-cost per scan dominates. Compaction is maintenance, not a
     query — scheduled like the reference schedules its pipelines. The swap
-    (write to ``<path>.__compact__``, rename over) keeps readers consistent
-    on a local/HDFS-style filesystem; object stores or table formats replace
-    the rename with their own commit.
+    (write to ``<path>.__compact__``, rename live aside to ``<path>.__old__``,
+    promote, delete old) is crash-safe — a copy survives at every step — and
+    shrinks the reader no-data window to one rename (not atomic for
+    concurrent readers; object stores or table formats replace the rename
+    with their own commit).
     """
     import math  # noqa: PLC0415
     import os  # noqa: PLC0415
@@ -83,9 +85,18 @@ def compact_parquet(
     else:
         df = df.coalesce(n_files)
     tmp = f"{path.rstrip('/')}.__compact__"
+    old = f"{path.rstrip('/')}.__old__"
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # publish: move the live dir aside, promote the new one, then delete the
+    # old — a crash at any point leaves a recoverable copy (under __old__ or
+    # __compact__) and the no-data window is a single rename, not a full
+    # rmtree. rmtree-then-rename would lose the dataset on a crash between
+    # the two calls.
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_files
 
 

@@ -1,0 +1,53 @@
+"""latest_per_key contract: ascending plain-name tiebreaks, identical keeper
+on the aggregate fast path and the window fallback, and graceful fallback for
+unorderable (MapType) frames."""
+
+from pyspark.sql import functions as F
+
+
+def _base_rows():
+    # user 1: ts tie at 20 → tiebreak "a" < "b" must win (ascending)
+    # user 2: plain max ts
+    return [
+        (1, 10, "z", "old"),
+        (1, 20, "b", "tie-b"),
+        (1, 20, "a", "tie-a"),
+        (2, 5, "x", "only-old"),
+        (2, 7, "y", "newest"),
+    ]
+
+
+def test_ascending_string_tiebreak_fast_path(spark):
+    from srm_etl_spark.operators.windows import latest_per_key
+
+    df = spark.createDataFrame(_base_rows(), "user int, ts long, tb string, payload string")
+    out = {r["user"]: r["payload"] for r in latest_per_key(df, ["user"], "ts", ["tb"]).collect()}
+    assert out == {1: "tie-a", 2: "newest"}
+    # numeric ts + orderable schema → aggregate plan, no window
+    plan = latest_per_key(df, ["user"], "ts", ["tb"])._jdf.queryExecution().simpleString()
+    assert "windowspecdefinition" not in plan
+
+
+def test_map_column_falls_back_to_window(spark):
+    from srm_etl_spark.operators.windows import latest_per_key
+
+    df = spark.createDataFrame(_base_rows(), "user int, ts long, tb string, payload string")
+    df = df.withColumn("m", F.create_map(F.lit("k"), F.col("payload")))
+    out = latest_per_key(df, ["user"], "ts", ["tb"])
+    plan = out._jdf.queryExecution().simpleString()
+    assert "windowspecdefinition" in plan  # struct min/max would raise on maps
+    got = {r["user"]: r["payload"] for r in out.collect()}
+    assert got == {1: "tie-a", 2: "newest"}
+
+
+def test_null_ts_loses_both_paths(spark):
+    from srm_etl_spark.operators.windows import latest_per_key
+
+    rows = [(1, None, "a", "nullts"), (1, 5, "b", "real")]
+    df = spark.createDataFrame(rows, "user int, ts long, tb string, payload string")
+    fast = latest_per_key(df, ["user"], "ts", ["tb"]).collect()
+    assert [r["payload"] for r in fast] == ["real"]
+    slow = latest_per_key(
+        df.withColumn("m", F.create_map(F.lit("k"), F.col("payload"))), ["user"], "ts", ["tb"]
+    ).collect()
+    assert [r["payload"] for r in slow] == ["real"]

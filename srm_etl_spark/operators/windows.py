@@ -27,6 +27,50 @@ def enumerate_rows(df: DataFrame, order_by: list, out_col: str = "score") -> Dat
     return df.withColumn(out_col, F.row_number().over(w) - 1)
 
 
+def enumerate_rows_scalable(
+    df: DataFrame,
+    order_by: list,
+    out_col: str = "score",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """W1 at scale: global 0-based index with NO single-partition sort.
+
+    ``repartitionByRange`` over the ordering keys yields globally-ordered
+    partitions (equal keys co-partitioned, deterministic sampling seed); a
+    per-partition ``row_number`` plus per-partition count offsets gives the
+    global index. The offsets are one count per partition collected to the
+    driver — O(#partitions), the same bounded side-channel zipWithIndex uses
+    — and re-enter the plan as a literal map, so the big table never leaves
+    its partitions. Costs one extra counting job over the ranged exchange
+    (which the main action then reuses).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    mapping = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    local_w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn("_local", F.row_number().over(local_w))
+        .withColumn(out_col, mapping[F.col("_pid")] + F.col("_local") - 1)
+        .drop("_pid", "_local")
+    )
+
+
 def first_per_group(
     df: DataFrame, keys: list[str], order_by: list, aggs: list | None = None
 ) -> DataFrame:

@@ -51,7 +51,9 @@ def flat_branches(
     org = organizations.filter(F.upper(F.trim("status")) == "ACTIVE").select(
         F.col("id").alias("organization"),
         F.col("name").alias("organization_name"),
+        F.col("short_name").alias("organization_short_name"),
         F.col("kind").alias("organization_kind"),
+        F.col("phone").alias("organization_phone"),
     )
     joined = b.join(F.broadcast(loc), "location", "left").join(
         F.broadcast(org), "organization", "inner"
@@ -69,10 +71,15 @@ def flat_branches(
         F.col("id").alias("branch_id"),
         "organization",
         "organization_name",
+        "organization_short_name",
         "organization_kind",
+        "organization_phone",
         "location",
         F.col("name").alias("branch_name"),
         F.col("city").alias("branch_city"),
+        # full branch address = street part + city — the shape address_parts
+        # splits back apart (reference helpers.py:314-351)
+        F.concat_ws(" ", F.col("address"), F.col("city")).alias("branch_address"),
         "lat",
         "lon",
         "national_service",
@@ -93,6 +100,8 @@ def flat_services(services: DataFrame, flat_branches_df: DataFrame) -> DataFrame
         .select(
             F.col("id").alias("service_id"),
             F.col("name").alias("service_name"),
+            F.col("description").alias("service_description"),
+            F.col("boost").alias("service_boost"),
             "organization",
             "responses",
             "situations",
@@ -150,6 +159,290 @@ def card_data(flat_table_df: DataFrame, autotag_rules: DataFrame | None = None) 
     ).withColumn("situation_ids", F.array_join(F.col("situation_ids"), ","))
 
 
+def card_data_full(flat_table_df: DataFrame, max_score: float = 30.0) -> DataFrame:
+    """The full reference card surface (to_dp.py:821-915 + to_es.py:24-59):
+    everything :func:`card_data` has, plus
+
+    - **rs_score / situation resort / cap** — RSScoreCalc per-card application
+      (reference ``to_dp.py:723-753``): score(s,r) = ln(total_r / freq_{s,r})
+      over the corpus' direct (situation, response) pairs; each card's
+      situation score is the response-averaged sum; situations re-sort by
+      score (desc, original position as the stable tie-break — Python's
+      ``sorted`` is stable) and the highest-scored are popped while the card
+      total exceeds ``max_score``. The pop-loop is order-equivalent to
+      keeping the rows whose score-desc suffix sum is ≤ ``max_score`` (scores
+      are non-negative, so the suffix sum is monotone) — a window, not a UDF.
+    - **response_category** — per-card mode of the response id categories
+      (``helpers.py:306-311``); Counter.most_common tie = first insertion,
+      reproduced as (count desc, first position asc).
+    - **card_score** — multiplicative relevance boosts (``to_es.py:24-59``).
+    - **address/org-name parts** — fuzzy city / short-name split (F5/F6,
+      ``helpers.py:314-375``) composed to the reference's primary/secondary
+      shape.
+    - **point_id, coords, geometry validation filter, national details,
+      resolved org names, collapse_key** (``to_dp.py:855-915``,
+      ``helpers.py:57-76``).
+
+    Scale shape: the score table's cardinality is |situations|×|responses| —
+    broadcast; the per-card windows partition on card_key (the table's PK, no
+    skew); everything else is a map. One shuffle for the pair aggregation,
+    one for the card windows.
+    """
+    from ..functions.fuzzy import address_parts, org_name_parts  # noqa: PLC0415
+    from ..functions.geo import calc_point_id, validate_geometry  # noqa: PLC0415
+    from ..functions.scoring import card_score, idf_score_table  # noqa: PLC0415
+
+    base = flat_table_df.select(
+        hasher(F.col("branch_id"), F.col("service_id")).alias("card_id"),
+        F.concat(F.col("branch_id"), F.col("service_id")).alias("card_key"),
+        "service_id",
+        "service_name",
+        "service_description",
+        "service_boost",
+        "branch_id",
+        "branch_name",
+        "branch_city",
+        "branch_address",
+        "organization",
+        "organization_name",
+        "organization_short_name",
+        "organization_kind",
+        "organization_phone",
+        "organization_branch_count",
+        "national_service",
+        "lat",
+        "lon",
+        # direct ids — the reference computes rs_score / categories on the
+        # mapped DIRECT ids; parent expansion lands in separate columns
+        # (to_dp.py:835-836) which card_data() carries
+        F.col("responses").alias("response_ids"),
+        F.col("situations").alias("situation_ids"),
+    )
+
+    # ---- RSScoreCalc (A10) -------------------------------------------------
+    sit = base.select(
+        "card_key",
+        F.size("response_ids").alias("_nr"),
+        "response_ids",
+        F.posexplode("situation_ids").alias("s_pos", "situation_id"),
+    )
+    pairs = sit.select(
+        "card_key", "_nr", "s_pos", "situation_id",
+        F.explode("response_ids").alias("response_id"),
+    )
+    score_tbl = idf_score_table(
+        pairs.select("response_id", "situation_id"), "response_id", "situation_id", "_score"
+    )
+    scored = pairs.join(
+        F.broadcast(score_tbl), ["response_id", "situation_id"], "left"
+    )
+    s_scores = scored.groupBy("card_key", "situation_id").agg(
+        F.min("s_pos").alias("s_pos"),
+        (F.sum(F.coalesce(F.col("_score"), F.lit(0.0))) / F.first("_nr")).alias("s_score"),
+    )
+    wo = (
+        Window.partitionBy("card_key")
+        .orderBy(F.desc("s_score"), F.asc("s_pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("card_key")
+    suffix = (
+        F.sum("s_score").over(wp)
+        - F.sum("s_score").over(wo)
+        + F.col("s_score")
+    )
+    kept = s_scores.withColumn("_suffix", suffix).filter(F.col("_suffix") <= max_score)
+    rs = (
+        kept.groupBy("card_key")
+        .agg(
+            F.sum("s_score").alias("_rs_raw"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("s_score")).alias("ns"),
+                        F.col("s_pos").alias("sp"),
+                        F.col("situation_id").alias("sid"),
+                    )
+                )
+            ).alias("_arr"),
+        )
+        .select(
+            "card_key",
+            F.round("_rs_raw", 6).alias("rs_score"),
+            F.array_join(F.transform("_arr", lambda x: x["sid"]), ",").alias(
+                "situations_scored"
+            ),
+            F.array_join(
+                F.transform(
+                    "_arr",
+                    lambda x: F.round((-x["ns"]) * 1e6).cast("long").cast("string"),
+                ),
+                ",",
+            ).alias("situation_scores_micro"),
+        )
+    )
+
+    # ---- response-category mode (A5) ---------------------------------------
+    cats = base.select(
+        "card_key", F.posexplode("response_ids").alias("r_pos", "response_id")
+    ).select(
+        "card_key", "r_pos", F.split("response_id", ":").getItem(1).alias("category")
+    )
+    cat_counts = cats.groupBy("card_key", "category").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("r_pos").alias("_first_pos")
+    )
+    wmode = Window.partitionBy("card_key").orderBy(
+        F.desc("_n"), F.asc("_first_pos"), F.asc("category")
+    )
+    modes = (
+        cat_counts.withColumn("_rn", F.row_number().over(wmode))
+        .filter(F.col("_rn") == 1)
+        .select("card_key", F.col("category").alias("response_category"))
+    )
+
+    enriched = base.join(rs, "card_key", "left").join(modes, "card_key", "left")
+    enriched = (
+        enriched.withColumn("rs_score", F.coalesce("rs_score", F.lit(0.0)))
+        .withColumn("situations_scored", F.coalesce("situations_scored", F.lit("")))
+        .withColumn(
+            "situation_scores_micro", F.coalesce("situation_scores_micro", F.lit(""))
+        )
+    )
+
+    # ---- scalar surface -----------------------------------------------------
+    national = F.coalesce(F.col("national_service"), F.lit(False))
+    geometry = F.array("lon", "lat")
+    ap = address_parts(F.col("branch_address"), F.col("branch_city"))
+    onp = org_name_parts(F.col("organization_name"), F.col("organization_short_name"))
+    # reference the materialized _onp column, not the UDF expression — a
+    # second reference to the raw expression would evaluate the kernel twice
+    org_prefix = F.substring(
+        F.col("organization_name"), F.lit(1), F.col("_onp.match_start")
+    )
+    org_suffix = F.substring(
+        F.col("organization_name"),
+        F.col("_onp.match_start") + F.length("organization_short_name") + 1,
+        F.lit(1 << 20),
+    )
+    out = (
+        enriched.withColumn("_ap", ap)
+        .withColumn("_onp", onp)
+        .withColumn(
+            "address_primary",
+            F.when(national, F.lit("שירות ארצי"))
+            .when(F.col("_ap.match_start") >= 0, F.col("branch_city"))
+            .otherwise(F.col("branch_address")),
+        )
+        .withColumn(
+            "address_secondary",
+            F.when(national, F.lit(None).cast("string"))
+            .when(F.col("_ap.match_start") >= 0, F.col("_ap.primary"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .withColumn(
+            "org_name_primary",
+            F.when(
+                F.col("_onp.match_start") >= 0, F.col("organization_short_name")
+            ).otherwise(F.col("organization_name")),
+        )
+        .withColumn(
+            "org_name_secondary",
+            F.when(
+                F.col("_onp.match_start") >= 0,
+                F.nullif(
+                    F.btrim(F.concat_ws(" ", org_prefix, org_suffix), F.lit(" -,")),
+                    F.lit(""),
+                ),
+            ).otherwise(F.lit(None).cast("string")),
+        )
+        .withColumn(
+            "point_id",
+            F.when(national, F.lit("national_service")).otherwise(
+                calc_point_id(geometry)
+            ),
+        )
+        .withColumn(
+            "coords",
+            F.when(
+                F.col("lat").isNotNull() & F.col("lon").isNotNull(),
+                F.format_string("[%.5f,%.5f]", F.col("lon"), F.col("lat")),
+            ),
+        )
+        .withColumn(
+            "national_service_details",
+            F.when(national, F.lit("ארצי")).otherwise(F.lit(None).cast("string")),
+        )
+        .withColumn(
+            "organization_resolved_name",
+            F.concat_ws(",", "organization_short_name", "organization_name"),
+        )
+        .withColumn(
+            "collapse_key",
+            F.trim(
+                F.concat_ws(
+                    " ", "service_name", F.coalesce("service_description", F.lit(""))
+                )
+            ),
+        )
+        .withColumn(
+            "card_score",
+            F.round(
+                card_score(
+                    F.col("organization_branch_count"),
+                    F.col("national_service"),
+                    F.col("service_id"),
+                    F.col("service_description"),
+                    F.col("organization_phone"),
+                    F.col("organization_kind"),
+                    F.col("service_boost"),
+                ),
+                6,
+            ),
+        )
+        # reference to_dp.py:866-871: invalid-geometry cards drop unless the
+        # service is national
+        .filter(validate_geometry(geometry) | national)
+        .drop("_ap", "_onp")
+    )
+    return out
+
+
+def card_search(
+    spark: SparkSession,
+    sf_dir: str,
+    city: str = "NATION_3",
+    response_token: str = "responses:economy",
+) -> DataFrame:
+    """The flagship search ("cards for response X in city Y", SURVEY §7.1)
+    with the filters pushed BELOW the derive DAG instead of over the finished
+    card table:
+
+    - the city predicate lands on the locations dimension — a broadcast
+      semi-join prunes branches before the dedup window ever runs (city is
+      branch-level, so filtering whole locations first is
+      semantics-preserving, and the predicate reaches the nation scan as a
+      pushed filter);
+    - the response predicate prunes services before the service × branch
+      fan-out (response ids derive from the service's own tags, so no later
+      stage can resurrect a filtered service).
+
+    At 100× scale this is the difference between computing the whole cards
+    fan-out to return a handful of rows and never materializing out-of-city
+    branches at all. (The written-table equivalent is a
+    ``write_clustered``-partitioned card_data read with partition pruning.)
+    """
+    orgs = FIX.organizations(spark, sf_dir)
+    locs = FIX.locations(spark, sf_dir)
+    brs = FIX.branches(spark, sf_dir)
+    svcs = FIX.services(spark, sf_dir)
+    loc_in_city = locs.filter(F.col("city") == city).select(F.col("key").alias("location"))
+    brs_f = brs.join(F.broadcast(loc_in_city), "location", "left_semi")
+    svcs_f = svcs.filter(F.exists("responses", lambda x: x.contains(response_token)))
+    fb = flat_branches(brs_f, locs, orgs)
+    ft = flat_table(flat_services(svcs_f, fb), fb)
+    return card_data(ft)
+
+
 _DERIVE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
@@ -182,6 +475,7 @@ def run_derive(spark: SparkSession, sf_dir: str, use_cache: bool = True) -> dict
         "flat_services": fs,
         "flat_table": ft,
         "card_data": cards,
+        "card_data_full": card_data_full(ft),
     }
     if use_cache:
         _DERIVE_CACHE[memo_key] = stages

@@ -27,25 +27,46 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 
 
+GOV_KIND = "משרד ממשלתי"
+
+
 def organizations(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    # short_name 'Supplier' is embedded verbatim in every s_name
+    # ('Supplier#0000...') so org_name_parts exercises its match path;
+    # phone: every 4th org gets a short 1-prefixed hotline (card_score's
+    # national-hotline boost), the rest a long local number; every 7th org is
+    # governmental (card_score's kind boost).
+    hotline = F.concat(F.lit("1"), F.lpad((k % 800).cast("string"), 3, "0"))
+    local = F.concat(
+        F.lit("0"),
+        ((k % 6) + 2).cast("string"),
+        F.lit("-"),
+        F.lpad((k % 9000000).cast("string"), 7, "0"),
+    )
     return s.select(
-        F.concat(F.lit("org-"), F.col("s_suppkey")).alias("id"),
+        F.concat(F.lit("org-"), k).alias("id"),
         F.col("s_name").alias("name"),
-        F.lower(F.regexp_replace("s_name", r"[^A-Za-z0-9]+", "-")).alias("short_name"),
-        F.lit("company").alias("kind"),
+        F.lit("Supplier").alias("short_name"),
+        F.when(k % 7 == 0, F.lit(GOV_KIND)).otherwise(F.lit("company")).alias("kind"),
+        F.when(k % 4 == 0, hotline).otherwise(local).alias("phone"),
         F.lit("ACTIVE").alias("status"),
     )
 
 
 def locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    # nationkey % 11 == 10 places the location outside the valid bbox so the
+    # card pipeline's geometry-validation filter has rows to drop
+    lat = 29.5 + (k % 10) * 0.35 + F.when(k % 11 == 10, F.lit(20.0)).otherwise(F.lit(0.0))
     return n.select(
-        F.concat(F.lit("loc-"), F.col("n_nationkey")).alias("key"),
+        F.concat(F.lit("loc-"), k).alias("key"),
         F.col("n_name").alias("city"),
-        (29.5 + (F.col("n_nationkey") % 10) * 0.35).alias("lat"),
-        (33.2 + (F.col("n_nationkey") % 12) * 0.3).alias("lon"),
-        (F.col("n_nationkey") % 7 == 0).alias("national_service"),
+        lat.alias("lat"),
+        (33.2 + (k % 12) * 0.3).alias("lon"),
+        (k % 7 == 0).alias("national_service"),
     )
 
 
@@ -66,6 +87,11 @@ def branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("org-"), F.col("c_custkey") % n_orgs).alias("organization"),
         F.concat(F.lit("loc-"), F.col("c_nationkey")).alias("location"),
         F.col("c_name").alias("name"),
+        # street part of the branch address; the city is appended after the
+        # location join (flat_branches) so address_parts can find it
+        F.concat(F.lit("רחוב "), (F.col("c_custkey") % 90 + 1).cast("string")).alias(
+            "address"
+        ),
         F.when(F.col("c_acctbal") < 0, "INACTIVE").otherwise("ACTIVE").alias("status"),
     )
 
@@ -82,20 +108,36 @@ def services(spark: SparkSession, sf_dir: str) -> DataFrame:
     owner = freq.groupBy("l_partkey").agg(
         F.max_by("l_suppkey", F.struct(F.col("n"), -F.col("l_suppkey"))).alias("l_suppkey")
     )
+    k = F.col("p_partkey")
+    # every 6th service carries the reference's meser id prefix (card_score's
+    # is_meser branch); descriptions cycle null / too-short / real so the
+    # has_description boost sees all three shapes; boost ∈ {0, .25, .5}
+    svc_id = F.when(
+        k % 6 == 0, F.concat(F.lit("meser-s-"), k.cast("string"))
+    ).otherwise(F.concat(F.lit("svc-"), k.cast("string")))
+    description = (
+        F.when(k % 5 == 0, F.lit(None).cast("string"))
+        .when(k % 5 == 1, F.lit("srv"))
+        .otherwise(F.col("p_name"))
+    )
     return (
         p.join(owner, p.p_partkey == owner.l_partkey, "inner")
         .select(
-            F.concat(F.lit("svc-"), F.col("p_partkey")).alias("id"),
+            svc_id.alias("id"),
             F.col("p_name").alias("name"),
             F.concat(F.lit("org-"), F.col("l_suppkey")).alias("organization"),
             F.array(
-                F.concat_ws(":", F.lit("responses"), F.lower("p_type"), F.lower("p_brand"))
+                F.concat_ws(":", F.lit("responses"), F.lower("p_type"), F.lower("p_brand")),
+                F.concat_ws(":", F.lit("responses"), F.lit("mkt"), F.lower("p_brand")),
             ).alias("responses"),
             F.array(
                 F.concat_ws(
                     ":", F.lit("situations"), F.lit("size"), (F.col("p_size") % 5).cast("string")
-                )
+                ),
+                F.concat_ws(":", F.lit("situations"), F.lit("brand"), F.lower("p_brand")),
             ).alias("situations"),
+            description.alias("description"),
+            ((k % 3).cast("double") * 0.25).alias("boost"),
             F.lit("ACTIVE").alias("status"),
         )
     )

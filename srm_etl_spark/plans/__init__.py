@@ -12,9 +12,11 @@ from .queries_ext2 import EXT2_REGISTRY
 from .queries_ext3 import EXT3_REGISTRY
 from .queries_ext4 import EXT4_REGISTRY
 from .queries_ext5 import EXT5_REGISTRY
+from .queries_ext6 import EXT6_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
 REGISTRY.update(EXT3_REGISTRY)
 REGISTRY.update(EXT4_REGISTRY)
 REGISTRY.update(EXT5_REGISTRY)
+REGISTRY.update(EXT6_REGISTRY)

@@ -908,20 +908,48 @@ def q34_derive_flat_branches(spark, sf_dir):
     from ..pipelines.derive import run_derive  # noqa: PLC0415
 
     fb = run_derive(spark, sf_dir)["flat_branches"]
-    return fb.withColumn(
-        "organization_branch_count", F.col("organization_branch_count").cast("long")
+    return fb.select(
+        "branch_id",
+        "organization",
+        "organization_name",
+        "organization_kind",
+        "location",
+        "branch_name",
+        "branch_city",
+        "lat",
+        "lon",
+        "national_service",
+        F.col("organization_branch_count").cast("long").alias("organization_branch_count"),
     )
 
 
 # Shared oracle CTE chain mirroring pipelines/staging_fixtures.py + derive.py.
-_DERIVE_CTES = """
+
+
+def _parents_sql(col: str) -> str:
+    """DuckDB list of all >= 2-segment prefixes of a colon id."""
+    return (
+        f"list_transform(range(2, len(string_split({col}, ':')) + 1), "
+        f"i -> array_to_string(string_split({col}, ':')[1:i], ':'))"
+    )
+
+
+_DERIVE_CTES = f"""
 WITH orgs AS (
   SELECT 'org-' || CAST(s_suppkey AS VARCHAR) AS organization,
-         s_name AS organization_name, 'company' AS organization_kind
+         s_name AS organization_name,
+         'Supplier' AS organization_short_name,
+         CASE WHEN s_suppkey % 7 = 0 THEN 'משרד ממשלתי' ELSE 'company' END AS organization_kind,
+         CASE WHEN s_suppkey % 4 = 0
+              THEN '1' || lpad(CAST(s_suppkey % 800 AS VARCHAR), 3, '0')
+              ELSE '0' || CAST((s_suppkey % 6) + 2 AS VARCHAR) || '-'
+                       || lpad(CAST(s_suppkey % 9000000 AS VARCHAR), 7, '0')
+         END AS organization_phone
   FROM supplier
 ), locs AS (
   SELECT 'loc-' || CAST(n_nationkey AS VARCHAR) AS location, n_name AS city,
-         CAST(29.5 + (n_nationkey % 10) * 0.35 AS DOUBLE) AS lat,
+         CAST(29.5 + (n_nationkey % 10) * 0.35
+              + CASE WHEN n_nationkey % 11 = 10 THEN 20.0 ELSE 0.0 END AS DOUBLE) AS lat,
          CAST(33.2 + (n_nationkey % 12) * 0.3 AS DOUBLE) AS lon,
          n_nationkey % 7 = 0 AS national_service
   FROM nation
@@ -930,11 +958,14 @@ WITH orgs AS (
          'org-' || CAST(c_custkey % (SELECT count(*) FROM supplier) AS VARCHAR) AS organization,
          'loc-' || CAST(c_nationkey AS VARCHAR) AS location,
          c_name AS name,
+         'רחוב ' || CAST(c_custkey % 90 + 1 AS VARCHAR) AS address,
          CASE WHEN c_acctbal < 0 THEN 'INACTIVE' ELSE 'ACTIVE' END AS status
   FROM customer
 ), fb0 AS (
-  SELECT b.id, b.organization, o.organization_name, o.organization_kind, b.location,
-         b.name, l.city, l.lat, l.lon, l.national_service
+  SELECT b.id, b.organization, o.organization_name, o.organization_short_name,
+         o.organization_kind, o.organization_phone, b.location,
+         b.name, l.city, b.address || ' ' || l.city AS branch_address,
+         l.lat, l.lon, l.national_service
   FROM brs b LEFT JOIN locs l ON b.location = l.location
   JOIN orgs o ON b.organization = o.organization
   WHERE upper(trim(b.status)) = 'ACTIVE'
@@ -942,8 +973,9 @@ WITH orgs AS (
   SELECT *, row_number() OVER (PARTITION BY organization, location ORDER BY id ASC) AS rn
   FROM fb0
 ), fb AS (
-  SELECT id AS branch_id, organization, organization_name, organization_kind, location,
-         name AS branch_name, city AS branch_city, lat, lon, national_service,
+  SELECT id AS branch_id, organization, organization_name, organization_short_name,
+         organization_kind, organization_phone, location,
+         name AS branch_name, city AS branch_city, branch_address, lat, lon, national_service,
          count(*) OVER (PARTITION BY organization) AS organization_branch_count
   FROM fb1 WHERE rn = 1
 ), freq AS (
@@ -954,29 +986,36 @@ WITH orgs AS (
     FROM freq
   ) WHERE rn = 1
 ), svcs AS (
-  SELECT 'svc-' || CAST(p_partkey AS VARCHAR) AS id, p_name AS name,
+  SELECT CASE WHEN p_partkey % 6 = 0 THEN 'meser-s-' || CAST(p_partkey AS VARCHAR)
+              ELSE 'svc-' || CAST(p_partkey AS VARCHAR) END AS id,
+         p_name AS name,
          'org-' || CAST(l_suppkey AS VARCHAR) AS organization,
          'responses:' || lower(p_type) || ':' || lower(p_brand) AS response0,
-         'situations:size:' || CAST(p_size % 5 AS VARCHAR) AS situation0
+         'responses:mkt:' || lower(p_brand) AS response1,
+         'situations:size:' || CAST(p_size % 5 AS VARCHAR) AS situation0,
+         'situations:brand:' || lower(p_brand) AS situation1,
+         CASE WHEN p_partkey % 5 = 0 THEN NULL
+              WHEN p_partkey % 5 = 1 THEN 'srv'
+              ELSE p_name END AS description,
+         CAST(p_partkey % 3 AS DOUBLE) * 0.25 AS boost
   FROM part JOIN owner ON p_partkey = l_partkey
 ), bpo AS (
   SELECT organization, list_sort(list_distinct(list(branch_id))) AS org_branches
   FROM fb GROUP BY organization
 ), fs AS (
   SELECT s.id AS service_id, s.name AS service_name, s.organization,
-         s.response0, s.situation0, unnest(b.org_branches) AS branch_id
+         s.response0, s.response1, s.situation0, s.situation1,
+         s.description, s.boost, unnest(b.org_branches) AS branch_id
   FROM svcs s JOIN bpo b ON s.organization = b.organization
 ), cards AS (
   SELECT f.branch_id || f.service_id AS card_key,
          f.service_id, f.service_name, f.branch_id,
          fb.branch_name, fb.branch_city, f.organization, fb.organization_name,
          fb.organization_branch_count, fb.national_service,
-         array_to_string(list_sort(list_distinct(
-           list_transform(range(2, len(string_split(f.response0, ':')) + 1),
-                          i -> array_to_string(string_split(f.response0, ':')[1:i], ':')))), ',') AS response_ids,
-         array_to_string(list_sort(list_distinct(
-           list_transform(range(2, len(string_split(f.situation0, ':')) + 1),
-                          i -> array_to_string(string_split(f.situation0, ':')[1:i], ':')))), ',') AS situation_ids
+         array_to_string(list_sort(list_distinct(list_concat(
+           {_parents_sql('f.response0')}, {_parents_sql('f.response1')}))), ',') AS response_ids,
+         array_to_string(list_sort(list_distinct(list_concat(
+           {_parents_sql('f.situation0')}, {_parents_sql('f.situation1')}))), ',') AS situation_ids
   FROM fs f JOIN fb ON f.branch_id = fb.branch_id
 )
 """
@@ -1014,17 +1053,18 @@ FROM cards
 
 def q36_card_search(spark, sf_dir):
     """The reference's "one real query": cards for response X in city Y
-    (SURVEY §7.1) — a filter over card_data that at scale prunes partitions
-    on city and skips row groups on the response tag."""
-    from ..pipelines.derive import run_derive  # noqa: PLC0415
+    (SURVEY §7.1). The filters are applied BELOW the derive DAG
+    (pipelines/derive.py:card_search): the city predicate reaches the nation
+    scan as a pushed filter and prunes branches via a broadcast semi-join
+    before the dedup window; the response predicate prunes services before
+    the service × branch fan-out — the cards fan-out is never materialized
+    for out-of-scope rows (the round-3 shape filtered ABOVE the window, so
+    the whole fan-out ran to return ~100 rows)."""
+    from ..pipelines.derive import card_search  # noqa: PLC0415
 
-    cards = run_derive(spark, sf_dir)["card_data"]
-    return (
-        cards.filter(
-            (F.col("branch_city") == "NATION_3")
-            & F.col("response_ids").contains("responses:economy")
-        )
-        .select("card_key", "service_id", "branch_id", "organization_name", "response_ids")
+    cards = card_search(spark, sf_dir, "NATION_3", "responses:economy")
+    return cards.filter(F.col("response_ids").contains("responses:economy")).select(
+        "card_key", "service_id", "branch_id", "organization_name", "response_ids"
     )
 
 

@@ -1,0 +1,168 @@
+"""Round-4 extension queries: the composed flagship surfaces.
+
+q74 — the autocomplete corpus flow end-to-end (reference
+      ``operators/derive/autocomplete.py:165-207``): template explode (U5) →
+      first-per-group ordered by importance (W2) → fuzzy city-bounds join
+      (J7) → (ln(count)+1)² score.
+q75 — the full card_data column surface (reference ``to_dp.py:723-915`` +
+      ``to_es.py:24-59``): RSScoreCalc per-card cap/resort, response-category
+      mode, card_score, address/org-name parts, point_id/coords/geometry
+      validation — the columns VERDICT r3 flagged as the biggest composition
+      gap, each oracle-checked here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import QueryDef, _DERIVE_CTES
+
+
+# --------------------------------------------------------------------------
+# q75 — full card surface (A10 application + to_dp.py:835-915 + card_score)
+# --------------------------------------------------------------------------
+
+# A cap of 3.0 (not the reference's 30) so the pop-while-over-cap loop has
+# rows to trim at this corpus size: fixture card totals span ~2.2-4.1, so
+# both the "kept whole" and the "top situation popped" paths execute.
+_Q75_MAX_SCORE = 3.0
+
+
+def q75_card_surface(spark, sf_dir):
+    """Full card_data surface. All heavy lifting is in
+    pipelines/derive.py:card_data_full; this picks the oracle-checkable
+    columns (arrays emitted as joined strings, doubles rounded)."""
+    from ..pipelines.derive import card_data_full, run_derive  # noqa: PLC0415
+
+    ft = run_derive(spark, sf_dir)["flat_table"]
+    full = card_data_full(ft, max_score=_Q75_MAX_SCORE)
+    return full.select(
+        "card_key",
+        "rs_score",
+        "situations_scored",
+        "situation_scores_micro",
+        "response_category",
+        "card_score",
+        "address_primary",
+        "address_secondary",
+        "org_name_primary",
+        "org_name_secondary",
+        "point_id",
+        "coords",
+        "national_service_details",
+        "organization_resolved_name",
+        "collapse_key",
+    )
+
+
+_Q75_CARD_SCORE_SQL = """
+round(
+  greatest(
+    (CASE WHEN f.service_id LIKE 'meser-%' THEN 1.0 ELSE 10.0 END)
+    * (CASE WHEN f.service_description IS NOT NULL AND length(f.service_description) > 5
+            THEN 10.0 ELSE 1.0 END)
+    * (CASE WHEN coalesce(f.national_service, false)
+            THEN 10.0 * (CASE WHEN f.organization_phone IS NOT NULL
+                              AND (length(f.organization_phone) <= 5 OR f.organization_phone LIKE '1%')
+                         THEN 5.0 ELSE 1.0 END)
+            ELSE (CASE WHEN bc.bc > 100 THEN bc.bc / 10.0 ELSE sqrt(bc.bc) END)
+       END)
+    * (CASE WHEN f.organization_kind IN ('משרד ממשלתי', 'רשות מקומית', 'תאגיד סטטוטורי')
+            THEN 5.0 ELSE 1.0 END),
+    1.0
+  ) * pow(10.0, coalesce(f.service_boost, 0.0)),
+6)
+"""
+
+Q75_SQL = _DERIVE_CTES + f"""
+, ftf AS (
+  SELECT f.branch_id || f.service_id AS card_key,
+         f.service_id, f.service_name,
+         f.description AS service_description, f.boost AS service_boost,
+         fb.branch_city, fb.branch_address,
+         fb.organization_name, fb.organization_short_name,
+         fb.organization_kind, fb.organization_phone,
+         fb.organization_branch_count, fb.national_service, fb.lat, fb.lon,
+         [f.response0, f.response1] AS response_ids,
+         [f.situation0, f.situation1] AS situation_ids
+  FROM fs f JOIN fb ON f.branch_id = fb.branch_id
+), rs_pairs AS (
+  SELECT f.card_key, len(f.response_ids) AS nr,
+         s.s AS situation_id, list_position(f.situation_ids, s.s) AS s_pos,
+         r.r AS response_id
+  FROM ftf f
+  CROSS JOIN unnest(f.situation_ids) AS s(s)
+  CROSS JOIN unnest(f.response_ids) AS r(r)
+), rs_freq AS (
+  SELECT response_id, situation_id, count(*) AS fr
+  FROM rs_pairs GROUP BY 1, 2
+), rs_tbl AS (
+  SELECT response_id, situation_id,
+         ln(CAST(sum(fr) OVER (PARTITION BY response_id) AS DOUBLE) / fr) AS score
+  FROM rs_freq
+), rs_sit AS (
+  SELECT p.card_key, p.situation_id, min(p.s_pos) AS s_pos,
+         sum(coalesce(t.score, 0)) / any_value(p.nr) AS s_score
+  FROM rs_pairs p LEFT JOIN rs_tbl t USING (response_id, situation_id)
+  GROUP BY 1, 2
+), rs_kept AS (
+  SELECT *,
+         sum(s_score) OVER (PARTITION BY card_key)
+         - sum(s_score) OVER (PARTITION BY card_key ORDER BY s_score DESC, s_pos ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + s_score AS sfx
+  FROM rs_sit
+  QUALIFY sfx <= {_Q75_MAX_SCORE}
+), rs AS (
+  SELECT card_key, round(sum(s_score), 6) AS rs_score,
+         array_to_string(list(situation_id ORDER BY s_score DESC, s_pos ASC), ',') AS situations_scored,
+         array_to_string(list(CAST(CAST(round(s_score * 1e6) AS BIGINT) AS VARCHAR)
+                              ORDER BY s_score DESC, s_pos ASC), ',') AS situation_scores_micro
+  FROM rs_kept GROUP BY card_key
+), cat AS (
+  SELECT f.card_key, string_split(r.r, ':')[2] AS category,
+         list_position(f.response_ids, r.r) AS r_pos
+  FROM ftf f CROSS JOIN unnest(f.response_ids) AS r(r)
+), catc AS (
+  SELECT card_key, category, count(*) AS n, min(r_pos) AS first_pos
+  FROM cat GROUP BY 1, 2
+), cmode AS (
+  SELECT card_key, category AS response_category
+  FROM catc
+  QUALIFY row_number() OVER (PARTITION BY card_key
+                             ORDER BY n DESC, first_pos ASC, category ASC) = 1
+)
+SELECT f.card_key,
+       coalesce(r.rs_score, 0.0) AS rs_score,
+       coalesce(r.situations_scored, '') AS situations_scored,
+       coalesce(r.situation_scores_micro, '') AS situation_scores_micro,
+       m.response_category,
+       {_Q75_CARD_SCORE_SQL} AS card_score,
+       CASE WHEN coalesce(f.national_service, false) THEN 'שירות ארצי'
+            ELSE f.branch_city END AS address_primary,
+       CASE WHEN coalesce(f.national_service, false) THEN NULL
+            ELSE left(f.branch_address, length(f.branch_address) - length(f.branch_city) - 1)
+       END AS address_secondary,
+       'Supplier' AS org_name_primary,
+       nullif(trim(' ' || substr(f.organization_name, 9), ' -,'), '') AS org_name_secondary,
+       CASE WHEN coalesce(f.national_service, false) THEN 'national_service'
+            ELSE replace(printf('%08.5f%08.5f', f.lon, f.lat), '.', '') END AS point_id,
+       printf('[%.5f,%.5f]', f.lon, f.lat) AS coords,
+       CASE WHEN coalesce(f.national_service, false) THEN 'ארצי' END AS national_service_details,
+       f.organization_short_name || ',' || f.organization_name AS organization_resolved_name,
+       trim(f.service_name || ' ' || coalesce(f.service_description, '')) AS collapse_key
+FROM ftf f
+LEFT JOIN rs r USING (card_key)
+LEFT JOIN cmode m USING (card_key)
+CROSS JOIN LATERAL (SELECT CASE WHEN coalesce(f.organization_branch_count, 1) <= 0 THEN 1.0
+                                ELSE CAST(coalesce(f.organization_branch_count, 1) AS DOUBLE) END AS bc) AS bc
+WHERE (f.lon > 33.0 AND f.lon < 37.0 AND f.lat > 29.3 AND f.lat < 33.3)
+   OR coalesce(f.national_service, false)
+"""
+
+
+EXT6_REGISTRY = {
+    "q75_card_surface": QueryDef(
+        q75_card_surface, Q75_SQL, "A10-apply A5 F5 F6 F12 F19 F20 to_dp:835-915"
+    ),
+}

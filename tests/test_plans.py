@@ -97,3 +97,27 @@ def test_heavy_dedup_plans_have_no_cartesian(spark, name):
     # q62 executes propagation rounds while building, so just assert the
     # returned plan is join-keyed, not cartesian
     assert "CartesianProduct" not in _simple(spark, name), name
+
+
+def test_card_search_filters_below_derive_dag(spark):
+    # q36's city predicate must reach the nation scan as a pushed filter (the
+    # dimension prune that replaces partition pruning when the search runs
+    # from source instead of a partitioned card_data write), and the response
+    # predicate must sit on the part scan — i.e. BELOW the dedup window and
+    # the service × branch fan-out, not above the finished card table.
+    plan = _formatted(spark, "q36_card_search")
+    assert "EqualTo(n_name,NATION_3)" in plan, "city filter not pushed to nation scan"
+    assert plan.count("responses:economy") >= 1, "response filter missing from plan"
+
+
+def test_enumerate_rows_scale_path_has_no_global_sort(spark):
+    # the partitioned variant must not serialize the table through a single
+    # unpartitioned window
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.operators.windows import enumerate_rows_scalable
+
+    df = spark.range(0, 1000, 1, 8).withColumn("v", F.col("id") % 7)
+    out = enumerate_rows_scalable(df, order_by=["v", "id"], out_col="idx")
+    plan = out._jdf.queryExecution().simpleString()
+    assert "windowspecdefinition()" not in plan

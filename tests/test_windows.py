@@ -51,3 +51,14 @@ def test_null_ts_loses_both_paths(spark):
         df.withColumn("m", F.create_map(F.lit("k"), F.col("payload"))), ["user"], "ts", ["tb"]
     ).collect()
     assert [r["payload"] for r in slow] == ["real"]
+
+
+def test_enumerate_rows_scalable_parity(spark):
+    from srm_etl_spark.operators.windows import enumerate_rows, enumerate_rows_scalable
+
+    df = spark.range(0, 500, 1, 8).withColumn("v", (F.col("id") * 37) % 101)
+    a = enumerate_rows(df, ["v", "id"], "idx").select("id", "idx").collect()
+    b = enumerate_rows_scalable(df, ["v", "id"], "idx", num_partitions=5).select(
+        "id", "idx"
+    ).collect()
+    assert sorted((r["id"], r["idx"]) for r in a) == sorted((r["id"], r["idx"]) for r in b)

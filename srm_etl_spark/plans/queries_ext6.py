@@ -161,7 +161,117 @@ WHERE (f.lon > 33.0 AND f.lon < 37.0 AND f.lat > 29.3 AND f.lat < 33.3)
 """
 
 
+# --------------------------------------------------------------------------
+# q74 — autocomplete corpus end-to-end (U5 → W2 → J7 → score)
+# --------------------------------------------------------------------------
+
+def q74_autocomplete_flow(spark, sf_dir):
+    """The composed autocomplete flow (pipelines/autocomplete.py): template
+    explode over the card corpus, first-per-query in importance order with
+    count/low aggregates, fuzzy city-bounds lookup, (ln(n)+1)^2 scoring."""
+    from ..pipelines import staging_fixtures as FIX  # noqa: PLC0415
+    from ..pipelines.autocomplete import (  # noqa: PLC0415
+        autocomplete_corpus,
+        autocomplete_input,
+        city_bounds,
+    )
+    from ..pipelines.derive import run_derive  # noqa: PLC0415
+
+    ft = run_derive(spark, sf_dir)["flat_table"]
+    cards = autocomplete_input(ft)
+    bounds = city_bounds(FIX.locations(spark, sf_dir))
+    return autocomplete_corpus(cards, bounds)
+
+
+Q74_SQL = _DERIVE_CTES + """
+, ac_cards AS (
+  SELECT [f.response0, f.response1] AS direct_responses,
+         [f.situation0, f.situation1] AS direct_situations,
+         list_sort(list_distinct(list_concat(
+           list_transform(range(2, len(string_split(f.response0, ':')) + 1),
+                          i -> array_to_string(string_split(f.response0, ':')[1:i], ':')),
+           list_transform(range(2, len(string_split(f.response1, ':')) + 1),
+                          i -> array_to_string(string_split(f.response1, ':')[1:i], ':'))))) AS responses_parents,
+         list_sort(list_distinct(list_concat(
+           list_transform(range(2, len(string_split(f.situation0, ':')) + 1),
+                          i -> array_to_string(string_split(f.situation0, ':')[1:i], ':')),
+           list_transform(range(2, len(string_split(f.situation1, ':')) + 1),
+                          i -> array_to_string(string_split(f.situation1, ':')[1:i], ':'))))) AS situations_parents,
+         coalesce(fb.organization_short_name, fb.organization_name) AS org_name,
+         fb.branch_city, fb.organization_branch_count
+  FROM fs f JOIN fb ON f.branch_id = fb.branch_id
+  WHERE (fb.lon > 33.0 AND fb.lon < 37.0 AND fb.lat > 29.3 AND fb.lat < 33.3)
+     OR coalesce(fb.national_service, false)
+), tpls AS (
+  SELECT * FROM (VALUES
+    (0, '{response}', true, false, false, false),
+    (1, '{situation}', false, true, false, false),
+    (2, '{response} עבור {situation}', true, true, false, false),
+    (3, '{org_name}', false, false, true, false),
+    (4, '{response} ב{city_name}', true, false, false, true)
+  ) AS t(importance, template, has_r, has_s, has_o, has_c)
+), ex AS (
+  SELECT c.direct_responses, c.direct_situations, c.organization_branch_count,
+         t.importance, t.template,
+         r.r AS resp, s.s AS sit,
+         CASE WHEN t.has_o THEN c.org_name END AS org,
+         CASE WHEN t.has_c THEN c.branch_city END AS city
+  FROM ac_cards c
+  CROSS JOIN tpls t
+  CROSS JOIN unnest(CASE WHEN t.has_r THEN c.responses_parents ELSE [NULL] END) AS r(r)
+  CROSS JOIN unnest(CASE WHEN t.has_s THEN c.situations_parents ELSE [NULL] END) AS s(s)
+  WHERE s.s IS NULL OR len(string_split(s.s, ':')) >= 3
+), q AS (
+  SELECT replace(replace(replace(replace(template,
+           '{response}', coalesce(resp, 'None')),
+           '{situation}', coalesce(sit, 'None')),
+           '{org_name}', coalesce(org, 'None')),
+           '{city_name}', coalesce(city, 'None')) AS query,
+         importance, resp, sit, org, city,
+         ((resp IS NOT NULL AND NOT list_contains(direct_responses, resp))
+          OR (sit IS NOT NULL AND NOT list_contains(direct_situations, sit))
+          OR (org IS NOT NULL AND organization_branch_count < 5)) AS low
+  FROM ex
+), grouped AS (
+  SELECT query,
+         count(*) OVER (PARTITION BY query) AS n,
+         bool_and(low) OVER (PARTITION BY query) AS low_all,
+         importance, resp AS response, sit AS situation,
+         org AS org_name, city AS city_name,
+         row_number() OVER (PARTITION BY query ORDER BY importance ASC,
+            resp ASC NULLS LAST, sit ASC NULLS LAST,
+            org ASC NULLS LAST, city ASC NULLS LAST) AS rn
+  FROM q
+  WHERE query NOT LIKE '%None%'
+  QUALIFY rn = 1
+), bnds AS (
+  SELECT CASE WHEN CAST(substr(location, 5) AS INT) % 3 = 0 THEN city || 'X' ELSE city END AS bkey,
+         CAST(substr(location, 5) AS INT) AS bnk,
+         printf('[%.5f,%.5f,%.5f,%.5f]', lon - 0.1, lat - 0.1, lon + 0.1, lat + 0.1) AS bounds
+  FROM locs
+), best AS (
+  SELECT g.query, b.bounds
+  FROM grouped g JOIN bnds b ON levenshtein(g.city_name, b.bkey) <= 2
+  WHERE g.city_name IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY g.query
+            ORDER BY levenshtein(g.city_name, b.bkey) ASC, b.bkey ASC, b.bnk ASC) = 1
+)
+SELECT g.query,
+       trim(regexp_replace(g.query, '[^0-9a-zA-Zא-ת]+', '_', 'g'), '_') AS qid,
+       CAST(g.n AS BIGINT) AS n,
+       round(CASE WHEN g.low_all THEN 0.5 ELSE pow(ln(CAST(g.n AS DOUBLE)) + 1, 2) END, 6) AS score,
+       g.importance, g.response, g.situation, g.org_name, g.city_name,
+       g.low_all AS low,
+       b.bounds
+FROM grouped g LEFT JOIN best b USING (query)
+WHERE g.city_name IS NULL OR b.bounds IS NOT NULL
+"""
+
+
 EXT6_REGISTRY = {
+    "q74_autocomplete_flow": QueryDef(
+        q74_autocomplete_flow, Q74_SQL, "U5 W2 J7 F12 autocomplete:165-207 §3.1"
+    ),
     "q75_card_surface": QueryDef(
         q75_card_surface, Q75_SQL, "A10-apply A5 F5 F6 F12 F19 F20 to_dp:835-915"
     ),

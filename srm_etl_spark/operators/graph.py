@@ -39,6 +39,7 @@ def connected_components(
     left_col: str = "left_id",
     right_col: str = "right_id",
     max_iter: int = 25,
+    scheme: str = "propagate",
 ) -> DataFrame:
     """(node, component) for every node in the undirected pair graph.
 
@@ -47,12 +48,23 @@ def connected_components(
     (singletons) are not returned; union them in with ``component = node`` if
     the full corpus labeling is needed.
 
+    ``scheme='propagate'`` (default) is min-label propagation — one shuffle
+    per round, rounds = graph diameter; right for the tiny-clique/star graphs
+    near-dup detection emits. ``scheme='star'`` is the alternating
+    large-star/small-star rule of Kiveris et al. (SoCC'14) — O(log²n) rounds
+    independent of diameter; right for adversarially deep graphs (long
+    chains) where propagation would need diameter rounds.
+
     Converges when no label changes (checked with an ``isEmpty`` probe per
     round — a driver-side boolean, not a collect of data). Raises if the graph
     has not converged after ``max_iter`` rounds rather than returning a wrong
     labeling.
     """
     sc = pairs.sparkSession.sparkContext
+    if scheme == "star":
+        return _cc_star(pairs, left_col, right_col, max_iter, sc)
+    if scheme != "propagate":
+        raise ValueError(f"unknown connected-components scheme: {scheme!r}")
 
     def _ckpt(df: DataFrame):
         """Eager localCheckpoint + the set of persistent-RDD ids it created,
@@ -132,6 +144,102 @@ def connected_components(
         f"connected_components: no fixpoint after {max_iter} rounds "
         "(graph diameter exceeds max_iter; raise max_iter or switch to "
         "large-star/small-star)"
+    )
+
+
+def _cc_star(
+    pairs: DataFrame, left_col: str, right_col: str, max_iter: int, sc
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
+
+    Edges are kept canonically oriented (u > v). Per round:
+
+    - **large-star**: every node u links its LARGER neighbors to the minimum
+      of its closed neighborhood — long chains halve toward local minima;
+    - **small-star**: every node u links its smaller-or-equal neighbors (and
+      itself) to that minimum — stars flatten.
+
+    At the fixpoint every edge is (node, component-minimum). Each half-step
+    is one shuffle keyed by node; convergence is detected by an order-free
+    signature (count + sum of per-edge hashes, decimal-summed so ANSI mode
+    can't overflow) instead of a set comparison, so a round costs two
+    aggregations, not an except/anti-join.
+    """
+
+    def _ckpt(df: DataFrame):
+        before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        out = df.localCheckpoint(eager=True)
+        after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        return out, after - before
+
+    def _free(ids) -> None:
+        rdds = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = rdds.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    def canon(df: DataFrame) -> DataFrame:
+        u, v = F.col("u"), F.col("v")
+        return (
+            df.select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def signature(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    edges, ids = _ckpt(
+        canon(pairs.select(F.col(left_col).alias("u"), F.col(right_col).alias("v")))
+    )
+    sig = signature(edges)
+    for _ in range(max_iter):
+        # large-star over the symmetrized neighborhood
+        sym = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.select("u", F.least("u", "_mn").alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the (hi, lo) edges: all of u's smaller neighbors and
+        # u itself attach to the neighborhood minimum
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+        )
+        new_edges, new_ids = _ckpt(canon(ss))
+        new_sig = signature(new_edges)
+        _free(ids)
+        edges, ids = new_edges, new_ids
+        if new_sig == sig:
+            # fixpoint: every edge points at its component minimum
+            left_labels = edges.groupBy("u").agg(F.min("v").alias("component")).select(
+                F.col("u").alias("node"), "component"
+            )
+            roots = (
+                edges.select(F.col("v").alias("node"))
+                .distinct()
+                .join(left_labels.select("node"), "node", "left_anti")
+                .withColumn("component", F.col("node"))
+            )
+            return left_labels.unionByName(roots)
+        sig = new_sig
+    raise RuntimeError(
+        f"connected_components(star): no fixpoint after {max_iter} rounds"
     )
 
 

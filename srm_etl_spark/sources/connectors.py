@@ -223,14 +223,22 @@ def jdbc_query(
     upper_bound: int | None = None,
     **options: str,
 ) -> DataFrame:
-    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    reader = spark.read.format("jdbc").option("url", url)
     if partition_column is not None:
+        # Spark rejects `query` + `partitionColumn` together — a partitioned
+        # read must go through `dbtable`, so wrap the query as a derived
+        # table. Each partition then scans
+        # `SELECT * FROM (query) WHERE <partition_column range clause>`,
+        # which the remote engine can push into the inner query.
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) srm_jdbc_src")
+            .option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
         )
+    else:
+        reader = reader.option("query", query)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()

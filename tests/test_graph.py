@@ -41,3 +41,39 @@ def test_empty_pair_set(spark):
     pairs = spark.createDataFrame([], "left_id long, right_id long")
     out = connected_components(pairs)
     assert out.count() == 0
+
+
+def _cc_scheme(spark, edges, scheme, max_iter=25):
+    df = spark.createDataFrame(edges, "left_id long, right_id long")
+    return {
+        r.node: r.component
+        for r in connected_components(df, scheme=scheme, max_iter=max_iter).collect()
+    }
+
+
+def test_star_scheme_parity_on_components(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (5, 2), (20, 21), (21, 22), (22, 20)]
+    assert _cc_scheme(spark, edges, "star") == _cc_scheme(spark, edges, "propagate")
+
+
+def test_star_scheme_deep_chain_in_few_rounds(spark):
+    # 40-node path (diameter 39): propagation needs ~39 rounds, the star
+    # alternation must finish well inside 10
+    edges = [(i, i + 1) for i in range(1, 40)]
+    got = _cc_scheme(spark, edges, "star", max_iter=10)
+    assert got == {i: 1 for i in range(1, 41)}
+
+
+def test_star_scheme_random_graph_parity(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randint(1, 60), rng.randint(1, 60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _cc_scheme(spark, edges, "star") == _cc_scheme(spark, edges, "propagate")
+
+
+def test_unknown_scheme_rejected(spark):
+    df = spark.createDataFrame([(1, 2)], "left_id long, right_id long")
+    with pytest.raises(ValueError, match="unknown"):
+        connected_components(df, scheme="nope")

@@ -127,28 +127,36 @@ def autocomplete_corpus(
         query.alias("query"), "importance", "resp", "sit", "org", "city", low.alias("low")
     ).filter(~F.col("query").contains("None"))
 
-    wq = Window.partitionBy("query")
-    worder = wq.orderBy(
-        F.asc("importance"),
-        F.asc_nulls_last("resp"),
-        F.asc_nulls_last("sit"),
-        F.asc_nulls_last("org"),
-        F.asc_nulls_last("city"),
+    # W2 as one hash aggregate instead of a ranked window: min_by over the
+    # (importance, fields) ordering — nulls mapped to a max sentinel so the
+    # keeper matches the window's NULLS LAST — combines map-side, so the
+    # shuffle carries one row per distinct query per mapper, not the whole
+    # template fan-out.
+    sent = "￿"
+    order_key = F.struct(
+        F.col("importance"),
+        F.coalesce("resp", F.lit(sent)),
+        F.coalesce("sit", F.lit(sent)),
+        F.coalesce("org", F.lit(sent)),
+        F.coalesce("city", F.lit(sent)),
     )
+    winner = F.struct("importance", "resp", "sit", "org", "city")
     grouped = (
-        q.withColumn("n", F.count(F.lit(1)).over(wq))
-        .withColumn("low_all", F.bool_and("low").over(wq))
-        .withColumn("_rn", F.row_number().over(worder))
-        .filter(F.col("_rn") == 1)
+        q.groupBy("query")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bool_and("low").alias("low"),
+            F.min_by(winner, order_key).alias("_w"),
+        )
         .select(
             "query",
             "n",
-            F.col("low_all").alias("low"),
-            "importance",
-            F.col("resp").alias("response"),
-            F.col("sit").alias("situation"),
-            F.col("org").alias("org_name"),
-            F.col("city").alias("city_name"),
+            "low",
+            F.col("_w.importance").alias("importance"),
+            F.col("_w.resp").alias("response"),
+            F.col("_w.sit").alias("situation"),
+            F.col("_w.org").alias("org_name"),
+            F.col("_w.city").alias("city_name"),
         )
     )
 

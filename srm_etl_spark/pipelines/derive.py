@@ -240,41 +240,44 @@ def card_data_full(flat_table_df: DataFrame, max_score: float = 30.0) -> DataFra
         F.min("s_pos").alias("s_pos"),
         (F.sum(F.coalesce(F.col("_score"), F.lit(0.0))) / F.first("_nr")).alias("s_score"),
     )
-    wo = (
-        Window.partitionBy("card_key")
-        .orderBy(F.desc("s_score"), F.asc("s_pos"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wp = Window.partitionBy("card_key")
-    suffix = (
-        F.sum("s_score").over(wp)
-        - F.sum("s_score").over(wo)
-        + F.col("s_score")
-    )
-    kept = s_scores.withColumn("_suffix", suffix).filter(F.col("_suffix") <= max_score)
-    rs = (
-        kept.groupBy("card_key")
-        .agg(
-            F.sum("s_score").alias("_rs_raw"),
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("s_score")).alias("ns"),
-                        F.col("s_pos").alias("sp"),
-                        F.col("situation_id").alias("sid"),
-                    )
-                )
-            ).alias("_arr"),
+    # The pop-while-over-cap loop runs entirely in array expressions: collect
+    # each card's (score, position, id) triples, sort by (score desc, pos
+    # asc) — ascending on the negated score — then keep the elements whose
+    # score-desc SUFFIX sum is ≤ the cap (scores are non-negative so the
+    # suffix sum is monotone; O(k²) aggregate-in-filter with k = situations
+    # per card, single digits). One hash aggregate per stage, no window sort.
+    def _kept(arr):
+        def suffix_le_cap(x, i):
+            tail = F.slice(arr, i + F.lit(1), F.size(arr) - i)
+            s = F.aggregate(tail, F.lit(0.0), lambda a, y: a + (-y["ns"]))
+            return s <= F.lit(max_score)
+
+        return F.filter(arr, suffix_le_cap)
+
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("s_score")).alias("ns"),
+                F.col("s_pos").alias("sp"),
+                F.col("situation_id").alias("sid"),
+            )
         )
+    )
+    rs = (
+        s_scores.groupBy("card_key")
+        .agg(arr.alias("_arr"))
+        .select("card_key", _kept(F.col("_arr")).alias("_kept"))
         .select(
             "card_key",
-            F.round("_rs_raw", 6).alias("rs_score"),
-            F.array_join(F.transform("_arr", lambda x: x["sid"]), ",").alias(
+            F.round(
+                F.aggregate("_kept", F.lit(0.0), lambda a, y: a + (-y["ns"])), 6
+            ).alias("rs_score"),
+            F.array_join(F.transform("_kept", lambda x: x["sid"]), ",").alias(
                 "situations_scored"
             ),
             F.array_join(
                 F.transform(
-                    "_arr",
+                    "_kept",
                     lambda x: F.round((-x["ns"]) * 1e6).cast("long").cast("string"),
                 ),
                 ",",
@@ -291,13 +294,12 @@ def card_data_full(flat_table_df: DataFrame, max_score: float = 30.0) -> DataFra
     cat_counts = cats.groupBy("card_key", "category").agg(
         F.count(F.lit(1)).alias("_n"), F.min("r_pos").alias("_first_pos")
     )
-    wmode = Window.partitionBy("card_key").orderBy(
-        F.desc("_n"), F.asc("_first_pos"), F.asc("category")
-    )
-    modes = (
-        cat_counts.withColumn("_rn", F.row_number().over(wmode))
-        .filter(F.col("_rn") == 1)
-        .select("card_key", F.col("category").alias("response_category"))
+    # mode keeper as a hash aggregate (map-side combinable), not a ranked
+    # window: min over (count desc → -n, first position asc, category asc)
+    modes = cat_counts.groupBy("card_key").agg(
+        F.min_by(
+            "category", F.struct(-F.col("_n"), F.col("_first_pos"), F.col("category"))
+        ).alias("response_category")
     )
 
     enriched = base.join(rs, "card_key", "left").join(modes, "card_key", "left")
@@ -468,7 +470,13 @@ def run_derive(spark: SparkSession, sf_dir: str, use_cache: bool = True) -> dict
     svcs = FIX.services(spark, sf_dir)
     fb = flat_branches(brs, locs, orgs).persist(StorageLevel.MEMORY_AND_DISK)
     fs = flat_services(svcs, fb)
-    ft = flat_table(fs, fb)
+    # flat_table is ALSO a multi-consumer stage: card_data reads it once, but
+    # card_data_full fans it into the score-pair explode, the category
+    # explode and the enrichment join, and the autocomplete corpus reads it
+    # again — without the persist each branch re-runs the service × branch
+    # join + dedup window (~4 recomputes at sf0.1). The reference dumps this
+    # stage to disk for the same reason (to_dp.py:697).
+    ft = flat_table(fs, fb).persist(StorageLevel.MEMORY_AND_DISK)
     cards = card_data(ft)
     stages = {
         "flat_branches": fb,

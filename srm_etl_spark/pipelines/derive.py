@@ -37,6 +37,14 @@ from ..functions.hashing import hasher
 from ..functions.taxonomy import update_taxonomy_with_parents
 from . import staging_fixtures as FIX
 
+# reference operators/derive/autocomplete.py:35-38 (shared with to_dp.py's
+# possible_autocomplete) — curated noise situations excluded from suggestion
+# strings; kept verbatim so the rule is live when the real taxonomy flows in.
+_IGNORE_SITUATIONS = (
+    "human_situations:language:hebrew_speaking",
+    "human_situations:age_group:adults",
+)
+
 
 def flat_branches(
     branches: DataFrame, locations: DataFrame, organizations: DataFrame
@@ -302,6 +310,51 @@ def card_data_full(flat_table_df: DataFrame, max_score: float = 30.0) -> DataFra
         ).alias("response_category")
     )
 
+    # ---- possible_autocomplete (to_dp.py:180-195) ---------------------------
+    # Nested set comprehension over responses × situations (+city variants),
+    # reproduced as nested array transforms: build every candidate string
+    # (nulls where a guard fails), then flatten → de-null → distinct → sort.
+    # The reference's curated ignore-set and category exclusions are kept
+    # structurally (no-ops on this corpus, live on the real taxonomy).
+    ignore_arr = F.array(*[F.lit(s) for s in _IGNORE_SITUATIONS])
+    city = F.col("branch_city")
+
+    def _per_situation(r):
+        def inner(s):
+            not_ignored = ~F.array_contains(ignore_arr, s)
+            cat = F.split(s, ":").getItem(1)
+            name_ok = not_ignored & ~cat.isin("age_group", "language")
+            return F.array(
+                F.when(name_ok, s),
+                F.when(not_ignored, F.concat(r, F.lit(" עבור "), s)),
+                F.when(
+                    city.isNotNull(),
+                    F.concat(F.lit("שירותים עבור "), s, F.lit(" ב"), city),
+                ),
+                F.when(
+                    city.isNotNull(),
+                    F.concat(r, F.lit(" עבור "), s, F.lit(" ב"), city),
+                ),
+            )
+
+        return inner
+
+    per_response = F.transform(
+        F.col("response_ids"),
+        lambda r: F.concat(
+            F.array(r),
+            F.flatten(F.transform(F.col("situation_ids"), _per_situation(r))),
+            F.when(
+                city.isNotNull(), F.array(F.concat(r, F.lit(" ב"), city))
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    )
+    possible_ac = F.array_sort(
+        F.array_distinct(
+            F.filter(F.flatten(per_response), lambda x: x.isNotNull())
+        )
+    )
+
     enriched = base.join(rs, "card_key", "left").join(modes, "card_key", "left")
     enriched = (
         enriched.withColumn("rs_score", F.coalesce("rs_score", F.lit(0.0)))
@@ -377,6 +430,30 @@ def card_data_full(flat_table_df: DataFrame, max_score: float = 30.0) -> DataFra
         .withColumn(
             "organization_resolved_name",
             F.concat_ws(",", "organization_short_name", "organization_name"),
+        )
+        .withColumn("possible_autocomplete", F.array_join(possible_ac, "|"))
+        # safe_reorder_responses_by_category (to_dp.py:50-67): responses whose
+        # category matches the card's response_category float to the front,
+        # both halves keeping their original order (stable partition)
+        .withColumn(
+            "responses_reordered",
+            F.array_join(
+                F.concat(
+                    F.filter(
+                        "response_ids",
+                        lambda r: F.split(r, ":").getItem(1).eqNullSafe(
+                            F.col("response_category")
+                        ),
+                    ),
+                    F.filter(
+                        "response_ids",
+                        lambda r: ~F.split(r, ":").getItem(1).eqNullSafe(
+                            F.col("response_category")
+                        ),
+                    ),
+                ),
+                ",",
+            ),
         )
         .withColumn(
             "collapse_key",

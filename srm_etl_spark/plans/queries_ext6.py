@@ -52,6 +52,8 @@ def q75_card_surface(spark, sf_dir):
         "national_service_details",
         "organization_resolved_name",
         "collapse_key",
+        "possible_autocomplete",
+        "responses_reordered",
     )
 
 
@@ -150,7 +152,29 @@ SELECT f.card_key,
        printf('[%.5f,%.5f]', f.lon, f.lat) AS coords,
        CASE WHEN coalesce(f.national_service, false) THEN 'ארצי' END AS national_service_details,
        f.organization_short_name || ',' || f.organization_name AS organization_resolved_name,
-       trim(f.service_name || ' ' || coalesce(f.service_description, '')) AS collapse_key
+       trim(f.service_name || ' ' || coalesce(f.service_description, '')) AS collapse_key,
+       array_to_string(list_sort(list_distinct(list_filter(flatten(
+         list_transform(f.response_ids, r -> list_concat(list_concat(
+           [r],
+           flatten(list_transform(f.situation_ids, s -> [
+             CASE WHEN NOT list_contains(['human_situations:language:hebrew_speaking',
+                                          'human_situations:age_group:adults'], s)
+                   AND NOT list_contains(['age_group', 'language'], string_split(s, ':')[2])
+                  THEN s END,
+             CASE WHEN NOT list_contains(['human_situations:language:hebrew_speaking',
+                                          'human_situations:age_group:adults'], s)
+                  THEN r || ' עבור ' || s END,
+             CASE WHEN f.branch_city IS NOT NULL
+                  THEN 'שירותים עבור ' || s || ' ב' || f.branch_city END,
+             CASE WHEN f.branch_city IS NOT NULL
+                  THEN r || ' עבור ' || s || ' ב' || f.branch_city END]))),
+           CASE WHEN f.branch_city IS NOT NULL
+                THEN [r || ' ב' || f.branch_city] ELSE [] END))),
+         x -> x IS NOT NULL))), '|') AS possible_autocomplete,
+       array_to_string(list_concat(
+         list_filter(f.response_ids, r -> string_split(r, ':')[2] IS NOT DISTINCT FROM m.response_category),
+         list_filter(f.response_ids, r -> string_split(r, ':')[2] IS DISTINCT FROM m.response_category)
+       ), ',') AS responses_reordered
 FROM ftf f
 LEFT JOIN rs r USING (card_key)
 LEFT JOIN cmode m USING (card_key)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .queries import QueryDef, _DERIVE_CTES
+from .queries import QueryDef, _DERIVE_CTES, _t
 
 
 # --------------------------------------------------------------------------
@@ -292,11 +292,144 @@ WHERE g.city_name IS NULL OR b.bounds IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# q76 — sequence packing for training batches (operators/packing.py)
+# --------------------------------------------------------------------------
+
+_Q76_BUDGET = 2048
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q76_sequence_packing(spark, sf_dir):
+    """Concat-then-chunk packing of the documents corpus into 2048-token
+    training sequences, stratified by language (one prefix-sum window per
+    lang — no stratum holds the corpus). Emits per-sequence stats: how many
+    documents land in each sequence and how many tokens they carry (head
+    sequences hold exactly ~budget; each stratum's tail is partial)."""
+    from ..operators.packing import pack_sequences  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), F.lit(0))),
+        F.lit(0),
+    ).cast("long")
+    per_doc = d.select("doc_id", "lang", toks.alias("n_tokens"))
+    packed = pack_sequences(
+        per_doc, "n_tokens", [F.asc("doc_id")], _Q76_BUDGET, strata=["lang"]
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+Q76_SQL = rf"""
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_offset
+  FROM per_doc
+)
+SELECT lang, CAST(floor(start_offset / {_Q76_BUDGET}) AS BIGINT) AS seq_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc
+FROM packed GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q77 — BM25 keyword retrieval over the documents corpus
+# --------------------------------------------------------------------------
+
+_Q77_TERMS = ("hash", "join", "vector")
+_Q77_K1, _Q77_B, _Q77_TOPK = 1.2, 0.75, 20
+
+
+def q77_bm25_search(spark, sf_dir):
+    """Okapi BM25 scoring for a 3-term keyword query with top-k retrieval —
+    the search primitive a corpus-curation pipeline uses for targeted
+    sampling. Everything is relational: per-(doc, term) term frequencies from
+    one explode (filtered to the query terms before the shuffle), document
+    frequencies and corpus stats as broadcast singletons, the score a pure
+    expression, top-k a bounded sort."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+    per_doc = d.select("doc_id", words.alias("w")).select(
+        "doc_id", F.size("w").cast("double").alias("dl"), "w"
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        per_doc.select("doc_id", "dl", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*_Q77_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf", F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "w_tf",
+            (F.col("tf") * (_Q77_K1 + 1))
+            / (F.col("tf") + _Q77_K1 * (1 - _Q77_B + _Q77_B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("idf") * F.col("w_tf")), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_Q77_TOPK)
+
+
+Q77_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+), lens AS (
+  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, w FROM per_doc
+), corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens
+), tf AS (
+  SELECT doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+  FROM lens, unnest(w) AS t(term)
+  WHERE t.term IN ('hash', 'join', 'vector')
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+)
+SELECT doc_id,
+       round(sum(
+         ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (t.tf * ({_Q77_K1} + 1)) / (t.tf + {_Q77_K1} * (1 - {_Q77_B} + {_Q77_B} * t.dl / c.avgdl))
+       ), 6) AS bm25
+FROM tf t JOIN dfreq d USING (term) CROSS JOIN corpus c
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {_Q77_TOPK}
+"""
+
+
 EXT6_REGISTRY = {
     "q74_autocomplete_flow": QueryDef(
         q74_autocomplete_flow, Q74_SQL, "U5 W2 J7 F12 autocomplete:165-207 §3.1"
     ),
     "q75_card_surface": QueryDef(
         q75_card_surface, Q75_SQL, "A10-apply A5 F5 F6 F12 F19 F20 to_dp:835-915"
+    ),
+    "q76_sequence_packing": QueryDef(
+        q76_sequence_packing, Q76_SQL, "LLM-pipeline: training-sequence packing"
+    ),
+    "q77_bm25_search": QueryDef(
+        q77_bm25_search, Q77_SQL, "LLM-pipeline: BM25 corpus retrieval"
     ),
 }

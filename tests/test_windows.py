@@ -62,3 +62,14 @@ def test_enumerate_rows_scalable_parity(spark):
         "id", "idx"
     ).collect()
     assert sorted((r["id"], r["idx"]) for r in a) == sorted((r["id"], r["idx"]) for r in b)
+
+
+def test_pack_sequences_budget_semantics(spark):
+    from srm_etl_spark.operators.packing import pack_sequences
+
+    rows = [(1, "a", 5), (2, "a", 5), (3, "a", 5), (4, "a", 5), (5, "b", 12)]
+    df = spark.createDataFrame(rows, "doc int, lang string, tok long")
+    out = pack_sequences(df, "tok", ["doc"], budget=10, strata=["lang"])
+    got = {r["doc"]: (r["seq_id"], r["start_offset"]) for r in out.collect()}
+    # lang a: offsets 0,5,10,15 -> seqs 0,0,1,1; lang b independent: offset 0
+    assert got == {1: (0, 0), 2: (0, 5), 3: (1, 10), 4: (1, 15), 5: (0, 0)}

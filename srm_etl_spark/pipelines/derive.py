@@ -167,7 +167,11 @@ def card_data(flat_table_df: DataFrame, autotag_rules: DataFrame | None = None) 
     ).withColumn("situation_ids", F.array_join(F.col("situation_ids"), ","))
 
 
-def card_data_full(flat_table_df: DataFrame, max_score: float = 30.0) -> DataFrame:
+def card_data_full(
+    flat_table_df: DataFrame,
+    max_score: float = 30.0,
+    auto_tagged_col: str | None = None,
+) -> DataFrame:
     """The full reference card surface (to_dp.py:821-915 + to_es.py:24-59):
     everything :func:`card_data` has, plus
 
@@ -225,17 +229,27 @@ def card_data_full(flat_table_df: DataFrame, max_score: float = 30.0) -> DataFra
         # (to_dp.py:835-836) which card_data() carries
         F.col("responses").alias("response_ids"),
         F.col("situations").alias("situation_ids"),
+        *(
+            [F.col(auto_tagged_col).alias("_auto_tagged")]
+            if auto_tagged_col is not None
+            else []
+        ),
     )
 
     # ---- RSScoreCalc (A10) -------------------------------------------------
+    # auto-tagged situations contribute 0 to the card score (reference
+    # to_dp.py:735-736) — the zeroing happens at APPLICATION time; the score
+    # table itself is built over all pairs.
     sit = base.select(
         "card_key",
         F.size("response_ids").alias("_nr"),
         "response_ids",
+        *(["_auto_tagged"] if auto_tagged_col is not None else []),
         F.posexplode("situation_ids").alias("s_pos", "situation_id"),
     )
     pairs = sit.select(
         "card_key", "_nr", "s_pos", "situation_id",
+        *(["_auto_tagged"] if auto_tagged_col is not None else []),
         F.explode("response_ids").alias("response_id"),
     )
     score_tbl = idf_score_table(
@@ -244,9 +258,18 @@ def card_data_full(flat_table_df: DataFrame, max_score: float = 30.0) -> DataFra
     scored = pairs.join(
         F.broadcast(score_tbl), ["response_id", "situation_id"], "left"
     )
+    applied = F.coalesce(F.col("_score"), F.lit(0.0))
+    if auto_tagged_col is not None:
+        applied = F.when(
+            F.array_contains(
+                F.coalesce(F.col("_auto_tagged"), F.array().cast("array<string>")),
+                F.col("situation_id"),
+            ),
+            F.lit(0.0),
+        ).otherwise(applied)
     s_scores = scored.groupBy("card_key", "situation_id").agg(
         F.min("s_pos").alias("s_pos"),
-        (F.sum(F.coalesce(F.col("_score"), F.lit(0.0))) / F.first("_nr")).alias("s_score"),
+        (F.sum(applied) / F.first("_nr")).alias("s_score"),
     )
     # The pop-while-over-cap loop runs entirely in array expressions: collect
     # each card's (score, position, id) triples, sort by (score desc, pos

@@ -62,3 +62,30 @@ def test_card_taxonomy_parent_expansion(stages):
         for t in full:
             parent = t.rsplit(":", 1)[0]
             assert parent in ids
+
+
+def test_auto_tagged_situations_score_zero(spark, sf_dir):
+    # reference to_dp.py:735-736: an auto-tagged situation contributes 0 to
+    # the card's rs_score, so it sorts behind organically-scored situations
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.pipelines.derive import card_data_full, run_derive
+
+    ft = run_derive(spark, sf_dir)["flat_table"]
+    # mark every card's FIRST direct situation (situations:size:*) as
+    # auto-tagged
+    ft_tagged = ft.withColumn("auto_tagged", F.array(F.col("situations").getItem(0)))
+    full = card_data_full(ft_tagged, max_score=30.0, auto_tagged_col="auto_tagged")
+    rows = full.select("situations_scored", "situation_scores_micro").limit(50).collect()
+    assert rows
+    for r in rows:
+        sids = r["situations_scored"].split(",")
+        scores = r["situation_scores_micro"].split(",")
+        # the zeroed size-situation must sort last with a 0 score
+        assert sids[-1].startswith("situations:size:")
+        assert scores[-1] == "0"
+        assert sids[0].startswith("situations:brand:")
+    # and the un-tagged run must score the size situation > 0
+    plain = card_data_full(ft, max_score=30.0)
+    r0 = plain.select("situation_scores_micro").limit(5).collect()
+    assert all(all(s != "0" for s in r["situation_scores_micro"].split(",")) for r in r0)

@@ -127,3 +127,44 @@ def test_pluscode_and_cleanup_exprs(spark):
         clean_resolved_address(F.col("s")).alias("c")
     ).first()
     assert c.c == "a, b"
+
+
+def test_primary_miss_without_fallback_is_not_found(spark):
+    # no fallback supplied: a primary miss must still mark the row NOT_FOUND
+    # (it previously stayed VALID with null coordinates and was reselected
+    # every run)
+    locs = spark.createDataFrame(
+        [("loc-x", "Unknown 1", None, None, None, None)],
+        "id string, alternate_address string, status string, "
+        "resolved_lat double, resolved_lon double, resolved_city string",
+    )
+
+    def miss(kw):
+        return None
+
+    out = geocode_locations(locs, resolver=miss, fallback=None).collect()
+    assert len(out) == 1
+    assert out[0]["status"] == "NOT_FOUND"
+
+
+def test_pluscode_pin_uses_row_id_not_keyword(spark):
+    # pluscode rows resolve through the fallback; the pinned resolved_address
+    # must be the ROW's id (reference __init__.py:86-88), not the deduped
+    # keyword (here: the alternate address)
+    locs = spark.createDataFrame(
+        [("8G4P+VX Tel Aviv", "8G4P+VX somewhere", None, None, None, None)],
+        "id string, alternate_address string, status string, "
+        "resolved_lat double, resolved_lon double, resolved_city string",
+    )
+
+    def miss(kw):
+        return None
+
+    def fb(kw):
+        return dict(resolved_lat=32.07, resolved_lon=34.79, resolved_city="TLV")
+
+    out = geocode_locations(locs, resolver=miss, fallback=fb).collect()
+    assert len(out) == 1
+    assert out[0]["accuracy"] == "ADDR_V1"
+    assert out[0]["resolved_address"] == "8G4P+VX Tel Aviv"
+    assert out[0]["status"] == "VALID"

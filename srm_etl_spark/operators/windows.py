@@ -72,14 +72,15 @@ def enumerate_rows_scalable(
 
 
 def first_per_group(
-    df: DataFrame, keys: list[str], order_by: list, aggs: list | None = None
+    df: DataFrame, keys: list[str], order_by: list, aggs: dict[str, object] | None = None
 ) -> DataFrame:
     """Keep the first row per key in the given order, optionally attaching
-    group-level aggregates computed over the WHOLE group (W2)."""
+    named group-level aggregates computed over the WHOLE group (W2), e.g.
+    ``aggs={"n": F.count(F.lit(1)), "low": F.bool_and("low")}``."""
     w = Window.partitionBy(*keys)
     ranked = df.withColumn("_rn", F.row_number().over(w.orderBy(*order_by)))
-    for agg in aggs or []:
-        ranked = ranked.withColumn(agg._alias if hasattr(agg, "_alias") else str(agg), agg.over(w))
+    for name, agg in (aggs or {}).items():
+        ranked = ranked.withColumn(name, agg.over(w))
     return ranked.filter(F.col("_rn") == 1).drop("_rn")
 
 

@@ -367,11 +367,27 @@ def q77_bm25_search(spark, sf_dir):
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
+
+    # term frequencies as per-document array scans — for a fixed small query
+    # the token array is counted in place (3 filtered sizes per doc) instead
+    # of exploding the whole corpus' tokens into ~dl× more rows; the only
+    # rows that leave the map are (doc, matched term).
+    def _eq(term):
+        return lambda x: x == F.lit(term)
+
+    tf_arr = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(F.filter("w", _eq(t))).cast("double").alias("tf"),
+            )
+            for t in _Q77_TERMS
+        ]
+    )
     tf = (
-        per_doc.select("doc_id", "dl", F.explode("w").alias("term"))
-        .filter(F.col("term").isin(*_Q77_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
+        per_doc.select("doc_id", "dl", F.explode(tf_arr).alias("t"))
+        .select("doc_id", "dl", "t.term", "t.tf")
+        .filter(F.col("tf") > 0)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (

@@ -73,3 +73,15 @@ def test_pack_sequences_budget_semantics(spark):
     got = {r["doc"]: (r["seq_id"], r["start_offset"]) for r in out.collect()}
     # lang a: offsets 0,5,10,15 -> seqs 0,0,1,1; lang b independent: offset 0
     assert got == {1: (0, 0), 2: (0, 5), 3: (1, 10), 4: (1, 15), 5: (0, 0)}
+
+
+def test_first_per_group_named_aggs(spark):
+    from srm_etl_spark.operators.windows import first_per_group
+
+    rows = [(1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 9, "z")]
+    df = spark.createDataFrame(rows, "k int, o int, v string")
+    out = first_per_group(
+        df, ["k"], [F.asc("o")], aggs={"n": F.count(F.lit(1)), "mx": F.max("o")}
+    ).collect()
+    got = {r["k"]: (r["v"], r["n"], r["mx"]) for r in out}
+    assert got == {1: ("a", 3, 3), 2: ("z", 1, 9)}

@@ -1,0 +1,80 @@
+"""Corpus curation: the composed training-data flow.
+
+Chains the standalone LLM-pipeline operators into the manifest-producing
+pipeline a pretraining data run executes, with an auditable funnel:
+
+    raw documents
+      → exact dedup on normalized text (hash-groupBy, min-doc_id keeper —
+        operators/dedup.py semantics)
+      → quality gate (C4/Gopher integer-count flags —
+        functions/text.py:with_quality_flags)
+      → sequence packing (concat-then-chunk per language stratum —
+        operators/packing.py)
+
+Every stage boundary emits (stage, rows, tokens) — the reference's
+filter-with-stat discipline (``srm_tools/stats.py:82-110``) applied to a
+corpus pipeline: drops are counted, never silent.
+
+Scale shape: dedup is one shuffle keyed by content hash; the quality gate is
+a map; packing is one window per language stratum. Nothing touches the
+driver except the final funnel aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, with_quality_flags
+from ..operators.packing import pack_sequences
+
+# Same BPE-ish pre-tokenizer as the token-stats query (q49) so token budgets
+# mean the same thing across the engine.
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _bpe_tokens(text) -> F.Column:
+    return F.coalesce(
+        F.size(F.regexp_extract_all(text, F.lit(_TOKEN_RE), F.lit(0))), F.lit(0)
+    ).cast("long")
+
+
+def curate_corpus(docs: DataFrame, budget: int = 2048) -> dict[str, DataFrame]:
+    """Run the curation chain; returns every stage as a DataFrame."""
+    deduped = (
+        docs.withColumn("_norm", normalized_text(F.col("text")))
+        .groupBy("_norm")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by(F.struct("lang", "text"), F.col("doc_id")).alias("_k"),
+        )
+        .select("doc_id", F.col("_k.lang").alias("lang"), F.col("_k.text").alias("text"))
+    )
+    quality = with_quality_flags(deduped, "text").filter(F.col("keep"))
+    sized = quality.select(
+        "doc_id", "lang", _bpe_tokens(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(sized, "n_tokens", [F.asc("doc_id")], budget, strata=["lang"])
+    return {"raw": docs, "deduped": deduped, "quality": quality, "packed": packed}
+
+
+def curation_funnel(docs: DataFrame, budget: int = 2048) -> DataFrame:
+    """(stage, n_rows, n_tokens) per pipeline stage — the audit manifest."""
+    stages = curate_corpus(docs, budget)
+
+    def _stat(name: str, df: DataFrame, token_expr) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum(token_expr), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+
+    raw = _stat("00_raw", stages["raw"], _bpe_tokens(F.col("text")))
+    ded = _stat("10_deduped", stages["deduped"], _bpe_tokens(F.col("text")))
+    qua = _stat("20_quality", stages["quality"], _bpe_tokens(F.col("text")))
+    pck = stages["packed"].agg(
+        F.lit("30_packed_sequences").alias("stage"),
+        F.countDistinct("lang", "seq_id").alias("n_rows"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    return raw.unionByName(ded).unionByName(qua).unionByName(pck)

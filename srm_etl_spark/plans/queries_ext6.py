@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .queries import QueryDef, _DERIVE_CTES, _t
+from .queries import _NORM, _STOP_SQL, QueryDef, _DERIVE_CTES, _t
 
 
 # --------------------------------------------------------------------------
@@ -435,6 +435,70 @@ LIMIT {_Q77_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# q78 — composed corpus-curation funnel (pipelines/curation.py)
+# --------------------------------------------------------------------------
+
+
+def q78_curation_funnel(spark, sf_dir):
+    """The composed training-data pipeline — exact dedup → C4/Gopher quality
+    gate → per-language sequence packing — with the per-stage
+    (rows, tokens) audit funnel the reference's filter-with-stat discipline
+    demands. Each stage is the already-verified standalone operator; this
+    gate checks their composition end-to-end."""
+    from ..pipelines.curation import curation_funnel  # noqa: PLC0415
+
+    return curation_funnel(_t(spark, sf_dir, "documents"))
+
+
+_BPE_SQL = r"CAST(len(regexp_extract_all({c}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)"
+
+Q78_SQL = f"""
+WITH normed AS (
+  SELECT doc_id, lang, text, {_NORM.format(c='text')} AS norm FROM documents
+), deduped AS (
+  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, arg_min(text, doc_id) AS text
+  FROM normed GROUP BY norm
+), qbase AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS n_punct
+  FROM deduped
+), counted AS (
+  SELECT doc_id, lang, text, nonspace, n_punct,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS INT) AS total_word_chars,
+         CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                              t -> list_contains({_STOP_SQL}, t))) AS INT) AS n_stopwords
+  FROM qbase
+), quality AS (
+  SELECT doc_id, lang, text FROM counted
+  WHERE n_tokens >= 50
+    AND 3 * n_tokens <= total_word_chars AND total_word_chars <= 10 * n_tokens
+    AND n_punct * 10 <= nonspace
+    AND n_stopwords >= 2
+), sized AS (
+  SELECT doc_id, lang, {_BPE_SQL.format(c='text')} AS n_tokens FROM quality
+), packed AS (
+  SELECT lang, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                    / 2048) AS BIGINT) AS seq_id
+  FROM sized
+)
+SELECT '00_raw' AS stage, count(*) AS n_rows,
+       CAST(coalesce(sum({_BPE_SQL.format(c='text')}), 0) AS BIGINT) AS n_tokens FROM documents
+UNION ALL
+SELECT '10_deduped', count(*), CAST(coalesce(sum({_BPE_SQL.format(c='text')}), 0) AS BIGINT) FROM deduped
+UNION ALL
+SELECT '20_quality', count(*), CAST(coalesce(sum({_BPE_SQL.format(c='text')}), 0) AS BIGINT) FROM quality
+UNION ALL
+SELECT '30_packed_sequences', count(DISTINCT (lang, seq_id)),
+       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM packed
+"""
+
+
 EXT6_REGISTRY = {
     "q74_autocomplete_flow": QueryDef(
         q74_autocomplete_flow, Q74_SQL, "U5 W2 J7 F12 autocomplete:165-207 §3.1"
@@ -447,5 +511,8 @@ EXT6_REGISTRY = {
     ),
     "q77_bm25_search": QueryDef(
         q77_bm25_search, Q77_SQL, "LLM-pipeline: BM25 corpus retrieval"
+    ),
+    "q78_curation_funnel": QueryDef(
+        q78_curation_funnel, Q78_SQL, "LLM-pipeline: composed curation funnel P7-style"
     ),
 }

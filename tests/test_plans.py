@@ -121,3 +121,18 @@ def test_enumerate_rows_scale_path_has_no_global_sort(spark):
     out = enumerate_rows_scalable(df, order_by=["v", "id"], out_col="idx")
     plan = out._jdf.queryExecution().simpleString()
     assert "windowspecdefinition()" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q74_autocomplete_flow", "q75_card_surface", "q76_sequence_packing", "q78_curation_funnel"],
+)
+def test_round4_composed_plans_have_no_cartesian(spark, name):
+    assert "CartesianProduct" not in _simple(spark, name), name
+
+
+def test_sequence_packing_window_is_stratified(spark):
+    plan = _simple(spark, "q76_sequence_packing")
+    for line in plan.splitlines():
+        if "Window " in line and "windowspecdefinition" in line:
+            assert "windowspecdefinition()" not in line, "unstratified packing window"

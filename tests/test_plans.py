@@ -136,3 +136,31 @@ def test_sequence_packing_window_is_stratified(spark):
     for line in plan.splitlines():
         if "Window " in line and "windowspecdefinition" in line:
             assert "windowspecdefinition()" not in line, "unstratified packing window"
+
+
+def test_card_search_on_partitioned_write_prunes_partitions(spark, tmp_path):
+    # the written-table twin of q36: card_data published partitioned by city,
+    # then searched — the city predicate must become a PartitionFilter (whole
+    # directories skipped), the 100 TB story for a precomputed card table
+    from srm_etl_spark.pipelines.derive import run_derive
+
+    cards = run_derive(spark, SF)["card_data"]
+    path = str(tmp_path / "card_data_by_city")
+    cards.write.mode("overwrite").partitionBy("branch_city").parquet(path)
+
+    from pyspark.sql import functions as F
+
+    got = spark.read.parquet(path).filter(
+        (F.col("branch_city") == "NATION_3")
+        & F.col("response_ids").contains("responses:economy")
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "branch_city" in pf and "NATION_3" in pf, f"city not a partition filter: {pf}"
+    # and the result matches the from-source search
+    from srm_etl_spark.pipelines.derive import card_search
+
+    direct = card_search(spark, SF, "NATION_3", "responses:economy")
+    assert sorted(r["card_key"] for r in got.select("card_key").collect()) == sorted(
+        r["card_key"] for r in direct.select("card_key").collect()
+    )

@@ -628,3 +628,48 @@ def dedup_by_keys(df: DataFrame, keys: list[str], order_by: list | None = None) 
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seen_fp_col: str = "fp",
+    num_bits: int = 1 << 20,
+) -> DataFrame:
+    """Incremental-ingestion dedup: drop new documents whose content
+    fingerprint already exists in the historical corpus, after collapsing
+    exact duplicates inside the batch itself (min-id keeper, with the
+    collapsed count as ``dup_count``).
+
+    The history side never re-shuffles: a bloom runtime filter built over its
+    fingerprint column (one ``bit_or`` aggregate, ``num_bits/64`` longs on
+    the driver) splits the batch scan-side into *definitely new* rows — which
+    skip the anti-join shuffle entirely — and *maybe seen* candidates, which
+    the exact anti-join then confirms. At 100 TB of history the shuffle is
+    proportional to (true duplicates + bloom false positives), not to the
+    batch; re-ingestion runs touch the historical table only to build the
+    16-128 KB filter.
+
+    Returns the surviving new rows with ``fp`` and ``dup_count`` attached.
+    """
+    from ..functions.text import fingerprint  # noqa: PLC0415
+    from .bloom import bloom_might_contain, build_bloom  # noqa: PLC0415
+
+    fp = new_docs.withColumn("fp", fingerprint(F.col(text_col)))
+    batch = (
+        fp.groupBy("fp")
+        .agg(
+            F.min_by(F.struct(*[F.col(c) for c in fp.columns]), F.col(id_col)).alias("_k"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("_k.*", "dup_count")
+    )
+    words = build_bloom(seen, seen_fp_col, num_bits=num_bits)
+    maybe = bloom_might_contain("fp", words, num_bits)
+    definite_new = batch.filter(~maybe)
+    confirmed_new = batch.filter(maybe).join(
+        seen.select(F.col(seen_fp_col).alias("fp")).distinct(), "fp", "left_anti"
+    )
+    return definite_new.unionByName(confirmed_new)

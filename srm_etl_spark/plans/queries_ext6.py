@@ -499,6 +499,54 @@ SELECT '30_packed_sequences', count(DISTINCT (lang, seq_id)),
 """
 
 
+# --------------------------------------------------------------------------
+# q79 — incremental dedup against a historical corpus (operators/dedup.py)
+# --------------------------------------------------------------------------
+
+
+def q79_incremental_dedup(spark, sf_dir):
+    """Incremental-ingestion dedup: the batch (doc_id % 3 != 0) collapses its
+    own exact duplicates (min-id keeper + dup_count) and drops documents
+    whose order-insensitive content fingerprint already exists in the history
+    (doc_id % 3 == 0), probed through a bloom runtime filter so only
+    maybe-seen candidates reach the exact anti-join. The oracle compares on
+    the fingerprint's preimage string (hash equality == string equality)."""
+    from ..operators.dedup import incremental_dedup  # noqa: PLC0415
+    from ..functions.text import fingerprint  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 3 == 0).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    batch = d.filter(F.col("doc_id") % 3 != 0)
+    out = incremental_dedup(batch, history)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
+_FPS_SQL = (
+    "array_to_string(list_sort(list_distinct(list_filter("
+    "string_split_regex(trim(" + _NORM.format(c="text") + "), '\\s+'),"
+    " t -> t != ''))), ' ')"
+)
+
+Q79_SQL = f"""
+WITH f AS (
+  SELECT doc_id, {_FPS_SQL} AS fps FROM documents
+), hist AS (
+  SELECT DISTINCT fps FROM f WHERE doc_id % 3 = 0
+), batch AS (
+  SELECT doc_id, fps FROM f WHERE doc_id % 3 != 0
+), keeper AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS dup_count, fps FROM batch GROUP BY fps
+)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id, CAST(k.dup_count AS BIGINT) AS dup_count
+FROM keeper k ANTI JOIN hist h USING (fps)
+"""
+
+
 EXT6_REGISTRY = {
     "q74_autocomplete_flow": QueryDef(
         q74_autocomplete_flow, Q74_SQL, "U5 W2 J7 F12 autocomplete:165-207 §3.1"
@@ -514,5 +562,8 @@ EXT6_REGISTRY = {
     ),
     "q78_curation_funnel": QueryDef(
         q78_curation_funnel, Q78_SQL, "LLM-pipeline: composed curation funnel P7-style"
+    ),
+    "q79_incremental_dedup": QueryDef(
+        q79_incremental_dedup, Q79_SQL, "LLM-pipeline: bloom-pruned incremental dedup"
     ),
 }

@@ -174,3 +174,26 @@ def test_dedup_by_keys_agg_and_window_paths_agree(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
     got = {(r.k1, r.k2): (r.v, r.x) for r in fast.collect()}
     assert got == {(1, 2): ("a", 9.0), (2, 1): ("z", 1.0)}
+
+
+def test_incremental_dedup_semantics(spark):
+    from srm_etl_spark.functions.text import fingerprint
+    from srm_etl_spark.operators.dedup import incremental_dedup
+
+    from pyspark.sql import functions as F
+
+    history = spark.createDataFrame(
+        [("old doc about cats and dogs",)], "text string"
+    ).select(fingerprint(F.col("text")).alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            (10, "dogs and cats about doc old"),   # token-reorder of history → dropped
+            (11, "a genuinely new document here"),
+            (12, "here document new genuinely a"),  # in-batch reorder dup of 11 → collapsed
+            (13, "another fresh one entirely"),
+        ],
+        "doc_id int, text string",
+    )
+    out = incremental_dedup(batch, history)
+    got = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert got == {11: 2, 13: 1}

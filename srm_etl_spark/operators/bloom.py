@@ -70,12 +70,7 @@ def build_bloom(
     return out
 
 
-def bloom_might_contain(
-    key_col: str, words: list[int], num_bits: int, k: int = 4
-) -> Column:
-    """Codegen probe predicate: true iff every seeded bit is set."""
-    arr = F.lit(words)
-    key = F.col(key_col).cast("string")
+def _probe_expr(key: Column, arr: Column, num_bits: int, k: int) -> Column:
     conds = None
     for pos in _positions(key, num_bits, k):
         word = F.element_at(arr, (pos / 64).cast("int") + 1)
@@ -85,6 +80,54 @@ def bloom_might_contain(
         c = shifted.bitwiseAND(F.lit(1)) == 1
         conds = c if conds is None else (conds & c)
     return conds
+
+
+def bloom_might_contain(
+    key_col: str, words: list[int], num_bits: int, k: int = 4
+) -> Column:
+    """Codegen probe predicate: true iff every seeded bit is set.
+
+    Inlines the word array as a plan literal — right for filters up to
+    ~2^17 bits (2 KiB of longs). Beyond that the literal dominates plan
+    analysis/serialization (a 2^20-bit filter is a 16 K-element literal and
+    ~1 MiB task binaries); use :func:`with_bloom_probe`, which switches to a
+    broadcast word table automatically."""
+    return _probe_expr(F.col(key_col).cast("string"), F.lit(words), num_bits, k)
+
+
+# Literal-inline cutoff: 2^11 longs = 2^17 bits = 16 KiB. Below, the filter
+# rides in the expression tree and sits directly on the scan; above, it ships
+# once per executor as a broadcast single-row table.
+_LITERAL_WORDS_MAX = 2048
+
+
+def with_bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    words: list[int],
+    num_bits: int,
+    k: int = 4,
+    out_col: str = "_bloom_maybe",
+) -> DataFrame:
+    """``df`` plus a boolean ``out_col``: bloom membership verdict per row.
+
+    Small filters are inlined as literals (zero plan nodes added, predicate
+    evaluable at the scan). Large filters are shipped as a one-row broadcast
+    table and probed through a column reference — the filter then moves as
+    *data* (one broadcast per executor), not as plan, so a 2^20-bit filter
+    costs 128 KiB on the wire instead of megabyte task binaries and a
+    16 K-child expression re-analyzed at every tree pass."""
+    key = F.col(key_col).cast("string")
+    if len(words) <= _LITERAL_WORDS_MAX:
+        return df.withColumn(out_col, _probe_expr(key, F.lit(words), num_bits, k))
+    wdf = df.sparkSession.createDataFrame(
+        [(words,)], "_bloom_words: array<long>"
+    )
+    return (
+        df.join(F.broadcast(wdf))
+        .withColumn(out_col, _probe_expr(key, F.col("_bloom_words"), num_bits, k))
+        .drop("_bloom_words")
+    )
 
 
 def _shiftright_col(value: Column, amount: Column) -> Column:
@@ -97,7 +140,11 @@ def bloom_prefilter(
     df: DataFrame, key_col: str, words: list[int], num_bits: int, k: int = 4
 ) -> DataFrame:
     """Scan-side prune: keep rows whose key *may* be in the filter."""
-    return df.filter(bloom_might_contain(key_col, words, num_bits, k))
+    return (
+        with_bloom_probe(df, key_col, words, num_bits, k)
+        .filter(F.col("_bloom_maybe"))
+        .drop("_bloom_maybe")
+    )
 
 
 def bloom_semi_join(

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 from ..functions.text import normalized_text, tokens, word_shingles
+from .session_cache import keep_persisted
 
 
 # --- exact ------------------------------------------------------------------
@@ -409,7 +410,6 @@ def jaccard_near_dup_pairs(
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
-_BITMAP_CACHE: DataFrame | None = None
 
 
 def _jaccard_pairs_bitmap(
@@ -456,28 +456,15 @@ def _jaccard_pairs_bitmap(
     # corpus (2 extra full passes). The cached table is the COMPRESSED form —
     # n_words longs + size per doc, not the text. The returned pair frame is
     # lazy, so the cache must outlive this call (unpersisting here would
-    # evict before the join runs); instead each invocation reuses the
-    # previous invocation's cache when the plan is identical (warm repeats)
-    # and evicts it when it differs — bounding accumulation to one packed
-    # table per session.
-    global _BITMAP_CACHE  # noqa: PLW0603
-    docs = (
+    # evict before the join runs); the session slot bounds accumulation to
+    # one packed table per session (see operators/session_cache.py).
+    docs = keep_persisted(
         toks.join(F.broadcast(vid), "_tok")
         .groupBy(id_col, *blocks)
         .agg(F.collect_set("_vid").alias("_vids"))
-        .select(id_col, *blocks, *word_cols, F.size("_vids").alias("_n"))
+        .select(id_col, *blocks, *word_cols, F.size("_vids").alias("_n")),
+        "jaccard_bitmap_docs",
     )
-    if _BITMAP_CACHE is not None:
-        try:
-            if docs.sameSemantics(_BITMAP_CACHE):
-                docs = _BITMAP_CACHE
-            else:
-                _BITMAP_CACHE.unpersist(blocking=False)
-        except Exception:  # noqa: BLE001, S110 — prior session may be gone
-            pass
-    if docs is not _BITMAP_CACHE:
-        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-        _BITMAP_CACHE = docs
     left, right = docs.alias("l"), docs.alias("r")
     conds = [F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
     for b in blocks:
@@ -655,7 +642,7 @@ def incremental_dedup(
     Returns the surviving new rows with ``fp`` and ``dup_count`` attached.
     """
     from ..functions.text import fingerprint  # noqa: PLC0415
-    from .bloom import bloom_might_contain, build_bloom  # noqa: PLC0415
+    from .bloom import build_bloom, with_bloom_probe  # noqa: PLC0415
 
     fp = new_docs.withColumn("fp", fingerprint(F.col(text_col)))
     batch = (
@@ -667,9 +654,23 @@ def incremental_dedup(
         .select("_k.*", "dup_count")
     )
     words = build_bloom(seen, seen_fp_col, num_bits=num_bits)
-    maybe = bloom_might_contain("fp", words, num_bits)
-    definite_new = batch.filter(~maybe)
-    confirmed_new = batch.filter(maybe).join(
-        seen.select(F.col(seen_fp_col).alias("fp")).distinct(), "fp", "left_anti"
+    # probe once, split on the flag: the batch aggregate feeds both branches,
+    # so it is persisted (session slot — must outlive this call, the result
+    # is lazy); without it each branch re-runs the scan + fingerprint + agg
+    flagged = keep_persisted(
+        with_bloom_probe(batch, "fp", words, num_bits), "incremental_dedup_batch"
     )
+    definite_new = flagged.filter(~F.col("_bloom_maybe")).drop("_bloom_maybe")
+    maybe_rows = flagged.filter(F.col("_bloom_maybe")).drop("_bloom_maybe")
+    # Confirm via the history — but never shuffle the history: semi-join it
+    # against the (bloom-pruned, small) candidate fingerprints first, so the
+    # full seen table streams map-side and only true hits come out; the final
+    # anti-join's right side is then bounded by the batch's true duplicates.
+    # AQE picks broadcast for both small sides; no hint needed.
+    seen_hits = (
+        seen.select(F.col(seen_fp_col).alias("fp"))
+        .join(F.broadcast(maybe_rows.select("fp")), "fp", "left_semi")
+        .distinct()
+    )
+    confirmed_new = maybe_rows.join(F.broadcast(seen_hits), "fp", "left_anti")
     return definite_new.unionByName(confirmed_new)

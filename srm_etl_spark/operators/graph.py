@@ -257,3 +257,69 @@ def duplicate_clusters(
     cc = connected_components(pairs, left_col, right_col)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "component").select("node", "component", "cluster_size")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    The link-analysis primitive a web-scale training pipeline uses for
+    source-quality weighting (OPT/RefinedWeb-style "rank by incoming links
+    before sampling"). Not in the reference (no graph data there); part of the
+    LLM-pipeline extension surface.
+
+    Semantics: pr_0(v) = 1/N; pr_{i+1}(v) = (1-d)/N + d * sum over in-edges
+    (u,v) of pr_i(u)/outdeg(u). Nodes without out-edges leak their mass
+    (the standard simplification); with a symmetrized edge list every node
+    has out-edges and no mass leaks.
+
+    Scale shape:
+    - The edge list is deduped, joined once with out-degrees, and persisted —
+      every iteration reuses the same materialized (src, dst, outdeg) layout.
+    - One iteration = one join of ranks (keyed by node) into edges on src +
+      one map-side-combinable sum keyed by dst: shuffle per round is
+      proportional to |E| matches, never quadratic.
+    - Ranks are localCheckpoint-ed per round so lineage stays flat (same
+      discipline as :func:`connected_components`).
+    - N (node count) is a single driver scalar — the one bounded action.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+    edges_w = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    prev = None
+    for _ in range(iterations):
+        contrib = (
+            edges_w.join(pr, edges_w["src"] == pr["node"])
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            prev.unpersist(blocking=False)
+        prev = pr
+    edges_w.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
+    return pr

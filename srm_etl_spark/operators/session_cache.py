@@ -1,0 +1,36 @@
+"""Session-scoped persist slots for operators that return lazy frames built
+over an expensive intermediate.
+
+An operator that branches over the same intermediate (both sides of a
+self-join, a filter split whose halves are unioned back) must persist that
+intermediate or every branch recomputes it — but the operator returns a lazy
+frame, so it cannot unpersist before returning (the cache would be evicted
+before the first action). The discipline used here (originally for the
+packed-doc table of the bitmap similarity join): each named slot holds at most
+one persisted frame per session; a new frame with identical semantics reuses
+the warm cache, a different one evicts the predecessor. Storage accumulation
+is bounded to one frame per slot.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_SLOTS: dict[str, DataFrame] = {}
+
+
+def keep_persisted(df: DataFrame, slot: str) -> DataFrame:
+    """Persist ``df`` under ``slot``, reusing the previous persist when the
+    plan is semantically identical (warm repeats) and evicting it when not."""
+    prev = _SLOTS.get(slot)
+    if prev is not None:
+        try:
+            if df.sameSemantics(prev):
+                return prev
+            prev.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001, S110 — prior session may be gone
+            pass
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SLOTS[slot] = df
+    return df

@@ -275,3 +275,78 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------------
+# k-means (Lloyd) — the IVF quantizer trainer / semantic-dedup clusterer
+# --------------------------------------------------------------------------
+
+def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    df: DataFrame, centroids_by_id: dict[int, list[float]], vec_col: str = "_v"
+) -> DataFrame:
+    """Nearest-centroid assignment against a broadcast literal centroid set.
+
+    The centroid table is tiny by construction (k x dim), so it is inlined
+    into the plan as literal arrays: assignment is pure whole-stage-codegen
+    array math over the streaming corpus — zero shuffle, zero Python.
+    Ties break to the lowest centroid id (struct ordering of (dist, cid))."""
+    cands = F.array(
+        *[
+            F.struct(
+                _sq_dist_to_literal(F.col(vec_col), c).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, c in sorted(centroids_by_id.items())
+        ]
+    )
+    return df.withColumn("cluster", F.array_min(cands)["cid"])
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means with deterministic init: cluster assignment for every
+    row after ``iterations`` rounds. Output: (id_col, cluster).
+
+    This is the trainer behind :func:`ivf_topk`'s coarse quantizer and the
+    clusterer for semantic dedup / topic bucketing of an embedding corpus
+    (SemDeDup-style). Fully deterministic: init = the vectors of the ``k``
+    smallest ids; every recomputed centroid component is rounded to a
+    ``round_to``-decimal grid so the next assignment's argmin is identical
+    across engines regardless of float summation order.
+
+    Scale shape (the same sync structure MLlib's KMeans uses):
+    - Per iteration the only distributed work is one nearest-centroid map
+      (codegen array math, no shuffle) and one (cluster, dim)-keyed avg —
+      a map-side-combinable aggregate whose output is k x dim rows.
+    - The k x dim centroid matrix is the only thing collected per round —
+      bounded by design (it must fit in the plan as literals), the classic
+      Lloyd driver sync.
+    """
+    data = df.select(
+        F.col(id_col).alias("_kid"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).persist()
+    init = data.orderBy("_kid").limit(k).collect()
+    cents: dict[int, list[float]] = {i: list(r["_v"]) for i, r in enumerate(init)}
+    assigned = None
+    for _ in range(iterations):
+        assigned = assign_clusters(data, cents)
+        new_rows = centroid_vectors(assigned, "cluster", "_v", round_to=round_to).collect()
+        cents = {int(r["cluster"]): list(r["centroid"]) for r in new_rows}
+    out = assigned.select(F.col("_kid").alias(id_col), "cluster")
+    data.unpersist(blocking=False)
+    return out

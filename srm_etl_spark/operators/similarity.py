@@ -320,7 +320,9 @@ def kmeans(
     round_to: int = 6,
 ) -> DataFrame:
     """Lloyd's k-means with deterministic init: cluster assignment for every
-    row after ``iterations`` rounds. Output: (id_col, cluster).
+    row after ``iterations`` rounds. Output: (id_col, cluster, vec_col) — the
+    double-cast vector rides along so callers can aggregate centroids/sizes
+    without re-joining the corpus.
 
     This is the trainer behind :func:`ivf_topk`'s coarse quantizer and the
     clusterer for semantic dedup / topic bucketing of an embedding corpus
@@ -342,11 +344,12 @@ def kmeans(
     ).persist()
     init = data.orderBy("_kid").limit(k).collect()
     cents: dict[int, list[float]] = {i: list(r["_v"]) for i, r in enumerate(init)}
-    assigned = None
-    for _ in range(iterations):
+    assigned = data
+    for i in range(iterations):
         assigned = assign_clusters(data, cents)
-        new_rows = centroid_vectors(assigned, "cluster", "_v", round_to=round_to).collect()
-        cents = {int(r["cluster"]): list(r["centroid"]) for r in new_rows}
-    out = assigned.select(F.col("_kid").alias(id_col), "cluster")
+        if i < iterations - 1:  # the last assignment is the result — no sync
+            new_rows = centroid_vectors(assigned, "cluster", "_v", round_to=round_to).collect()
+            cents = {int(r["cluster"]): list(r["centroid"]) for r in new_rows}
+    out = assigned.select(F.col("_kid").alias(id_col), "cluster", F.col("_v").alias(vec_col))
     data.unpersist(blocking=False)
     return out

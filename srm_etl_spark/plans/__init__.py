@@ -13,6 +13,7 @@ from .queries_ext3 import EXT3_REGISTRY
 from .queries_ext4 import EXT4_REGISTRY
 from .queries_ext5 import EXT5_REGISTRY
 from .queries_ext6 import EXT6_REGISTRY
+from .queries_ext7 import EXT7_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -20,3 +21,4 @@ REGISTRY.update(EXT3_REGISTRY)
 REGISTRY.update(EXT4_REGISTRY)
 REGISTRY.update(EXT5_REGISTRY)
 REGISTRY.update(EXT6_REGISTRY)
+REGISTRY.update(EXT7_REGISTRY)

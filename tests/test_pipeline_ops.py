@@ -1,0 +1,168 @@
+"""Round-4 LLM-pipeline operators: decontamination, PageRank, k-means,
+chunking (operators/decontaminate.py, graph.py:pagerank, similarity.py:kmeans,
+chunking.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from srm_etl_spark.operators.chunking import chunk_documents
+from srm_etl_spark.operators.decontaminate import contamination_report, decontaminate
+from srm_etl_spark.operators.graph import pagerank
+from srm_etl_spark.operators.similarity import kmeans
+
+
+# --- decontamination --------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_counts_distinct_trigram_overlap(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # shares grams
+            (2, "completely different words here entirely now"),
+            (3, "the quick brown fox appears again today"),  # partial overlap
+        ],
+    )
+    ev = _docs(spark, [(100, "the quick brown fox jumps high")])
+    rep = {r.doc_id: r for r in contamination_report(corpus, ev, min_overlap=1).collect()}
+    # eval trigrams: {the quick brown, quick brown fox, brown fox jumps, fox jumps high}
+    assert rep[1].matched_ngrams == 3  # first three
+    assert rep[3].matched_ngrams == 2  # first two
+    assert 2 not in rep
+    assert rep[1].total_ngrams == 7
+
+
+def test_decontaminate_drops_flagged_docs(spark):
+    corpus = _docs(
+        spark,
+        [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota kappa")],
+    )
+    ev = _docs(spark, [(9, "alpha beta gamma delta")])
+    kept = [r.doc_id for r in decontaminate(corpus, ev, min_overlap=2).collect()]
+    assert kept == [2]
+
+
+def test_contamination_threshold_respected(spark):
+    corpus = _docs(spark, [(1, "alpha beta gamma unrelated tail words")])
+    ev = _docs(spark, [(9, "alpha beta gamma")])
+    # only 1 shared trigram -> below min_overlap=2
+    assert contamination_report(corpus, ev, min_overlap=2).count() == 0
+    assert contamination_report(corpus, ev, min_overlap=1).count() == 1
+
+
+# --- pagerank ---------------------------------------------------------------
+
+def test_pagerank_mass_conserved_on_symmetric_graph(spark):
+    # symmetric triangle + pendant, both directions: no dangling mass
+    e = [(a, b) for a, b in [(1, 2), (2, 3), (3, 1), (3, 4)]]
+    edges = spark.createDataFrame(e + [(b, a) for a, b in e], "src long, dst long")
+    pr = {r.node: r.pr for r in pagerank(edges, iterations=20).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    # degree order: node 3 (deg 3) > nodes 1,2 (deg 2) > node 4 (deg 1)
+    assert pr[3] > pr[1] == pytest.approx(pr[2])
+    assert pr[2] > pr[4]
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # 4-cycle, symmetrized: every node identical by symmetry
+    e = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    edges = spark.createDataFrame(e + [(b, a) for a, b in e], "src long, dst long")
+    pr = [r.pr for r in pagerank(edges, iterations=5).collect()]
+    assert all(abs(p - 0.25) < 1e-12 for p in pr)
+
+
+def test_pagerank_one_iteration_formula(spark):
+    # star 1->2, 1->3 plus 2->1: hand-checked single iteration
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 1)], "src long, dst long")
+    pr = {r.node: r.pr for r in pagerank(edges, iterations=1, damping=0.85).collect()}
+    third = 1.0 / 3.0
+    t = (1 - 0.85) / 3
+    assert pr[1] == pytest.approx(t + 0.85 * third)            # from 2 (outdeg 1)
+    assert pr[2] == pytest.approx(t + 0.85 * third / 2)        # from 1 (outdeg 2)
+    assert pr[3] == pytest.approx(t + 0.85 * third / 2)
+
+
+# --- kmeans -----------------------------------------------------------------
+
+def test_kmeans_separates_obvious_clusters(spark):
+    pts = [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)] + [
+        (10 + i, [10.0 + i * 0.01, 10.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = kmeans(df, "embedding", "vec_id", k=2, iterations=3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+    assert sorted(map(sorted, by_cluster.values())) == [
+        [0, 1, 2, 3, 4],
+        [10, 11, 12, 13, 14],
+    ]
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    rows = [(i, [math.sin(i * 1.7), math.cos(i * 2.3), float(i % 5)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted((r.vec_id, r.cluster) for r in kmeans(df, k=4, iterations=2).collect())
+    b = sorted((r.vec_id, r.cluster) for r in kmeans(df, k=4, iterations=2).collect())
+    assert a == b
+
+
+def test_kmeans_tie_breaks_to_lowest_centroid_id(spark):
+    # two identical init points: equidistant rows must pick cluster 0
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.cluster for r in kmeans(df, k=2, iterations=1).collect()}
+    assert out[0] == 0 and out[1] == 0
+
+
+# --- chunking ---------------------------------------------------------------
+
+def test_chunking_windows_and_tail(spark):
+    text = " ".join(f"w{i}" for i in range(1, 11))  # 10 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    # starts: 1, 4, 7, 10
+    assert [r.chunk_start for r in out] == [1, 4, 7, 10]
+    assert [r.n_chunk_tokens for r in out] == [4, 4, 4, 1]
+    assert out[0].chunk_text == "w1 w2 w3 w4"
+    assert out[1].chunk_text == "w4 w5 w6 w7"
+    assert out[-1].chunk_text == "w10"
+
+
+def test_chunking_ids_stable_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=4, stride=4).collect()
+    ids = [r.chunk_id for r in out]
+    assert len(set(ids)) == len(ids)  # distinct across docs and windows
+    from srm_etl_spark.functions.hashing import hasher_py
+
+    first = next(r for r in out if r.doc_id == 1 and r.chunk_start == 1)
+    assert first.chunk_id == hasher_py("1:1")
+
+
+def test_chunking_empty_and_null_text_yield_no_chunks(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   "), (4, "one")], "doc_id long, text string"
+    )
+    out = chunk_documents(df).collect()
+    assert [r.doc_id for r in out] == [4]
+
+
+def test_chunking_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, stride=-1)

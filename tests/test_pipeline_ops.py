@@ -166,3 +166,55 @@ def test_chunking_rejects_bad_params(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, stride=-1)
+
+
+# --- count-min sketch -------------------------------------------------------
+
+def test_cms_estimate_never_underestimates(spark):
+    import random
+
+    rnd = random.Random(7)
+    keys = [rnd.randint(1, 50) for _ in range(2000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    from srm_etl_spark.operators.cms import build_cms, cms_estimate
+
+    sketch = build_cms(df, "k", width=64, depth=3)
+    exact = df.groupBy("k").count()
+    est = cms_estimate(exact, sketch, "k", width=64, depth=3)
+    rows = est.collect()
+    assert len(rows) == 50
+    assert all(r.cms_estimate >= r["count"] for r in rows)
+
+
+def test_cms_exact_when_no_collisions(spark):
+    # few keys, wide sketch: estimates must equal exact counts
+    df = spark.createDataFrame([(1,), (1,), (2,), (3,), (3,), (3,)], "k long")
+    from srm_etl_spark.operators.cms import build_cms, cms_estimate
+
+    sketch = build_cms(df, "k", width=512, depth=3)
+    est = {
+        r.k: r.cms_estimate
+        for r in cms_estimate(df.distinct(), sketch, "k", width=512, depth=3).collect()
+    }
+    assert est == {1: 2, 2: 1, 3: 3}
+
+
+def test_cms_depth_cap(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    from srm_etl_spark.operators.cms import build_cms
+
+    with pytest.raises(ValueError):
+        build_cms(df, "k", depth=9)
+
+
+# --- int8 quantization (q85 kernel) -----------------------------------------
+
+def test_quantize_roundtrip_error_bounded(spark):
+    from srm_etl_spark.plans.queries_ext8 import q85_quantize
+
+    out = q85_quantize(spark, "/root/testdata/sf0.001").collect()
+    for r in out:
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        # reconstruction error per dim is bounded by (0.5/scale)^2
+        if r.scale > 0:
+            assert r.mse <= (0.5 / r.scale) ** 2 + 1e-12

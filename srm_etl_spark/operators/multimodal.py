@@ -164,3 +164,134 @@ def sample_video_frames(df: DataFrame, bin_col: str = "media", n_frames: int = 4
             yield pd.DataFrame(rows)
 
     return with_id.select("media_content_id", bin_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+# --- resize (STUB kernel, real Arrow plumbing) -------------------------------
+
+RESIZE_SCHEMA = "media_content_id string, media binary, width int, height int, resize_error string"
+
+
+def resize_images(
+    df: DataFrame, bin_col: str = "media", target_w: int = 64, target_h: int = 64
+) -> DataFrame:
+    """Resize plumbing: binary in → binary out through an Arrow batch stage.
+
+    STUB kernel: real implementation is ``PIL.Image.resize`` — here payloads
+    from :func:`fake_png` are re-encoded at the target dimensions with their
+    luminance preserved, and anything undecodable reports ``resize_error``
+    instead of failing the stage. The tested artifact is the binary→binary
+    Arrow round-trip: bytes stay in Arrow buffers between stages, and the
+    output is itself a valid input to :func:`decode_image_features`.
+    """
+
+    with_id = df.withColumn("media_content_id", F.sha1(F.col(bin_col)))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_content_id": [],
+                "media": [],
+                "width": [],
+                "height": [],
+                "resize_error": [],
+            }
+            for cid, data in zip(pdf["media_content_id"], pdf[bin_col]):
+                out["media_content_id"].append(cid)
+                try:
+                    _, _, lum = _decode_image_bytes(bytes(data))
+                    out["media"].append(fake_png(target_w, target_h, int(round(lum * 255))))
+                    out["width"].append(target_w)
+                    out["height"].append(target_h)
+                    out["resize_error"].append(None)
+                except Exception as ex:  # noqa: BLE001
+                    out["media"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["resize_error"].append(type(ex).__name__)
+            yield pd.DataFrame(out)
+
+    return with_id.select("media_content_id", bin_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# --- audio (STUB kernel, real Arrow plumbing) --------------------------------
+
+def fake_wav(sample_rate: int, n_samples: int, amp_byte: int = 100) -> bytes:
+    """Deterministic fake WAV payload (RIFF magic + packed params) the stub
+    audio decoder understands."""
+    return (
+        b"RIFF"
+        + b"FAKE"
+        + sample_rate.to_bytes(4, "big")
+        + n_samples.to_bytes(4, "big")
+        + bytes([amp_byte])
+    )
+
+
+def _decode_audio_bytes(data: bytes) -> tuple[int, int, float]:
+    """STUB audio decoder.
+
+    Real implementation: ``soundfile``/``librosa`` → (sample_rate, n_samples,
+    rms). Payloads from :func:`fake_wav` decode deterministically; anything
+    else raises — the mapInPandas plumbing is the tested artifact.
+    """
+    if data[:4] == b"RIFF" and data[4:8] == b"FAKE":
+        sr = int.from_bytes(data[8:12], "big")
+        n = int.from_bytes(data[12:16], "big")
+        rms = (data[16] if len(data) > 16 else 0) / 255.0
+        return sr, n, rms
+    raise NotImplementedError("real audio decoding requires soundfile (not in this container)")
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_content_id string, sample_rate int, n_samples long, duration_s double,"
+    " rms double, decode_error string"
+)
+
+
+def decode_audio_features(
+    df: DataFrame, bin_col: str = "media", passthrough: list[str] | None = None
+) -> DataFrame:
+    """Arrow-batched audio feature extraction: (sample_rate, n_samples,
+    duration, rms), errors captured per row — same contract as
+    :func:`decode_image_features`."""
+    passthrough = list(passthrough or [])
+    with_id = df.withColumn("media_content_id", F.sha1(F.col(bin_col)))
+    extra_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in passthrough
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_content_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "duration_s": [],
+                "rms": [],
+                "decode_error": [],
+            }
+            for cid, data in zip(pdf["media_content_id"], pdf[bin_col]):
+                out["media_content_id"].append(cid)
+                try:
+                    sr, n, rms = _decode_audio_bytes(bytes(data))
+                    out["sample_rate"].append(sr)
+                    out["n_samples"].append(n)
+                    out["duration_s"].append(n / sr if sr else 0.0)
+                    out["rms"].append(rms)
+                    out["decode_error"].append(None)
+                except Exception as ex:  # noqa: BLE001
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+                    out["duration_s"].append(None)
+                    out["rms"].append(None)
+                    out["decode_error"].append(type(ex).__name__)
+            res = pd.DataFrame(out)
+            for c in passthrough:
+                res[c] = pdf[c].values
+            yield res
+
+    return with_id.select("media_content_id", bin_col, *passthrough).mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA + extra_schema
+    )

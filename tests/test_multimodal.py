@@ -54,3 +54,44 @@ def test_frame_sampling_udtf_shape(spark):
     assert all(r["count"] == 4 for r in counts)
     offs = frames.filter(F.col("frame_index") == 0).select("byte_offset").collect()
     assert all(r.byte_offset == 0 for r in offs)
+
+
+def test_resize_roundtrips_through_decoder(spark):
+    from srm_etl_spark.operators.multimodal import resize_images
+
+    resized = resize_images(_media_df(spark), target_w=32, target_h=16)
+    # output binary is itself decodable: luminance preserved, dims replaced
+    feats = decode_image_features(resized.filter(F.col("resize_error").isNull())).collect()
+    assert len(feats) > 0
+    assert all((r.width, r.height) == (32, 16) for r in feats)
+    lums = sorted(round(r.mean_luminance * 255) for r in feats)
+    assert 100 in lums and 200 in lums
+    # undecodable inputs surface on the error channel, not as task failures
+    errs = resize_images(_media_df(spark)).filter(F.col("resize_error").isNotNull()).collect()
+    assert len(errs) >= 1 and all(r.media is None for r in errs)
+
+
+def test_audio_features_and_error_channel(spark):
+    import hashlib
+
+    from srm_etl_spark.operators.multimodal import decode_audio_features, fake_wav
+
+    df = spark.createDataFrame(
+        [(1, fake_wav(16000, 48000, 64)), (2, fake_wav(8000, 4000, 255)), (3, b"junk")],
+        "doc_id long, media binary",
+    )
+    out = {r.media_content_id: r for r in decode_audio_features(df, passthrough=["doc_id"]).collect()}
+    a = out[hashlib.sha1(fake_wav(16000, 48000, 64)).hexdigest()]
+    assert (a.sample_rate, a.n_samples) == (16000, 48000)
+    assert abs(a.duration_s - 3.0) < 1e-9
+    assert abs(a.rms - 64 / 255) < 1e-9
+    assert a.doc_id == 1
+    bad = out[hashlib.sha1(b"junk").hexdigest()]
+    assert bad.sample_rate is None and bad.decode_error == "NotImplementedError"
+
+
+def test_audio_metadata_sniffs_riff(spark):
+    from srm_etl_spark.operators.multimodal import fake_wav
+
+    df = spark.createDataFrame([(1, fake_wav(44100, 1000))], "doc_id long, media binary")
+    assert attach_media_metadata(df).collect()[0].media_format == "riff"

@@ -353,3 +353,45 @@ def kmeans(
     out = assigned.select(F.col("_kid").alias(id_col), "cluster", F.col("_v").alias(vec_col))
     data.unpersist(blocking=False)
     return out
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = 127/max|x|, q_i =
+    round(x_i*scale), plus reconstruction MSE — the 4x memory lever that
+    keeps IVF cell lists resident at serving scale.
+
+    Pure let-bound array math (vector cast, scale and qvec each evaluate
+    once per row), no shuffle. Output: (id_col, scale, qvec: array<int>,
+    mse). All-zero vectors quantize to zeros with scale 0 and mse 0.
+    """
+    from ..functions.expr import let as _let  # noqa: PLC0415
+
+    def build(v):
+        ma = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        scale = F.when(ma == 0, F.lit(0.0)).otherwise(F.lit(127.0) / ma)
+
+        def with_scale(s):
+            qv = F.transform(v, lambda x: F.round(x * s).cast("int"))
+
+            def with_q(q):
+                deq = F.zip_with(
+                    v, q,
+                    lambda x, qq: x - F.when(s == 0, F.lit(0.0)).otherwise(qq / s),
+                )
+                mse = F.aggregate(
+                    F.transform(deq, lambda d: d * d),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ) / F.size(v)
+                return F.struct(s.alias("scale"), q.alias("qvec"), mse.alias("mse"))
+
+            return _let(qv, with_q)
+
+        return _let(scale, with_scale)
+
+    return df.select(
+        F.col(id_col),
+        _let(F.col(vec_col).cast("array<double>"), build).alias("_q"),
+    ).select(id_col, "_q.scale", "_q.qvec", "_q.mse")

@@ -20,9 +20,9 @@ import itertools
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.expr import let as _let
 from ..functions.text import token_count
 from ..operators.cms import build_cms, cms_estimate
+from ..operators.similarity import quantize_embeddings
 from .queries import QueryDef, _t
 
 _SINK_IDS = itertools.count()
@@ -33,49 +33,17 @@ _SINK_IDS = itertools.count()
 # --------------------------------------------------------------------------
 
 def q85_quantize(spark, sf_dir):
-    """Per-vector symmetric int8 quantization: scale = 127/max|x|, q_i =
-    round(x_i * scale), plus the reconstruction MSE. Pure per-row array math
-    (let-bound so the vector casts and scale evaluate once) — no shuffle; at
-    serving scale this is the 4x memory cut that lets an IVF cell list stay
-    in RAM."""
+    """Per-vector symmetric int8 quantization with reconstruction MSE
+    (operators/similarity.py:quantize_embeddings) — no shuffle; at serving
+    scale this is the 4x memory cut that lets an IVF cell list stay in
+    RAM. Property-tested error bound |x - q/s| <= 0.5/s per component."""
     emb = _t(spark, sf_dir, "embeddings")
-
-    def build(v):
-        ma = F.array_max(F.transform(v, lambda x: F.abs(x)))
-        scale = F.when(ma == 0, F.lit(0.0)).otherwise(F.lit(127.0) / ma)
-
-        def with_scale(s):
-            qv = F.transform(v, lambda x: F.round(x * s).cast("int"))
-
-            def with_q(q):
-                deq = F.zip_with(
-                    v,
-                    q,
-                    lambda x, qq: x
-                    - F.when(s == 0, F.lit(0.0)).otherwise(qq / s),
-                )
-                mse = F.aggregate(
-                    F.transform(deq, lambda d: d * d),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ) / F.size(v)
-                return F.struct(
-                    s.alias("scale"), q.alias("qvec"), mse.alias("mse")
-                )
-
-            return _let(qv, with_q)
-
-        return _let(scale, with_scale)
-
-    out = emb.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        _let(F.col("embedding").cast("array<double>"), build).alias("r"),
-    )
+    out = quantize_embeddings(emb, "embedding", "vec_id")
     return out.select(
-        "vec_id",
-        F.round(F.col("r.scale"), 6).alias("scale"),
-        F.col("r.qvec").alias("qvec"),
-        F.round(F.col("r.mse"), 10).alias("mse"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.col("scale"), 6).alias("scale"),
+        "qvec",
+        F.round(F.col("mse"), 10).alias("mse"),
     )
 
 

@@ -110,3 +110,76 @@ def test_hash_row_is_whitespace_insensitive_and_field_sensitive(spark, rows):
     )
     got_changed = [r.h for r in changed.select(hash_row(["a", "b"]).alias("h")).collect()]
     assert all(g != b for g, b in zip(got_changed, base))
+
+
+# --- chunking invariants (operators/chunking.py) -----------------------------
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+)
+def test_chunking_covers_every_token_exactly(spark, n_tokens_per_doc, chunk_tokens, stride):
+    from srm_etl_spark.operators.chunking import chunk_documents
+
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)) if n else "")
+        for i, n in enumerate(n_tokens_per_doc)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=chunk_tokens, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(n_tokens_per_doc):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r.chunk_start)
+        if n == 0:
+            assert chunks == []
+            continue
+        # every token index 1..n appears in at least one window
+        covered = set()
+        for r in chunks:
+            assert 1 <= r.chunk_start <= n
+            assert r.n_chunk_tokens == min(chunk_tokens, n - r.chunk_start + 1)
+            assert len(r.chunk_text.split(" ")) == r.n_chunk_tokens
+            covered.update(range(r.chunk_start, r.chunk_start + r.n_chunk_tokens))
+        assert covered == set(range(1, n + 1)) or stride > chunk_tokens
+        # starts advance by exactly the stride
+        starts = [r.chunk_start for r in chunks]
+        assert starts == list(range(1, n + 1, stride))
+
+
+# --- quantization error bound (operators/similarity.py) ---------------------
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_quantization_per_component_error_bound(spark, vecs):
+    from srm_etl_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for i, v in enumerate(vecs):
+        r = out[i]
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        if all(x == 0 for x in v):
+            assert r.scale == 0.0 and r.mse == 0.0 and all(q == 0 for q in r.qvec)
+            continue
+        # per-component quantization error bound => mse bound
+        assert r.mse <= (0.5 / r.scale) ** 2 + 1e-9
+        # round-trip: dequantized values reproduce the input within the bound
+        for x, q in zip(v, r.qvec):
+            assert abs(x - q / r.scale) <= 0.5 / r.scale + 1e-9

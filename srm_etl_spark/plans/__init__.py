@@ -15,6 +15,7 @@ from .queries_ext5 import EXT5_REGISTRY
 from .queries_ext6 import EXT6_REGISTRY
 from .queries_ext7 import EXT7_REGISTRY
 from .queries_ext8 import EXT8_REGISTRY
+from .queries_ext9 import EXT9_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -24,3 +25,4 @@ REGISTRY.update(EXT5_REGISTRY)
 REGISTRY.update(EXT6_REGISTRY)
 REGISTRY.update(EXT7_REGISTRY)
 REGISTRY.update(EXT8_REGISTRY)
+REGISTRY.update(EXT9_REGISTRY)

@@ -218,3 +218,54 @@ def test_quantize_roundtrip_error_bounded(spark):
         # reconstruction error per dim is bounded by (0.5/scale)^2
         if r.scale > 0:
             assert r.mse <= (0.5 / r.scale) ** 2 + 1e-12
+
+
+# --- profiling / drift ------------------------------------------------------
+
+def test_profile_counts_nulls_and_distincts(spark):
+    from srm_etl_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, v string"
+    )
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert prof["id"].n_rows == 4 and prof["id"].n_nulls == 0
+    assert prof["id"].n_distinct == 4
+    assert (prof["id"].min_value, prof["id"].max_value) == ("1", "4")
+    assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2
+    assert (prof["v"].min_value, prof["v"].max_value) == ("a", "b")
+
+
+def test_profile_approx_mode_runs_mapside(spark):
+    from srm_etl_spark.operators.profiling import profile_table
+
+    df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) AS v")
+    prof = {r.col_name: r for r in profile_table(df, approx=True).collect()}
+    # HLL estimates are near-exact at this cardinality
+    assert abs(prof["v"].n_distinct - 7) <= 1
+    plan = profile_table(df, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "distinct" not in plan.lower() or "approx" in plan.lower()
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    from srm_etl_spark.operators.profiling import psi
+
+    df = spark.createDataFrame([(i / 10.0,) for i in range(10)] * 3, "q double")
+    out = psi(df, df, "q").collect()
+    assert all(abs(r.psi_term) < 1e-12 for r in out)
+    assert abs(sum(r.expected_frac for r in out) - 1.0) < 1e-9
+
+
+def test_psi_detects_shift_and_handles_empty_bins(spark):
+    from srm_etl_spark.operators.profiling import psi
+
+    low = spark.createDataFrame([(0.05,)] * 50, "q double")
+    high = spark.createDataFrame([(0.95,)] * 50, "q double")
+    out = {r.bin: r for r in psi(low, high, "q").collect()}
+    assert len(out) == 5  # empty bins present
+    assert out[0].expected_frac == 1.0 and out[0].actual_frac == 0.0
+    total_psi = sum(r.psi_term for r in out.values())
+    assert total_psi > 1.0  # gross shift
+    # clamping: all values beyond [lo, hi) land in edge bins
+    edge = psi(low, spark.createDataFrame([(7.5,)], "q double"), "q").collect()
+    assert {r.bin for r in edge} == {0, 1, 2, 3, 4}

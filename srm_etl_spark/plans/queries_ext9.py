@@ -131,3 +131,86 @@ EXT9_REGISTRY = {
         q90_quality_drift, Q90_SQL, "LLM-pipeline: PSI distribution drift (P7-ext)"
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# q91 — quantized ANN: top-k over the int8 corpus
+# --------------------------------------------------------------------------
+
+def q91_quantized_topk(spark, sf_dir):
+    """Serving-path follow-through of q85: top-5 neighbors by cosine over
+    the int8-quantized corpus (scale cancels in cosine, so the quantized
+    corpus is directly searchable). The dot products are exact integer
+    arithmetic — bit-identical across engines — and the corpus side stays
+    4x smaller in memory than float32. Broadcast queries, streamed corpus,
+    per-query ranked window (the q29 shape on quantized payloads)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..operators.similarity import quantize_embeddings  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = quantize_embeddings(emb, "embedding", "vec_id").select("vec_id", "qvec")
+    queries = qd.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("_qq")
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        qd.join(F.broadcast(queries), qd["vec_id"] != queries["query_id"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                idot(F.col("qvec"), F.col("_qq"))
+                / (
+                    F.sqrt(idot(F.col("qvec"), F.col("qvec")).cast("double"))
+                    * F.sqrt(idot(F.col("_qq"), F.col("_qq")).cast("double"))
+                )
+            ).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            F.round("qcos", 4).alias("qcos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+Q91_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(127.0 AS DOUBLE) / list_max(list_transform(v, x -> abs(x))) END AS scale
+      FROM e),
+q AS (SELECT vec_id, list_transform(v, x -> CAST(round(x * scale) AS BIGINT)) AS qvec FROM s),
+qq AS (SELECT vec_id AS query_id, qvec AS qv FROM q WHERE vec_id < 5),
+scored AS (
+  SELECT qq.query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(c.qvec, qq.qv), p -> p[1] * p[2]))
+         / (sqrt(CAST(list_sum(list_transform(c.qvec, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(qq.qv, x -> x * x)) AS DOUBLE))) AS qcos
+  FROM q c CROSS JOIN qq WHERE c.vec_id != qq.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       round(qcos, 4) AS qcos, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+EXT9_REGISTRY["q91_quantized_topk"] = QueryDef(
+    q91_quantized_topk, Q91_SQL, "LLM-pipeline: int8 quantized ANN serving"
+)

@@ -88,9 +88,13 @@ def psi(
         counts = df.select(b.alias("bin")).groupBy("bin").agg(
             F.count(F.lit(1)).alias("_c")
         )
-        total = df.count()
+        # normalize over the (<= bins)-row aggregate with a global window —
+        # one pass over the slice, no driver-side count action
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        total = F.sum("_c").over(Window.partitionBy())
         return counts.select(
-            "bin", (F.col("_c") / F.lit(float(total))).alias(name)
+            "bin", (F.col("_c") / total.cast("double")).alias(name)
         )
 
     all_bins = expected.sparkSession.range(bins).select(F.col("id").alias("bin"))

@@ -40,7 +40,9 @@ def build_cms(
     df: DataFrame, key_col: str, width: int = 512, depth: int = 3
 ) -> DataFrame:
     """Sketch of the multiset ``df[key_col]`` (integer keys):
-    (row, bucket, c) with ``depth * width`` rows at most."""
+    (_cms_row, _cms_bucket, _cms_c) with ``depth * width`` rows at most.
+    Underscore-prefixed cell columns so probes never collide with caller
+    columns."""
     if depth > len(_SEEDS):
         raise ValueError(f"depth is capped at {len(_SEEDS)}")
     key = F.col(key_col).cast("long")
@@ -48,8 +50,8 @@ def build_cms(
         F.array(
             *[
                 F.struct(
-                    F.lit(i).alias("row"),
-                    _bucket(key, a, b, width).alias("bucket"),
+                    F.lit(i).alias("r"),
+                    _bucket(key, a, b, width).alias("b"),
                 )
                 for i, (a, b) in enumerate(_SEEDS[:depth])
             ]
@@ -57,9 +59,9 @@ def build_cms(
     ).alias("cell")
     return (
         df.select(cells)
-        .select("cell.row", "cell.bucket")
-        .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("cell.r").alias("_cms_row"), F.col("cell.b").alias("_cms_bucket"))
+        .groupBy("_cms_row", "_cms_bucket")
+        .agg(F.count(F.lit(1)).alias("_cms_c"))
     )
 
 
@@ -81,17 +83,21 @@ def cms_estimate(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("row"),
-                        _bucket(key, a, b, width).alias("bucket"),
+                        F.lit(i).alias("r"),
+                        _bucket(key, a, b, width).alias("b"),
                     )
                     for i, (a, b) in enumerate(_SEEDS[:depth])
                 ]
             )
         ).alias("cell"),
-    ).select("*", "cell.row", "cell.bucket").drop("cell")
-    joined = probes.join(F.broadcast(sketch), ["row", "bucket"])
+    ).select(
+        "*",
+        F.col("cell.r").alias("_cms_row"),
+        F.col("cell.b").alias("_cms_bucket"),
+    ).drop("cell")
+    joined = probes.join(F.broadcast(sketch), ["_cms_row", "_cms_bucket"])
     others = [c for c in candidates.columns]
-    return joined.groupBy(*others).agg(F.min("c").alias(out_col))
+    return joined.groupBy(*others).agg(F.min("_cms_c").alias(out_col))
 
 
 def cms_seeds(depth: int = 3) -> list[tuple[int, int]]:

@@ -33,18 +33,23 @@ def profile_table(
         if approx
         else (lambda c: F.count_distinct(F.col(c)))
     )
-    for c in cols:
+    # positional aliases: the stack() SQL references them, so column names
+    # with spaces/quotes/hyphens must never leak into identifiers
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.col(c)).alias(f"_nonnull_{c}"),
-            distinct(c).alias(f"_nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            F.count(F.col(c)).alias(f"_nonnull_{i}"),
+            distinct(c).alias(f"_nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{i}"),
         ]
     one = df.agg(*aggs)
     stack = (
         f"stack({len(cols)}, "
         + ", ".join(
-            f"'{c}', _nonnull_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in cols
+            "'{label}', _nonnull_{i}, _nd_{i}, _min_{i}, _max_{i}".format(
+                label=c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+            )
+            for i, c in enumerate(cols)
         )
         + ") AS (col_name, _nonnull, n_distinct, min_value, max_value)"
     )

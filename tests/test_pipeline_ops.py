@@ -269,3 +269,24 @@ def test_psi_detects_shift_and_handles_empty_bins(spark):
     # clamping: all values beyond [lo, hi) land in edge bins
     edge = psi(low, spark.createDataFrame([(7.5,)], "q double"), "q").collect()
     assert {r.bin for r in edge} == {0, 1, 2, 3, 4}
+
+
+def test_cms_estimate_tolerates_reserved_candidate_columns(spark):
+    from srm_etl_spark.operators.cms import build_cms, cms_estimate
+
+    # candidate frame carries 'row'/'bucket'/'c' columns — must not collide
+    df = spark.createDataFrame([(1, 9, 9, 9), (1, 9, 9, 9), (2, 8, 8, 8)],
+                               "k long, row long, bucket long, c long")
+    sketch = build_cms(df, "k", width=128, depth=3)
+    est = {r.k: r.cms_estimate for r in
+           cms_estimate(df.distinct(), sketch, "k", width=128, depth=3).collect()}
+    assert est == {1: 2, 2: 1}
+
+
+def test_profile_handles_awkward_column_names(spark):
+    from srm_etl_spark.operators.profiling import profile_table
+
+    df = spark.range(3).selectExpr("id AS `my col`", "CAST(id AS STRING) AS `it's`")
+    prof = {r.col_name: r for r in profile_table(df, ["my col", "it's"]).collect()}
+    assert prof["my col"].n_distinct == 3
+    assert prof["it's"].n_nulls == 0

@@ -43,8 +43,8 @@ def build_cms(
     (_cms_row, _cms_bucket, _cms_c) with ``depth * width`` rows at most.
     Underscore-prefixed cell columns so probes never collide with caller
     columns."""
-    if depth > len(_SEEDS):
-        raise ValueError(f"depth is capped at {len(_SEEDS)}")
+    if depth > len(_SEEDS) or depth <= 0 or width <= 0:
+        raise ValueError(f"need 0 < depth <= {len(_SEEDS)} and width > 0")
     key = F.col(key_col).cast("long")
     cells = F.explode(
         F.array(

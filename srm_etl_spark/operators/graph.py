@@ -309,6 +309,10 @@ def pagerank(
         nodes = nodes.union(e.select(F.col("dst").alias("node")))
     nodes = nodes.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()
+    if n == 0:
+        e.unpersist(blocking=False)
+        nodes.unpersist(blocking=False)
+        return nodes.withColumn("pr", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
     edges_w = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
 

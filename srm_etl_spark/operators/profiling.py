@@ -81,6 +81,8 @@ def psi(
     bins contribute finitely). Sum of psi_term is the classic drift score
     (<0.1 stable, >0.25 shifted).
     """
+    if bins <= 0 or hi <= lo:
+        raise ValueError("need bins > 0 and hi > lo")
     width = (hi - lo) / bins
 
     def frac(df: DataFrame, name: str) -> DataFrame:

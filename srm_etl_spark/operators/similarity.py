@@ -339,10 +339,17 @@ def kmeans(
       bounded by design (it must fit in the plan as literals), the classic
       Lloyd driver sync.
     """
+    if k <= 0 or iterations <= 0:
+        raise ValueError("k and iterations must be positive")
     data = df.select(
         F.col(id_col).alias("_kid"), F.col(vec_col).cast("array<double>").alias("_v")
     ).persist()
     init = data.orderBy("_kid").limit(k).collect()
+    if not init:
+        data.unpersist(blocking=False)
+        return data.select(
+            F.col("_kid").alias(id_col), F.lit(0).alias("cluster"), F.col("_v").alias(vec_col)
+        )
     cents: dict[int, list[float]] = {i: list(r["_v"]) for i, r in enumerate(init)}
     assigned = data
     for i in range(iterations):

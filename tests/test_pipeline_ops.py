@@ -290,3 +290,23 @@ def test_profile_handles_awkward_column_names(spark):
     prof = {r.col_name: r for r in profile_table(df, ["my col", "it's"]).collect()}
     assert prof["my col"].n_distinct == 3
     assert prof["it's"].n_nulls == 0
+
+
+def test_degenerate_inputs_guarded(spark):
+    from srm_etl_spark.operators.cms import build_cms
+    from srm_etl_spark.operators.graph import pagerank
+    from srm_etl_spark.operators.profiling import psi
+    from srm_etl_spark.operators.similarity import kmeans
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty_edges).count() == 0
+    one = spark.createDataFrame([(1.0,)], "q double")
+    with pytest.raises(ValueError):
+        psi(one, one, "q", lo=1.0, hi=1.0)
+    with pytest.raises(ValueError):
+        build_cms(spark.createDataFrame([(1,)], "k long"), "k", width=0)
+    with pytest.raises(ValueError):
+        kmeans(spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>"), k=0)
+    # k-means over an empty frame returns an empty assignment, not an error
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kmeans(empty_vecs, k=3).count() == 0

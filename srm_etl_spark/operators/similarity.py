@@ -402,3 +402,123 @@ def quantize_embeddings(
         F.col(id_col),
         _let(F.col(vec_col).cast("array<double>"), build).alias("_q"),
     ).select(id_col, "_q.scale", "_q.qvec", "_q.mse")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — FAISS-IVFPQ-style fine compression
+# --------------------------------------------------------------------------
+
+def pq_train_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+) -> dict[int, dict[int, list[float]]]:
+    """Train one k-codeword codebook per subspace: the vector is split into
+    ``m`` contiguous subvectors and each subspace gets its own k-means run
+    (deterministic init — the :func:`kmeans` contract).
+
+    Returns {subspace -> {code -> centroid}}. Driver-held by design: the
+    codebook is m*k*(dim/m) floats (k*dim total — identical to ONE float
+    vector per codeword), the PQ analogue of the broadcast IVF quantizer.
+    """
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    sub = dim // m
+    books: dict[int, dict[int, list[float]]] = {}
+    for j in range(m):
+        part = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias("_sub"),
+        )
+        assigned = kmeans(part, "_sub", id_col, k=k, iterations=iterations)
+        rows = centroid_vectors(assigned, "cluster", "_sub", round_to=6).collect()
+        books[j] = {int(r["cluster"]): list(r["centroid"]) for r in rows}
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: dict[int, dict[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte codes: (id_col, codes array<int>).
+
+    dim*4 bytes -> m bytes per vector (e.g. 64 floats -> 4 codes = 64x).
+    Assignment is the same literal-centroid codegen math as
+    :func:`assign_clusters`, one subspace at a time — no shuffle, no Python.
+    """
+    m = len(codebooks)
+    sub = dim // m
+    out = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    code_cols = []
+    for j in range(m):
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_dist_to_literal(
+                        F.slice(F.col("_v"), j * sub + 1, sub), c
+                    ).alias("d"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, c in sorted(codebooks[j].items())
+            ]
+        )
+        code_cols.append(F.array_min(cands)["cid"])
+    return out.select(id_col, F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: dict[int, dict[int, list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus.
+
+    Per query the m x k distance table (query subvector vs every codeword)
+    is precomputed driver-side and inlined as literal arrays; a document's
+    approximate squared distance is then m table lookups by its codes —
+    whole-stage codegen over the 1-byte-per-subspace corpus, never touching
+    float vectors. Output: (query_id, neighbor_id, adc_dist, rank).
+    """
+    m = len(codebooks)
+    sub = dim // m
+    qrows = queries.select(id_col, F.col(vec_col).cast("array<double>")).collect()
+
+    scored_cols = []
+    for r in qrows:
+        qid, qv = r[0], list(r[1])
+        total = None
+        for j in range(m):
+            qsub = qv[j * sub : (j + 1) * sub]
+            # dense table indexed by code id (codes are 0..k-1 from kmeans)
+            tab = [0.0] * (max(codebooks[j]) + 1)
+            for cid, c in codebooks[j].items():
+                tab[cid] = sum((a - b) * (a - b) for a, b in zip(qsub, c))
+            term = F.element_at(F.lit(tab), F.col("codes")[j] + 1)
+            total = term if total is None else total + term
+        scored_cols.append(
+            F.struct(F.lit(int(qid)).alias(query_id_col), total.alias("adc_dist"))
+        )
+
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(F.array(*scored_cols)).alias("s"),
+    ).select("neighbor_id", f"s.{query_id_col}", "s.adc_dist")
+    exploded = exploded.filter(F.col("neighbor_id") != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "adc_dist", "rank")
+    )

@@ -214,3 +214,35 @@ FROM (
 EXT9_REGISTRY["q91_quantized_topk"] = QueryDef(
     q91_quantized_topk, Q91_SQL, "LLM-pipeline: int8 quantized ANN serving"
 )
+
+
+# --------------------------------------------------------------------------
+# q92 — product quantization: encode + ADC top-k (rows-only)
+# --------------------------------------------------------------------------
+
+def q92_pq_topk(spark, sf_dir):
+    """IVFPQ's fine half: per-subspace k-means codebooks → m-byte codes
+    (64x smaller than float32) → asymmetric-distance top-5 by table lookup
+    (operators/similarity.py:pq_*). Codebook training is k-means (driver
+    syncs the m×k codeword matrix — bounded by construction); encode and
+    search are pure codegen over the 1-byte-per-subspace corpus.
+    Training-dependent like the LSH family → rows-only check; cluster
+    separation and determinism are pytest-verified."""
+    from ..operators.similarity import pq_encode, pq_topk, pq_train_codebooks  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=4, k=16, iterations=2, dim=64)
+    codes = pq_encode(emb, books, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_topk(codes, books, queries, k=5, dim=64)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("adc_dist", 4).alias("adc_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+EXT9_REGISTRY["q92_pq_topk"] = QueryDef(
+    q92_pq_topk, None, "LLM-pipeline: product-quantized ANN (IVFPQ fine half)"
+)

@@ -310,3 +310,61 @@ def test_degenerate_inputs_guarded(spark):
     # k-means over an empty frame returns an empty assignment, not an error
     empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert kmeans(empty_vecs, k=3).count() == 0
+
+
+# --- product quantization ---------------------------------------------------
+
+def _clustered_vectors(n_per=20, dim=8):
+    import random
+
+    rnd = random.Random(3)
+    rows = []
+    centers = [[0.0] * dim, [10.0] * dim, [-10.0] * dim]
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(n_per):
+            rows.append((vid, [x + rnd.uniform(-0.5, 0.5) for x in c]))
+            vid += 1
+    return rows
+
+
+def test_pq_recall_on_separated_clusters(spark):
+    from srm_etl_spark.operators.similarity import pq_encode, pq_topk, pq_train_codebooks
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train_codebooks(df, m=2, k=4, dim=8)
+    codes = pq_encode(df, books, dim=8)
+    assert codes.count() == len(rows)
+    queries = df.filter(F.col("vec_id").isin([0, 20, 40]))
+    # at k=4 codewords, same-cluster members share codes (equal ADC), so the
+    # crisp property is separation: the ENTIRE cluster ranks before anything
+    # from another cluster
+    approx = pq_topk(codes, books, queries, k=19, dim=8)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qid, cluster_lo in [(0, 0), (20, 20), (40, 40)]:
+        members = set(range(cluster_lo, cluster_lo + 20)) - {qid}
+        assert ap[qid] == members
+
+
+def test_pq_compression_shape_and_determinism(spark):
+    from srm_etl_spark.operators.similarity import pq_encode, pq_train_codebooks
+
+    df = spark.createDataFrame(_clustered_vectors(), "vec_id long, embedding array<double>")
+    books = pq_train_codebooks(df, m=4, k=4, dim=8)
+    assert set(books) == {0, 1, 2, 3}
+    assert all(len(c) == 2 for b in books.values() for c in b.values())
+    a = {r.vec_id: r.codes for r in pq_encode(df, books, dim=8).collect()}
+    b = {r.vec_id: r.codes for r in pq_encode(df, books, dim=8).collect()}
+    assert a == b
+    assert all(len(v) == 4 and all(0 <= c < 4 for c in v) for v in a.values())
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from srm_etl_spark.operators.similarity import pq_train_codebooks
+
+    df = spark.createDataFrame([(1, [0.0] * 6)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        pq_train_codebooks(df, m=4, dim=6)

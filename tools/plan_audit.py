@@ -1,0 +1,102 @@
+"""Registry-wide physical-plan linter.
+
+Builds the physical plan of every query in the registry at sf0.01 and greps
+it for the anti-patterns that are invisible at test scale and catastrophic at
+100 TB:
+
+- ``CartesianProduct``          — both sides replicated everywhere; never OK.
+- ``BatchEvalPython``           — row-at-a-time Python UDF in the plan; the
+                                  engine's contract is Arrow-batched Python
+                                  only (``ArrowEvalPython`` / ``MapInPandas``
+                                  / ``FlatMapGroupsInPandas`` are allowed).
+- ``Exchange SinglePartition``  — a global funnel; only allowed where a
+                                  query's semantics genuinely need it
+                                  (global top-N / single-row aggregates /
+                                  tiny normalization frames), whitelisted
+                                  per query below.
+
+Also emits per-query counters (exchanges, broadcasts, pushed filters) so
+plan drift between rounds is diffable in git.
+
+Usage: python tools/plan_audit.py [query ...]   (writes PLAN_AUDIT.txt)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_AUDIT", "/root/testdata/sf0.01")
+
+# Queries whose DataFrame construction executes work (streaming replays,
+# iterative training) — their returned frame is a materialized/trivial plan,
+# so linting it tells us nothing; they are audited by their dedicated tests.
+SKIP = {
+    "q53_stream_tumbling",
+    "q60_stream_running_totals",
+    "q64_stream_join",
+    "q73_stream_enrich",
+    "q88_stream_sessions",
+}
+
+# Global single-partition exchanges that are semantically required and sit on
+# tiny frames (post-aggregation normalization, global top-N over aggregated
+# rows, literal/one-row inputs).
+SINGLE_PARTITION_OK = {
+    "q44_enumerate_topn",       # global top-N: final ordered limit
+    "q55_percentiles",          # single-row percentile summary
+    "q63_sketch_agg",           # sketch-vs-exact single-row twins
+    "q86_cms_heavy_hitters",    # global top-20 over the per-key aggregate
+    "q87_source_mixing",        # global normalization over <=20 source rows
+    "q43_age_groups",           # literal age-bracket frame
+    "q76_sequence_packing",     # per-stratum pack: tiny ordered stratum
+    "q90_quality_drift",        # 5-bin normalization windows
+}
+
+
+def main() -> int:
+    from srm_etl_spark.plans import REGISTRY  # noqa: PLC0415
+    from srm_etl_spark.session import get_spark  # noqa: PLC0415
+
+    spark = get_spark("plan-audit")
+    names = sys.argv[1:] or [n for n in REGISTRY if n not in SKIP]
+    failures: list[str] = []
+    lines: list[str] = []
+    for name in names:
+        df = REGISTRY[name].spark(spark, SF)
+        qe = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = qe.explainString(mode)
+        n_exchange = len(re.findall(r"\bExchange\b", plan))
+        n_single = len(re.findall(r"Exchange SinglePartition", plan))
+        n_bcast = len(re.findall(r"Broadcast(Hash|NestedLoop)Join", plan))
+        pushed = "PushedFilters: \\[[^\\]]" in plan or bool(
+            re.search(r"PushedFilters: \[[^\]]", plan)
+        )
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if "BatchEvalPython" in plan:
+            flags.append("ROW_PYTHON_UDF")
+        if n_single and name not in SINGLE_PARTITION_OK:
+            flags.append(f"SINGLE_PARTITION x{n_single}")
+        status = "FLAG " + "+".join(flags) if flags else "ok"
+        if flags:
+            failures.append(f"{name}: {'+'.join(flags)}")
+        lines.append(
+            f"{name}: {status} exchanges={n_exchange} broadcasts={n_bcast} "
+            f"pushed_filters={'y' if pushed else 'n'}"
+        )
+        print(lines[-1], flush=True)
+    out = "\n".join(lines) + "\n"
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.txt"), "w") as f:
+        f.write(out + ("\nFAILURES:\n" + "\n".join(failures) + "\n" if failures else "\nOK: no plan anti-patterns\n"))
+    print("\nFAIL: " + "; ".join(failures) if failures else "\nOK: no plan anti-patterns")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -246,3 +246,28 @@ def q92_pq_topk(spark, sf_dir):
 EXT9_REGISTRY["q92_pq_topk"] = QueryDef(
     q92_pq_topk, None, "LLM-pipeline: product-quantized ANN (IVFPQ fine half)"
 )
+
+
+# --------------------------------------------------------------------------
+# q93 — incremental derive == full recompute
+# --------------------------------------------------------------------------
+
+def q93_incremental_cards(spark, sf_dir):
+    """Incremental card refresh (pipelines/incremental.py): a slice of
+    branches "arrives", only the owning orgs' cards are rebuilt, and the
+    merged table must hash-match the FULL derive — the oracle is q35's SQL
+    verbatim. Shuffle of the refresh is proportional to the change set;
+    untouched orgs' cards pass through a broadcast anti-join."""
+    from ..pipelines.incremental import demo_incremental_vs_full  # noqa: PLC0415
+
+    cards = demo_incremental_vs_full(spark, sf_dir)
+    return cards.drop("card_id").withColumn(
+        "organization_branch_count", F.col("organization_branch_count").cast("long")
+    )
+
+
+from .queries import Q35_SQL  # noqa: E402
+
+EXT9_REGISTRY["q93_incremental_cards"] = QueryDef(
+    q93_incremental_cards, Q35_SQL, "K6-ext incremental derive refresh §3.1"
+)

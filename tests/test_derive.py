@@ -89,3 +89,33 @@ def test_auto_tagged_situations_score_zero(spark, sf_dir):
     plain = card_data_full(ft, max_score=30.0)
     r0 = plain.select("situation_scores_micro").limit(5).collect()
     assert all(all(s != "0" for s in r["situation_scores_micro"].split(",")) for r in r0)
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.pipelines import staging_fixtures as FIX
+    from srm_etl_spark.pipelines.derive import card_data, flat_branches, flat_services, flat_table
+    from srm_etl_spark.pipelines.incremental import incremental_card_refresh
+
+    orgs = FIX.organizations(spark, sf_dir)
+    locs = FIX.locations(spark, sf_dir)
+    brs = FIX.branches(spark, sf_dir)
+    svcs = FIX.services(spark, sf_dir)
+    is_new = F.xxhash64(F.col("id")) % 5 == 0
+
+    def full(b):
+        fb = flat_branches(b, locs, orgs)
+        return card_data(flat_table(flat_services(svcs, fb), fb))
+
+    previous = full(brs.filter(~is_new))
+    out = incremental_card_refresh(previous, brs, locs, orgs, svcs, is_new)
+    expect = full(brs)
+    assert out.count() == expect.count()
+    assert out.exceptAll(expect).count() == 0
+    assert expect.exceptAll(out).count() == 0
+    # cards of untouched orgs pass through untouched (no recompute surprises)
+    changed = {r.organization for r in brs.filter(is_new).select("organization").distinct().collect()}
+    kept = out.filter(~F.col("organization").isin(*changed)) if changed else out
+    prev_kept = previous.filter(~F.col("organization").isin(*changed)) if changed else previous
+    assert kept.exceptAll(prev_kept).count() == 0

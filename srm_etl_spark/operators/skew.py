@@ -83,3 +83,38 @@ def salted_sum_count(
         F.sum("_n").alias("n"),
         *[F.sum(f"_s_{name}").alias(name) for name in sum_cols],
     )
+
+
+def skew_report(
+    df: DataFrame, keys: list[str] | str, top: int = 10
+) -> DataFrame:
+    """Key-distribution diagnostic: the data a planner (or engineer) reads
+    before choosing broadcast / salt / AQE settings for a join or aggregate
+    on ``keys``.
+
+    Output: the ``top`` heaviest keys, each with its row count, its share of
+    the table, the ratio to the mean key weight (``skew_factor`` — ~1 means
+    uniform; the welfare-ministry org in the reference shows up here), and
+    the salt bucket count that would level it to the mean
+    (``suggested_salt`` = ceil(skew_factor)).
+
+    One hash aggregate over the table + a global top-k over the (distinct
+    keys)-row aggregate — the heavy lifting is map-side combined.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_rows"))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy()
+    total = F.sum("key_rows").over(w)
+    nkeys = F.count(F.lit(1)).over(w)
+    mean = total / nkeys
+    ranked = counts.select(
+        *keys,
+        "key_rows",
+        (F.col("key_rows") / total).alias("share"),
+        (F.col("key_rows") / mean).alias("skew_factor"),
+        F.ceil(F.col("key_rows") / mean).cast("long").alias("suggested_salt"),
+    )
+    order = [F.col("key_rows").desc()] + [F.col(k).asc() for k in keys]
+    return ranked.orderBy(*order).limit(top)

@@ -271,3 +271,43 @@ from .queries import Q35_SQL  # noqa: E402
 EXT9_REGISTRY["q93_incremental_cards"] = QueryDef(
     q93_incremental_cards, Q35_SQL, "K6-ext incremental derive refresh §3.1"
 )
+
+
+# --------------------------------------------------------------------------
+# q94 — skew diagnostics report
+# --------------------------------------------------------------------------
+
+def q94_skew_report(spark, sf_dir):
+    """Key-distribution diagnostic (operators/skew.py:skew_report) over the
+    orders-per-customer distribution: top-10 heaviest keys with share, skew
+    factor vs the mean key, and the salt count that would level each — what
+    an engineer reads before picking broadcast/salt/AQE for the join."""
+    from ..operators.skew import skew_report  # noqa: PLC0415
+
+    o = _t(spark, sf_dir, "orders")
+    out = skew_report(o, "o_custkey", top=10)
+    return out.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("key_rows").cast("long").alias("key_rows"),
+        F.round("share", 8).alias("share"),
+        F.round("skew_factor", 6).alias("skew_factor"),
+        "suggested_salt",
+    )
+
+
+Q94_SQL = """
+WITH counts AS (SELECT o_custkey, count(*) AS key_rows FROM orders GROUP BY o_custkey),
+tot AS (SELECT CAST(sum(key_rows) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS nkeys FROM counts)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(key_rows AS BIGINT) AS key_rows,
+       round(key_rows / total, 8) AS share,
+       round(key_rows / (total / nkeys), 6) AS skew_factor,
+       CAST(ceil(key_rows / (total / nkeys)) AS BIGINT) AS suggested_salt
+FROM counts CROSS JOIN tot
+ORDER BY key_rows DESC, o_custkey ASC
+LIMIT 10
+"""
+
+EXT9_REGISTRY["q94_skew_report"] = QueryDef(
+    q94_skew_report, Q94_SQL, "AQE/skew diagnostics (§4.2 welfare-ministry shape)"
+)

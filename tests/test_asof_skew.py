@@ -91,3 +91,20 @@ def test_salted_sum_count(spark):
         ).collect()
     }
     assert out == {"a": (100, 100.0), "b": (3, 6.0)}
+
+
+def test_skew_report_identifies_heavy_key(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from srm_etl_spark.operators.skew import skew_report
+
+    rows = [(1,)] * 90 + [(2,)] * 5 + [(3,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_report(df, "k", top=2).collect()
+    assert [r.k for r in out] == [1, 2]
+    top = out[0]
+    assert top.key_rows == 90
+    assert abs(top.share - 0.9) < 1e-12
+    # mean key weight is 100/3; 90 is 2.7x the mean
+    assert abs(top.skew_factor - 90 / (100 / 3)) < 1e-9
+    assert top.suggested_salt == 3

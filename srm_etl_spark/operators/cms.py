@@ -36,17 +36,15 @@ def _bucket(key: Column, a: int, b: int, width: int) -> Column:
     return ((key * a + b) % _P) % width
 
 
-def build_cms(
-    df: DataFrame, key_col: str, width: int = 512, depth: int = 3
-) -> DataFrame:
-    """Sketch of the multiset ``df[key_col]`` (integer keys):
-    (_cms_row, _cms_bucket, _cms_c) with ``depth * width`` rows at most.
-    Underscore-prefixed cell columns so probes never collide with caller
-    columns."""
+def _check_dims(width: int, depth: int) -> None:
     if depth > len(_SEEDS) or depth <= 0 or width <= 0:
         raise ValueError(f"need 0 < depth <= {len(_SEEDS)} and width > 0")
-    key = F.col(key_col).cast("long")
-    cells = F.explode(
+
+
+def _cells(key: Column, width: int, depth: int) -> Column:
+    """The shared depth x (row, bucket) probe/build cell expression — build
+    and estimate MUST hash identically, so there is exactly one definition."""
+    return F.explode(
         F.array(
             *[
                 F.struct(
@@ -57,6 +55,17 @@ def build_cms(
             ]
         )
     ).alias("cell")
+
+
+def build_cms(
+    df: DataFrame, key_col: str, width: int = 512, depth: int = 3
+) -> DataFrame:
+    """Sketch of the multiset ``df[key_col]`` (integer keys):
+    (_cms_row, _cms_bucket, _cms_c) with ``depth * width`` rows at most.
+    Underscore-prefixed cell columns so probes never collide with caller
+    columns."""
+    _check_dims(width, depth)
+    cells = _cells(F.col(key_col).cast("long"), width, depth)
     return (
         df.select(cells)
         .select(F.col("cell.r").alias("_cms_row"), F.col("cell.b").alias("_cms_bucket"))
@@ -74,30 +83,28 @@ def cms_estimate(
     out_col: str = "cms_estimate",
 ) -> DataFrame:
     """Attach the count-min estimate (min over the key's ``depth`` counters)
-    to every candidate row. The sketch side is broadcast — bounded at
+    to every candidate row — row multiplicity preserved, and keys whose
+    cells are absent from the sketch estimate 0 (an absent cell IS count 0
+    in CMS semantics). The sketch side is broadcast — bounded at
     depth*width rows by construction."""
-    key = F.col(key_col).cast("long")
-    probes = candidates.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("r"),
-                        _bucket(key, a, b, width).alias("b"),
-                    )
-                    for i, (a, b) in enumerate(_SEEDS[:depth])
-                ]
-            )
-        ).alias("cell"),
+    _check_dims(width, depth)
+    # a surrogate row id keeps duplicate candidate rows distinct through the
+    # probe-and-regroup (internal only — never leaves this function)
+    tagged = candidates.withColumn("_cms_rid", F.monotonically_increasing_id())
+    probes = tagged.select(
+        "*", _cells(F.col(key_col).cast("long"), width, depth)
     ).select(
         "*",
         F.col("cell.r").alias("_cms_row"),
         F.col("cell.b").alias("_cms_bucket"),
     ).drop("cell")
-    joined = probes.join(F.broadcast(sketch), ["_cms_row", "_cms_bucket"])
+    joined = probes.join(F.broadcast(sketch), ["_cms_row", "_cms_bucket"], "left")
     others = [c for c in candidates.columns]
-    return joined.groupBy(*others).agg(F.min("_cms_c").alias(out_col))
+    return (
+        joined.groupBy("_cms_rid", *others)
+        .agg(F.min(F.coalesce(F.col("_cms_c"), F.lit(0))).alias(out_col))
+        .drop("_cms_rid")
+    )
 
 
 def cms_seeds(depth: int = 3) -> list[tuple[int, int]]:

@@ -298,6 +298,10 @@ def pagerank(
       node-derivation scan.
     - N (node count) is a single driver scalar — the one bounded action.
     """
+    if iterations <= 0 or checkpoint_every <= 0:
+        raise ValueError("iterations and checkpoint_every must be positive")
+    if not 0.0 <= damping < 1.0:
+        raise ValueError("damping must be in [0, 1)")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()

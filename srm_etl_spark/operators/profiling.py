@@ -92,8 +92,14 @@ def psi(
             ),
             F.lit(bins - 1),
         ).cast("long")
-        counts = df.select(b.alias("bin")).groupBy("bin").agg(
-            F.count(F.lit(1)).alias("_c")
+        # NULL metric values carry no distribution information: excluded from
+        # both the bins and the normalizing total (a null bin row would be
+        # dropped by the all_bins join but still deflate every fraction)
+        counts = (
+            df.filter(F.col(value_col).isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("_c"))
         )
         # normalize over the (<= bins)-row aggregate with a global window —
         # one pass over the slice, no driver-side count action

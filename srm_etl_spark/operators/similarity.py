@@ -493,7 +493,16 @@ def pq_topk(
     """
     m = len(codebooks)
     sub = dim // m
+    if any(not b for b in codebooks.values()):
+        raise ValueError("every subspace codebook must be non-empty")
     qrows = queries.select(id_col, F.col(vec_col).cast("array<double>")).collect()
+    if not qrows:
+        # F.array() of zero structs has null element type and breaks field
+        # extraction — return an explicitly-typed empty result instead
+        idt = dict(codes.dtypes)[id_col]
+        return codes.sparkSession.createDataFrame(
+            [], f"{query_id_col} {idt}, neighbor_id {idt}, adc_dist double, rank int"
+        )
 
     scored_cols = []
     for r in qrows:

@@ -103,18 +103,22 @@ def skew_report(
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_rows"))
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    w = Window.partitionBy()
-    total = F.sum("key_rows").over(w)
-    nkeys = F.count(F.lit(1)).over(w)
-    mean = total / nkeys
-    ranked = counts.select(
+    # totals as a single-row aggregate broadcast back over the key frame — a
+    # global window here would funnel EVERY distinct key through one
+    # partition (the plan-audit anti-pattern this module exists to avoid)
+    totals = counts.agg(
+        F.sum("key_rows").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_nkeys"),
+    )
+    mean = F.col("_total") / F.col("_nkeys")
+    ranked = counts.crossJoin(F.broadcast(totals)).select(
         *keys,
         "key_rows",
-        (F.col("key_rows") / total).alias("share"),
+        (F.col("key_rows") / F.col("_total")).alias("share"),
         (F.col("key_rows") / mean).alias("skew_factor"),
         F.ceil(F.col("key_rows") / mean).cast("long").alias("suggested_salt"),
     )
     order = [F.col("key_rows").desc()] + [F.col(k).asc() for k in keys]
+    # orderBy + limit collapses to TakeOrderedAndProject: per-partition local
+    # top-k, then a bounded merge — no single-partition sort of the key frame
     return ranked.orderBy(*order).limit(top)

@@ -26,7 +26,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import staging_fixtures as FIX
@@ -39,24 +39,61 @@ def _cards_for(branches: DataFrame, locations: DataFrame, organizations: DataFra
     return card_data(flat_table(flat_services(services, fb), fb))
 
 
+def changed_orgs_between(
+    old_branches: DataFrame, new_branches: DataFrame
+) -> DataFrame:
+    """Orgs owning any ADDED, REMOVED or MODIFIED branch between two staging
+    snapshots — the hash-diff the upsert layer computes (reference
+    ``update_table.py:28-52``), widened to the org closure.
+
+    Full-outer join on branch id; a branch counts as changed when it exists
+    on only one side or its row content differs. Orgs are taken from BOTH
+    sides: a removed branch's org only exists in the old snapshot, and a
+    branch that MOVED between orgs dirties both. Output: one ``organization``
+    column, distinct."""
+
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        content = F.sha1(F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)])))
+        return df.select(
+            F.col("id").alias("_bid"),
+            F.col("organization").alias(f"_org_{side}"),
+            content.alias(f"_h_{side}"),
+        )
+
+    diff = keyed(old_branches, "old").join(keyed(new_branches, "new"), "_bid", "full_outer")
+    changed = diff.filter(
+        F.col("_h_old").isNull()
+        | F.col("_h_new").isNull()
+        | (F.col("_h_old") != F.col("_h_new"))
+    )
+    return (
+        changed.select(F.col("_org_old").alias("organization"))
+        .unionByName(changed.select(F.col("_org_new").alias("organization")))
+        .filter(F.col("organization").isNotNull())
+        .distinct()
+    )
+
+
 def incremental_card_refresh(
     previous_cards: DataFrame,
     branches: DataFrame,
     locations: DataFrame,
     organizations: DataFrame,
     services: DataFrame,
-    changed_branches: Column,
+    changed_orgs: DataFrame,
 ) -> DataFrame:
-    """Refresh ``previous_cards`` for the orgs owning any branch matching
-    ``changed_branches`` (a predicate over the NEW branches table).
+    """Refresh ``previous_cards`` for the orgs in ``changed_orgs`` (one
+    ``organization`` column — typically :func:`changed_orgs_between` of the
+    old and new branch snapshots, so additions, removals and modifications
+    are all expressible).
 
     Result is row-identical to a full recompute over the new staging (the
     q93 oracle proves this): unaffected orgs keep their previous cards
-    verbatim; affected orgs are rebuilt from the new staging only.
+    verbatim; affected orgs are rebuilt from the new staging only — an org
+    whose branches all disappeared simply contributes nothing from the
+    rebuild, so its stale cards drop out.
     """
-    changed_orgs = (
-        branches.filter(changed_branches).select("organization").distinct()
-    )
+    changed_orgs = changed_orgs.select("organization").distinct()
     affected_branches = branches.join(
         F.broadcast(changed_orgs), "organization", "left_semi"
     )
@@ -78,5 +115,7 @@ def demo_incremental_vs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     brs = FIX.branches(spark, sf_dir)
     svcs = FIX.services(spark, sf_dir)
     is_new = F.xxhash64(F.col("id")) % 7 == 0
-    previous = _cards_for(brs.filter(~is_new), locs, orgs, svcs)
-    return incremental_card_refresh(previous, brs, locs, orgs, svcs, is_new)
+    old_brs = brs.filter(~is_new)
+    previous = _cards_for(old_brs, locs, orgs, svcs)
+    changed = changed_orgs_between(old_brs, brs)
+    return incremental_card_refresh(previous, brs, locs, orgs, svcs, changed)

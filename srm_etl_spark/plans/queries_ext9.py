@@ -149,10 +149,6 @@ def q91_quantized_topk(spark, sf_dir):
     from ..operators.similarity import quantize_embeddings  # noqa: PLC0415
 
     emb = _t(spark, sf_dir, "embeddings")
-    qd = quantize_embeddings(emb, "embedding", "vec_id").select("vec_id", "qvec")
-    queries = qd.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("qvec").alias("_qq")
-    )
 
     def idot(a, b):
         return F.aggregate(
@@ -161,18 +157,24 @@ def q91_quantized_topk(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
+    # norms are precomputed per side BEFORE the non-equi join: otherwise the
+    # corpus norm re-runs a dim-length aggregate once per (corpus x query)
+    # pair inside the serving hot loop
+    qd = quantize_embeddings(emb, "embedding", "vec_id").select(
+        "vec_id", "qvec", F.sqrt(idot(F.col("qvec"), F.col("qvec")).cast("double")).alias("_nrm")
+    )
+    queries = qd.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("_qq"),
+        F.col("_nrm").alias("_qnrm"),
+    )
+
     scored = (
         qd.join(F.broadcast(queries), qd["vec_id"] != queries["query_id"])
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (
-                idot(F.col("qvec"), F.col("_qq"))
-                / (
-                    F.sqrt(idot(F.col("qvec"), F.col("qvec")).cast("double"))
-                    * F.sqrt(idot(F.col("_qq"), F.col("_qq")).cast("double"))
-                )
-            ).alias("qcos"),
+            (idot(F.col("qvec"), F.col("_qq")) / (F.col("_nrm") * F.col("_qnrm"))).alias("qcos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("neighbor_id"))

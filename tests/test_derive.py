@@ -96,26 +96,47 @@ def test_incremental_refresh_equals_full_rebuild(spark, sf_dir):
 
     from srm_etl_spark.pipelines import staging_fixtures as FIX
     from srm_etl_spark.pipelines.derive import card_data, flat_branches, flat_services, flat_table
-    from srm_etl_spark.pipelines.incremental import incremental_card_refresh
+    from srm_etl_spark.pipelines.incremental import changed_orgs_between, incremental_card_refresh
 
     orgs = FIX.organizations(spark, sf_dir)
     locs = FIX.locations(spark, sf_dir)
     brs = FIX.branches(spark, sf_dir)
     svcs = FIX.services(spark, sf_dir)
-    is_new = F.xxhash64(F.col("id")) % 5 == 0
+    # old snapshot lacks the "added" slice AND contains a "removed" slice the
+    # new snapshot dropped - both change directions must be handled
+    h = F.xxhash64(F.col("id")) % 5
+    old_brs = brs.filter(h != 0)
+    new_brs = brs.filter(h != 1)
 
     def full(b):
         fb = flat_branches(b, locs, orgs)
         return card_data(flat_table(flat_services(svcs, fb), fb))
 
-    previous = full(brs.filter(~is_new))
-    out = incremental_card_refresh(previous, brs, locs, orgs, svcs, is_new)
-    expect = full(brs)
+    previous = full(old_brs)
+    changed = changed_orgs_between(old_brs, new_brs)
+    out = incremental_card_refresh(previous, new_brs, locs, orgs, svcs, changed)
+    expect = full(new_brs)
     assert out.count() == expect.count()
     assert out.exceptAll(expect).count() == 0
     assert expect.exceptAll(out).count() == 0
     # cards of untouched orgs pass through untouched (no recompute surprises)
-    changed = {r.organization for r in brs.filter(is_new).select("organization").distinct().collect()}
-    kept = out.filter(~F.col("organization").isin(*changed)) if changed else out
-    prev_kept = previous.filter(~F.col("organization").isin(*changed)) if changed else previous
+    changed_set = {r.organization for r in changed.collect()}
+    kept = out.filter(~F.col("organization").isin(*changed_set)) if changed_set else out
+    prev_kept = previous.filter(~F.col("organization").isin(*changed_set)) if changed_set else previous
     assert kept.exceptAll(prev_kept).count() == 0
+
+
+def test_changed_orgs_between_detects_modifications(spark):
+    from srm_etl_spark.pipelines.incremental import changed_orgs_between
+
+    old = spark.createDataFrame(
+        [("b1", "o1", "x"), ("b2", "o2", "y"), ("b3", "o3", "z")],
+        "id string, organization string, name string",
+    )
+    # b1 modified, b2 removed, b4 added to o4, b3 untouched
+    new = spark.createDataFrame(
+        [("b1", "o1", "x2"), ("b3", "o3", "z"), ("b4", "o4", "w")],
+        "id string, organization string, name string",
+    )
+    got = {r.organization for r in changed_orgs_between(old, new).collect()}
+    assert got == {"o1", "o2", "o4"}

@@ -54,6 +54,13 @@ SINGLE_PARTITION_OK = {
     "q43_age_groups",           # literal age-bracket frame
     "q76_sequence_packing",     # per-stratum pack: tiny ordered stratum
     "q90_quality_drift",        # 5-bin normalization windows
+    "q28_jaccard_pairs",        # bitmap vocab row_number: path only taken
+                                # when vocab <= bitmap_max_vocab (dedup.py:385)
+    "q77_bm25_search",          # single-row corpus stats (N, avgdl)
+    "q78_curation_funnel",      # single-row audited stage counters
+    "q89_profile",              # the one-pass profile IS a single-row agg
+    "q94_skew_report",          # single-row totals agg (partials only); the
+                                # all-keys window funnel was removed
 }
 
 
@@ -71,11 +78,11 @@ def main() -> int:
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         plan = qe.explainString(mode)
         n_exchange = len(re.findall(r"\bExchange\b", plan))
-        n_single = len(re.findall(r"Exchange SinglePartition", plan))
+        # formatted mode renders the distribution on the node's Arguments
+        # line ("Arguments: SinglePartition, ..."), not inline with Exchange
+        n_single = len(re.findall(r"\bSinglePartition\b", plan))
         n_bcast = len(re.findall(r"Broadcast(Hash|NestedLoop)Join", plan))
-        pushed = "PushedFilters: \\[[^\\]]" in plan or bool(
-            re.search(r"PushedFilters: \[[^\]]", plan)
-        )
+        pushed = bool(re.search(r"PushedFilters: \[[^\]]", plan))
         flags = []
         if "CartesianProduct" in plan:
             flags.append("CARTESIAN")

@@ -16,6 +16,7 @@ from .queries_ext6 import EXT6_REGISTRY
 from .queries_ext7 import EXT7_REGISTRY
 from .queries_ext8 import EXT8_REGISTRY
 from .queries_ext9 import EXT9_REGISTRY
+from .queries_ext10 import EXT10_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -26,3 +27,4 @@ REGISTRY.update(EXT6_REGISTRY)
 REGISTRY.update(EXT7_REGISTRY)
 REGISTRY.update(EXT8_REGISTRY)
 REGISTRY.update(EXT9_REGISTRY)
+REGISTRY.update(EXT10_REGISTRY)

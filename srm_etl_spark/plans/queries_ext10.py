@@ -1,0 +1,155 @@
+"""Round-4 extension queries, part 5: composed end-to-end pipelines.
+
+q95 — RAG retrieval end-to-end: chunk → deterministic hash-embedding →
+      exact top-k over chunks. Composes operators/chunking.py with the
+      similarity family; hash-family-specific features → rows-only check
+      (self-retrieval and determinism are pytest-pinned).
+q96 — the q87 mixing table EXECUTED: per-source quotas from the
+      temperature weights, filled by deterministic md5-order sampling —
+      the materialization step between "decide the mix" and "train on it".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from ..operators.chunking import chunk_documents
+from ..operators.similarity import brute_force_topk
+from .queries import QueryDef, _t
+
+_EMBED_DIM = 16
+
+
+def hash_embedding(text_col, dim: int = _EMBED_DIM):
+    """Deterministic pseudo-embedding: a bag-of-tokens random projection —
+    component i is the sum over tokens of a seeded xxhash64 feature in
+    [-1, 1). The stand-in for a real encoder (not in this container) with
+    the property retrieval plumbing actually needs: texts sharing tokens
+    get correlated vectors (overlapping chunks ARE near neighbors),
+    disjoint texts are near-orthogonal. Pure codegen, no Python; the token
+    array is let-bound so the split runs once, not ``dim`` times."""
+    from ..functions.expr import let as _let  # noqa: PLC0415
+
+    def build(toks):
+        def feat(i: int):
+            return F.aggregate(
+                toks,
+                F.lit(0.0),
+                lambda acc, t: acc
+                + ((F.xxhash64(t, F.lit(i)) % 1000).cast("double") / 500.0 - 1.0),
+            )
+
+        return F.array(*[feat(i) for i in range(dim)])
+
+    return _let(F.split(text_col, " "), build)
+
+
+# --------------------------------------------------------------------------
+# q95 — RAG retrieval: chunk → embed → top-k
+# --------------------------------------------------------------------------
+
+def q95_rag_retrieval(spark, sf_dir):
+    """Retrieval pipeline over the chunked corpus: 32-token windows (stride
+    24), hash-embedded, exact cosine top-3 per query chunk (queries = the
+    first chunk of the 5 lowest doc_ids). All stages are per-row codegen
+    until the final broadcast-queries × streamed-chunks ranking — the q29
+    shape over the chunk table. Hash-feature embedding → rows-only."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, chunk_tokens=32, stride=24).select(
+        "chunk_id",
+        "doc_id",
+        "chunk_start",
+        hash_embedding(F.col("chunk_text")).alias("embedding"),
+    )
+    # dense integer ids for the ranking join (chunk_id is an 8-hex string)
+    with_id = chunks.withColumn(
+        "cid", F.conv(F.col("chunk_id"), 16, 10).cast("long")
+    )
+    queries = with_id.filter((F.col("doc_id") < 5) & (F.col("chunk_start") == 1))
+    out = brute_force_topk(
+        with_id, queries, k=3, vec_col="embedding", id_col="cid"
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q96 — execute the temperature mix as a deterministic sample
+# --------------------------------------------------------------------------
+
+_Q96_TARGET = 200
+
+
+def q96_mixed_sample(spark, sf_dir):
+    """Materialize the q87 mixing decision: per-source quota = round(
+    temp_share * 200) docs, filled in md5(doc_id) order (deterministic
+    "random", repartition-stable — the q68 discipline). One window per
+    source stratum; the quota table is a broadcast of <=20 rows."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.sum(token_count(F.col("text"))).alias("tokens"))
+    pw = F.pow(F.col("tokens").cast("double"), F.lit(0.7))
+    totals = per.agg(F.sum(pw).alias("_t7"))
+    quota = (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.round(pw / F.col("_t7") * _Q96_TARGET, 0).cast("long").alias("quota"),
+        )
+    )
+    ordered = d.select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("_r")
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("_r"), F.asc("doc_id"))
+    ranked = ordered.withColumn("pick", F.row_number().over(w))
+    out = ranked.join(F.broadcast(quota), "source").filter(
+        F.col("pick") <= F.col("quota")
+    )
+    return out.select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("pick").cast("long").alias("pick"),
+        F.col("quota").cast("long").alias("quota"),
+    )
+
+
+Q96_SQL = f"""
+WITH per AS (
+  SELECT source,
+         sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')) END) AS tokens
+  FROM documents GROUP BY source
+),
+quota AS (
+  SELECT source,
+         CAST(round(pow(CAST(tokens AS DOUBLE), 0.7)
+                    / sum(pow(CAST(tokens AS DOUBLE), 0.7)) OVER () * {_Q96_TARGET}, 0) AS BIGINT) AS quota
+  FROM per
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+  FROM documents
+)
+SELECT r.source, CAST(r.doc_id AS BIGINT) AS doc_id,
+       CAST(r.pick AS BIGINT) AS pick, q.quota
+FROM ranked r JOIN quota q USING (source)
+WHERE r.pick <= q.quota
+"""
+
+
+EXT10_REGISTRY = {
+    "q95_rag_retrieval": QueryDef(
+        q95_rag_retrieval, None, "LLM-pipeline: composed RAG chunk→embed→top-k"
+    ),
+    "q96_mixed_sample": QueryDef(
+        q96_mixed_sample, Q96_SQL, "LLM-pipeline: executed temperature mix sample"
+    ),
+}

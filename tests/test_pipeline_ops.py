@@ -368,3 +368,47 @@ def test_pq_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([(1, [0.0] * 6)], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         pq_train_codebooks(df, m=4, dim=6)
+
+
+# --- RAG retrieval composition (q95) ----------------------------------------
+
+def test_hash_embedding_overlap_similarity(spark):
+    from srm_etl_spark.operators.similarity import cosine_similarity
+    from srm_etl_spark.plans.queries_ext10 import hash_embedding
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "gamma delta epsilon zeta eta theta"),  # 4/6 tokens shared
+            (3, "one two three four five six"),         # disjoint
+        ],
+        "id long, text string",
+    )
+    emb = df.select("id", hash_embedding(F.col("text")).alias("e"))
+    a, b, c = [r.e for r in emb.orderBy("id").collect()]
+    rows = spark.createDataFrame([(a, b, c)], "a array<double>, b array<double>, c array<double>")
+    got = rows.select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("ab"),
+        cosine_similarity(F.col("a"), F.col("c")).alias("ac"),
+    ).collect()[0]
+    assert got.ab > got.ac  # shared tokens => more similar than disjoint
+    # determinism
+    emb2 = df.select("id", hash_embedding(F.col("text")).alias("e"))
+    assert [r.e for r in emb2.orderBy("id").collect()][0] == a
+
+
+def test_rag_retrieval_finds_overlapping_neighbor(spark):
+    from srm_etl_spark.plans.queries_ext10 import hash_embedding
+    from srm_etl_spark.operators.chunking import chunk_documents
+    from srm_etl_spark.operators.similarity import brute_force_topk
+
+    words = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_tokens=16, stride=8).select(
+        F.col("chunk_start").alias("cid"),
+        hash_embedding(F.col("chunk_text")).alias("embedding"),
+    )
+    q = chunks.filter(F.col("cid") == 9)  # overlaps starts 1 and 17 by 8 tokens
+    out = brute_force_topk(chunks, q, k=2, vec_col="embedding", id_col="cid")
+    neighbors = {r.neighbor_id for r in out.collect()}
+    assert neighbors == {1, 17}

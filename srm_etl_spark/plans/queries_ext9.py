@@ -233,7 +233,7 @@ def q92_pq_topk(spark, sf_dir):
     from ..operators.similarity import pq_encode, pq_topk, pq_train_codebooks  # noqa: PLC0415
 
     emb = _t(spark, sf_dir, "embeddings")
-    books = pq_train_codebooks(emb, m=4, k=16, iterations=2, dim=64)
+    books = pq_train_codebooks(emb, m=4, k=8, iterations=2, dim=64)
     codes = pq_encode(emb, books, dim=64)
     queries = emb.filter(F.col("vec_id") < 5)
     out = pq_topk(codes, books, queries, k=5, dim=64)

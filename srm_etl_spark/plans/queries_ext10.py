@@ -11,6 +11,7 @@ q96 — the q87 mixing table EXECUTED: per-source quotas from the
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count
@@ -153,3 +154,67 @@ EXT10_REGISTRY = {
         q96_mixed_sample, Q96_SQL, "LLM-pipeline: executed temperature mix sample"
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# q97 — multimodal audio round-trip (encode → sniff → Arrow-batched decode)
+# --------------------------------------------------------------------------
+
+def q97_audio_features(spark, sf_dir):
+    """Audio-column plumbing end-to-end (the q54 discipline on the audio
+    path): synthesize a deterministic fake-WAV payload per document
+    (Arrow-batched pandas UDF), sniff the RIFF container from magic bytes
+    (JVM-side hex), decode sample-rate/duration/rms back out through
+    mapInPandas (operators/multimodal.py:decode_audio_features). The oracle
+    recomputes the features in closed form — a hash match proves the binary
+    encode/decode path is lossless."""
+    from ..operators.multimodal import (  # noqa: PLC0415
+        attach_media_metadata,
+        decode_audio_features,
+        fake_wav,
+    )
+
+    @F.pandas_udf("binary")
+    def make_wav(sr: pd.Series, n: pd.Series, amp: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fake_wav(int(a), int(b), int(c)) for a, b, c in zip(sr, n, amp)]
+        )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 3 + 1) * 8000).cast("int").alias("sr"),
+        ((F.col("n_chars") % 1000 + 1) * 160).cast("int").alias("n"),
+        (F.col("doc_id") % 256).cast("int").alias("amp"),
+    )
+    media = attach_media_metadata(
+        d.withColumn("media", make_wav("sr", "n", "amp")), "media"
+    )
+    feats = decode_audio_features(
+        media, "media", passthrough=["doc_id", "media_size_bytes", "media_format"]
+    )
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "sample_rate",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round("duration_s", 9).alias("duration_s"),
+        F.round("rms", 9).alias("rms"),
+        "media_size_bytes",
+        "media_format",
+    )
+
+
+Q97_SQL = """
+SELECT doc_id,
+       CAST((doc_id % 3 + 1) * 8000 AS INTEGER) AS sample_rate,
+       CAST((n_chars % 1000 + 1) * 160 AS BIGINT) AS n_samples,
+       round(CAST((n_chars % 1000 + 1) * 160 AS DOUBLE)
+             / ((doc_id % 3 + 1) * 8000), 9) AS duration_s,
+       round(CAST(doc_id % 256 AS DOUBLE) / 255.0, 9) AS rms,
+       CAST(17 AS BIGINT) AS media_size_bytes,
+       'riff' AS media_format
+FROM documents
+"""
+
+EXT10_REGISTRY["q97_audio_features"] = QueryDef(
+    q97_audio_features, Q97_SQL, "multimodal audio decode round-trip"
+)

@@ -218,3 +218,77 @@ FROM documents
 EXT10_REGISTRY["q97_audio_features"] = QueryDef(
     q97_audio_features, Q97_SQL, "multimodal audio decode round-trip"
 )
+
+
+# --------------------------------------------------------------------------
+# q98 — geocode flow with a deterministic resolver, oracle-checked
+# --------------------------------------------------------------------------
+
+def q98_geocode(spark, sf_dir):
+    """The geocode pipeline end-to-end (operators/geocode.py: unresolved
+    selection → distinct-keyword dedup → bounded-concurrency mapInPandas
+    resolve → join-back + status rules), driven by a closed-form injectable
+    resolver so the whole flow — including the NOT_FOUND marking the r3
+    advisory fixed — is oracle-checkable. Keys whose last two digits are
+    ≡ 0 (mod 10) miss (NOT_FOUND); the rest resolve to values derived only
+    from those digits, which the SQL twin recomputes."""
+    from ..operators.geocode import geocode_locations  # noqa: PLC0415
+
+    c = _t(spark, sf_dir, "customer")
+    locs = c.select(
+        F.concat(F.lit("addr "), F.col("c_name")).alias("id"),
+        F.lit(None).cast("string").alias("alternate_address"),
+        F.lit("ACTIVE").alias("status"),
+        F.lit(None).cast("double").alias("resolved_lat"),
+        F.lit(None).cast("double").alias("resolved_lon"),
+        F.lit(None).cast("string").alias("resolved_city"),
+    )
+
+    def resolver(kw: str):
+        d2 = int(kw[-2:])
+        if d2 % 10 == 0:
+            return None
+        return {
+            "accuracy": "ROOFTOP",
+            "provider": "fake",
+            "resolved_address": kw.upper(),
+            "resolved_lat": 29.5 + d2 * 0.01,
+            "resolved_lon": 34.0 + (d2 % 10) * 0.1,
+            "resolved_city": f"CITY_{d2 % 7}",
+        }
+
+    out = geocode_locations(locs, resolver)
+    return out.select(
+        "id",
+        "status",
+        "accuracy",
+        "provider",
+        "resolved_address",
+        F.round("resolved_lat", 6).alias("resolved_lat"),
+        F.round("resolved_lon", 6).alias("resolved_lon"),
+        "resolved_city",
+    )
+
+
+Q98_SQL = """
+WITH r AS (
+  SELECT 'addr ' || c_name AS id,
+         CAST(substr('addr ' || c_name, length('addr ' || c_name) - 1, 2) AS INT) AS d2
+  FROM customer
+)
+SELECT id,
+  CASE WHEN d2 % 10 = 0 THEN 'NOT_FOUND' ELSE 'VALID' END AS status,
+  CASE WHEN d2 % 10 = 0 THEN NULL ELSE 'ROOFTOP' END AS accuracy,
+  CASE WHEN d2 % 10 = 0 THEN NULL ELSE 'fake' END AS provider,
+  CASE WHEN d2 % 10 = 0 THEN NULL ELSE upper(id) END AS resolved_address,
+  CASE WHEN d2 % 10 = 0 THEN NULL
+       ELSE round(29.5 + d2 * CAST(0.01 AS DOUBLE), 6) END AS resolved_lat,
+  CASE WHEN d2 % 10 = 0 THEN NULL
+       ELSE round(34.0 + (d2 % 10) * CAST(0.1 AS DOUBLE), 6) END AS resolved_lon,
+  CASE WHEN d2 % 10 = 0 THEN NULL ELSE 'CITY_' || CAST(d2 % 7 AS VARCHAR) END AS resolved_city
+FROM r
+"""
+
+EXT10_REGISTRY["q98_geocode"] = QueryDef(
+    q98_geocode, Q98_SQL, "geocode flow §7.1-7 (S-ext) with injected resolver"
+)

@@ -292,3 +292,71 @@ FROM r
 EXT10_REGISTRY["q98_geocode"] = QueryDef(
     q98_geocode, Q98_SQL, "geocode flow §7.1-7 (S-ext) with injected resolver"
 )
+
+
+# --------------------------------------------------------------------------
+# q99 — connector-protocol parity: three pagers, one truth
+# --------------------------------------------------------------------------
+
+def q99_connector_parity(spark, sf_dir):
+    """The three ingestion pager protocols (S5/S6/S8: skip-limit, keyset
+    cursor with monotonicity asserts, link-following) each replay the
+    supplier dimension through a deterministic in-memory API — page sizes
+    chosen to exercise short-final-page, cursor-advance and next-link
+    termination — and must all land the exact table content. Pagers are
+    driver-side by nature (so is the reference's scraping); the dimension
+    tables they ingest are driver-small by the same design."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    from ..sources.connectors import (  # noqa: PLC0415
+        keyset_paged_to_df,
+        linked_pager_to_df,
+        paged_to_df,
+    )
+
+    rows = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pylist()
+    rows.sort(key=lambda r: r["s_suppkey"])
+
+    def fetch_page(skip, limit):
+        return rows[skip : skip + limit]
+
+    def fetch_after(cursor):
+        after = [r for r in rows if cursor is None or r["s_suppkey"] > cursor]
+        return after[:37]
+
+    def fetch_url(url):
+        i = int(url.split(":")[1])
+        batch = rows[i * 53 : (i + 1) * 53]
+        return {
+            "records": batch,
+            "next": f"page:{i + 1}" if len(batch) == 53 else None,
+        }
+
+    a = paged_to_df(spark, fetch_page, page_size=41)
+    b = keyset_paged_to_df(spark, fetch_after, key_of=lambda r: r["s_suppkey"])
+    c = linked_pager_to_df(spark, fetch_url, "page:0")
+    out = (
+        a.withColumn("protocol", F.lit("skip_limit"))
+        .unionByName(b.withColumn("protocol", F.lit("keyset")))
+        .unionByName(c.withColumn("protocol", F.lit("linked")))
+    )
+    return out.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        "protocol",
+    )
+
+
+Q99_SQL = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(s_nationkey AS BIGINT) AS s_nationkey, p.protocol
+FROM supplier
+CROSS JOIN (VALUES ('skip_limit'), ('keyset'), ('linked')) p(protocol)
+"""
+
+EXT10_REGISTRY["q99_connector_parity"] = QueryDef(
+    q99_connector_parity, Q99_SQL, "S5 S6 S8 pager-protocol parity"
+)

@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 from ..functions.text import token_count
 from ..operators.chunking import chunk_documents
 from ..operators.similarity import brute_force_topk
-from .queries import QueryDef, _t
+from .queries import _NORM, QueryDef, _t
+
+_NORM_Q100 = _NORM.format(c='text')
 
 _EMBED_DIM = 16
 
@@ -359,4 +361,111 @@ CROSS JOIN (VALUES ('skip_limit'), ('keyset'), ('linked')) p(protocol)
 
 EXT10_REGISTRY["q99_connector_parity"] = QueryDef(
     q99_connector_parity, Q99_SQL, "S5 S6 S8 pager-protocol parity"
+)
+
+
+# --------------------------------------------------------------------------
+# q100 — curation pipeline v2: dedup → decontaminate → quota, audited
+# --------------------------------------------------------------------------
+
+def q100_curation_v2(spark, sf_dir):
+    """The round-4 curation stack composed end-to-end with an audited stage
+    funnel (the q78 discipline over the NEW operators): exact dedup (min-id
+    keeper) → benchmark decontamination (≥2 trigram collisions with the
+    doc_id%37 eval slice — eval members drop themselves, as a real
+    decontamination pass would) → per-(source, lang) quality quota (top 15).
+    Output: one row per stage with its surviving doc count — the funnel a
+    data-governance review signs off on."""
+    from ..functions.text import quality_score  # noqa: PLC0415
+    from ..operators.decontaminate import decontaminate  # noqa: PLC0415
+    from ..operators.dedup import exact_dedup  # noqa: PLC0415
+    from ..operators.windows import top_k_per_group  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    s1 = exact_dedup(d, "text", "doc_id")
+    ev = s1.filter(F.col("doc_id") % 37 == 0)
+    s2 = decontaminate(s1, ev, "text", "doc_id", n=3, min_overlap=2)
+    scored = s2.select(
+        "doc_id", "source", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    s3 = top_k_per_group(
+        scored, ["source", "lang"], [F.col("quality").desc(), F.col("doc_id").asc()], k=15
+    )
+    stages = [
+        ("raw", d),
+        ("deduped", s1),
+        ("decontaminated", s2),
+        ("quota", s3),
+    ]
+    frames = [
+        df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), F.col("n_docs").cast("long").alias("n_docs")
+        )
+        for name, df in stages
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+Q100_SQL = """
+WITH s1 AS (
+  SELECT d.* FROM documents d JOIN (
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY norm ORDER BY doc_id ASC) AS rn
+      FROM (SELECT doc_id, __NORM__ AS norm FROM documents)
+    ) WHERE rn = 1
+  ) k USING (doc_id)
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split(__NORM__, ' '), t -> t != '') AS t
+  FROM s1
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     generate_series(1, greatest(len(t) - 2, 1)),
+                     i -> array_to_string(list_slice(t, i, i + 2), ' '))) END AS g
+  FROM toks
+),
+ev AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT doc_id FROM (SELECT doc_id, unnest(g) AS gram FROM grams) c
+  JOIN ev USING (gram) GROUP BY doc_id HAVING count(*) >= 2
+),
+s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+q AS (
+  SELECT doc_id, source, lang,
+    round((
+      least(CAST(len(toks2) AS DOUBLE) / 50, 1.0)
+      + 1.0 - least(CASE WHEN nonspace = 0 THEN 0.0
+                         ELSE CAST(n_punct AS DOUBLE) / nonspace END * 4, 1.0)
+      + CASE WHEN len(toks2) = 0 THEN 0.0
+             ELSE CASE WHEN CAST(list_sum(list_transform(toks2, t -> length(t))) AS DOUBLE) / len(toks2)
+                            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END END
+    ) / 3.0, 4) AS quality
+  FROM (
+    SELECT doc_id, source, lang,
+           list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks2,
+           length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+           length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS n_punct
+    FROM s2
+  )
+),
+s3 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source, lang ORDER BY quality DESC, doc_id) AS rank
+    FROM q
+  ) WHERE rank <= 15
+)
+SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL SELECT 'deduped', CAST(count(*) AS BIGINT) FROM s1
+UNION ALL SELECT 'decontaminated', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL SELECT 'quota', CAST(count(*) AS BIGINT) FROM s3
+""".replace("__NORM__", _NORM_Q100)
+
+EXT10_REGISTRY["q100_curation_v2"] = QueryDef(
+    q100_curation_v2, Q100_SQL, "LLM-pipeline: curation funnel v2 (dedup→decontam→quota)"
 )

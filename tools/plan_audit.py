@@ -61,6 +61,8 @@ SINGLE_PARTITION_OK = {
     "q89_profile",              # the one-pass profile IS a single-row agg
     "q94_skew_report",          # single-row totals agg (partials only); the
                                 # all-keys window funnel was removed
+    "q96_mixed_sample",         # single-row pow-sum normalizer for quotas
+    "q100_curation_v2",         # four single-row audited stage counters
 }
 
 

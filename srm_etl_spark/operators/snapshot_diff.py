@@ -1,0 +1,46 @@
+"""Snapshot diff: the CDC view between two versions of a derived table.
+
+The reference controls write amplification by hash-diffing rows before
+writing (``srm_tools/update_table.py:28-52``); this operator generalizes
+that into a first-class diff: given two snapshots of a table keyed by
+``key_col``, emit one row per difference with a change verdict —
+``added`` / ``removed`` / ``changed`` — which is exactly what an
+incremental publisher (ES revision sweep, Airtable upsert batcher, a
+downstream cache) consumes instead of rewriting the world.
+
+Scale shape: one full-outer join keyed by the table's PK (both sides
+shuffle-partitioned by key, AQE handles skew) comparing a single content
+hash per row — the diff's output is proportional to the CHANGES, and the
+content hash means unchanged rows are decided without comparing columns
+one by one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_col: str, compare_cols: list[str] | None = None
+) -> DataFrame:
+    """(key_col, change) for every row that differs between the snapshots.
+
+    ``compare_cols`` limits the content comparison (defaults to all shared
+    non-key columns, sorted — so column order differences between snapshots
+    don't read as changes)."""
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = sorted(c for c in shared if c != key_col)
+
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        content = F.sha1(F.to_json(F.struct(*[F.col(c) for c in compare_cols])))
+        return df.select(F.col(key_col), content.alias(f"_h_{side}"))
+
+    joined = keyed(old, "old").join(keyed(new, "new"), key_col, "full_outer")
+    return joined.select(
+        key_col,
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .alias("change"),
+    ).filter(F.col("change").isNotNull())

@@ -469,3 +469,52 @@ UNION ALL SELECT 'quota', CAST(count(*) AS BIGINT) FROM s3
 EXT10_REGISTRY["q100_curation_v2"] = QueryDef(
     q100_curation_v2, Q100_SQL, "LLM-pipeline: curation funnel v2 (dedup→decontam→quota)"
 )
+
+
+# --------------------------------------------------------------------------
+# q101 — snapshot diff: the CDC view between two table versions
+# --------------------------------------------------------------------------
+
+def q101_snapshot_diff(spark, sf_dir):
+    """operators/snapshot_diff.py over two constructed versions of the
+    orders table: the old snapshot is missing the %13 slice (→ added),
+    carries +1.0 stale totalprices on the %7 slice (→ changed) and has a
+    synthetic %17 slice with shifted keys absent from the new snapshot
+    (→ removed). One PK-keyed full-outer join comparing a content hash; the
+    oracle derives the verdicts from the construction rules directly."""
+    from ..operators.snapshot_diff import snapshot_diff  # noqa: PLC0415
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    real_old = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    synthetic = (
+        o.filter((F.col("o_orderkey") % 13 != 0) & (F.col("o_orderkey") % 17 == 0))
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1000000000)
+    )
+    old = real_old.unionByName(synthetic)
+    out = snapshot_diff(old, o, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"), "change"
+    )
+
+
+Q101_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, 'added' AS change
+FROM orders WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT CAST(o_orderkey AS BIGINT), 'changed'
+FROM orders WHERE o_orderkey % 13 != 0 AND o_orderkey % 7 = 0
+UNION ALL
+SELECT CAST(o_orderkey + 1000000000 AS BIGINT), 'removed'
+FROM orders WHERE o_orderkey % 13 != 0 AND o_orderkey % 17 = 0
+"""
+
+EXT10_REGISTRY["q101_snapshot_diff"] = QueryDef(
+    q101_snapshot_diff, Q101_SQL, "K6-ext snapshot CDC diff (update_table:28-52)"
+)

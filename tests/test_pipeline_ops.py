@@ -412,3 +412,25 @@ def test_rag_retrieval_finds_overlapping_neighbor(spark):
     out = brute_force_topk(chunks, q, k=2, vec_col="embedding", id_col="cid")
     neighbors = {r.neighbor_id for r in out.collect()}
     assert neighbors == {1, 17}
+
+
+# --- snapshot diff ----------------------------------------------------------
+
+def test_snapshot_diff_verdicts(spark):
+    from srm_etl_spark.operators.snapshot_diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 21.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+    # column-order differences between snapshots are not changes
+    new_reordered = new.select("k", "v", "s")
+    got2 = {r.k: r.change for r in snapshot_diff(old, new_reordered, "k").collect()}
+    assert got2 == got
+    # compare_cols can narrow the verdict
+    narrowed = snapshot_diff(old, new, "k", ["s"]).collect()
+    assert {r.k: r.change for r in narrowed} == {3: "removed", 4: "added"}

@@ -27,13 +27,19 @@ def snapshot_diff(
 
     ``compare_cols`` limits the content comparison (defaults to all shared
     non-key columns, sorted — so column order differences between snapshots
-    don't read as changes)."""
+    don't read as changes). The old side's columns are cast to the NEW
+    side's types before hashing, so type-only schema drift (decimal→double,
+    int→long) does not report the whole table changed — the verdict is
+    value-based up to the cast."""
     if compare_cols is None:
         shared = set(old.columns) & set(new.columns)
         compare_cols = sorted(c for c in shared if c != key_col)
 
+    canonical = dict(new.dtypes)
+
     def keyed(df: DataFrame, side: str) -> DataFrame:
-        content = F.sha1(F.to_json(F.struct(*[F.col(c) for c in compare_cols])))
+        cols = [F.col(c).cast(canonical.get(c, dict(df.dtypes)[c])) for c in compare_cols]
+        content = F.sha1(F.to_json(F.struct(*cols)))
         return df.select(F.col(key_col), content.alias(f"_h_{side}"))
 
     joined = keyed(old, "old").join(keyed(new, "new"), key_col, "full_outer")

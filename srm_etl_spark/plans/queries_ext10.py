@@ -21,13 +21,13 @@ from .queries import _NORM, QueryDef, _t
 
 _NORM_Q100 = _NORM.format(c='text')
 
-_EMBED_DIM = 16
+_EMBED_DIM = 32  # random-projection noise ~1/sqrt(dim); 32 keeps overlap >> noise
 
 
 def hash_embedding(text_col, dim: int = _EMBED_DIM):
     """Deterministic pseudo-embedding: a bag-of-tokens random projection —
-    component i is the sum over tokens of a seeded xxhash64 feature in
-    [-1, 1). The stand-in for a real encoder (not in this container) with
+    component i is the sum over tokens of a zero-mean seeded xxhash64
+    feature in [-1, 1) (pmod — a signed % would bias every feature by -1). The stand-in for a real encoder (not in this container) with
     the property retrieval plumbing actually needs: texts sharing tokens
     get correlated vectors (overlapping chunks ARE near neighbors),
     disjoint texts are near-orthogonal. Pure codegen, no Python; the token
@@ -40,7 +40,7 @@ def hash_embedding(text_col, dim: int = _EMBED_DIM):
                 toks,
                 F.lit(0.0),
                 lambda acc, t: acc
-                + ((F.xxhash64(t, F.lit(i)) % 1000).cast("double") / 500.0 - 1.0),
+                + (F.pmod(F.xxhash64(t, F.lit(i)), F.lit(1000)).cast("double") / 500.0 - 1.0),
             )
 
         return F.array(*[feat(i) for i in range(dim)])
@@ -65,17 +65,13 @@ def q95_rag_retrieval(spark, sf_dir):
         "chunk_start",
         hash_embedding(F.col("chunk_text")).alias("embedding"),
     )
-    # dense integer ids for the ranking join (chunk_id is an 8-hex string)
-    with_id = chunks.withColumn(
-        "cid", F.conv(F.col("chunk_id"), 16, 10).cast("long")
-    )
-    queries = with_id.filter((F.col("doc_id") < 5) & (F.col("chunk_start") == 1))
+    queries = chunks.filter((F.col("doc_id") < 5) & (F.col("chunk_start") == 1))
     out = brute_force_topk(
-        with_id, queries, k=3, vec_col="embedding", id_col="cid"
+        chunks, queries, k=3, vec_col="embedding", id_col="chunk_id"
     )
     return out.select(
-        F.col("query_id").cast("long").alias("query_id"),
-        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "query_id",
+        "neighbor_id",
         F.round("cosine", 4).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )

@@ -406,7 +406,7 @@ def test_rag_retrieval_finds_overlapping_neighbor(spark):
     df = spark.createDataFrame([(1, words)], "doc_id long, text string")
     chunks = chunk_documents(df, chunk_tokens=16, stride=8).select(
         F.col("chunk_start").alias("cid"),
-        hash_embedding(F.col("chunk_text")).alias("embedding"),
+        hash_embedding(F.col("chunk_text"), dim=64).alias("embedding"),
     )
     q = chunks.filter(F.col("cid") == 9)  # overlaps starts 1 and 17 by 8 tokens
     out = brute_force_topk(chunks, q, k=2, vec_col="embedding", id_col="cid")

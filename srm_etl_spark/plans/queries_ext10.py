@@ -514,3 +514,108 @@ FROM orders WHERE o_orderkey % 13 != 0 AND o_orderkey % 17 = 0
 EXT10_REGISTRY["q101_snapshot_diff"] = QueryDef(
     q101_snapshot_diff, Q101_SQL, "K6-ext snapshot CDC diff (update_table:28-52)"
 )
+
+
+# --------------------------------------------------------------------------
+# q102 — taxonomy YAML flatten (S13) oracle-checked
+# --------------------------------------------------------------------------
+
+def q102_taxonomy_flatten(spark, sf_dir):
+    """S13 end-to-end: a two-level openeligibility-style tree (regions →
+    nations, built deterministically from the dimension tables) flattened
+    into colon-joined ids + name breadcrumbs by the driver-side recursion
+    (sources/connectors.py:flatten_taxonomy — the tree is catalog-small by
+    nature, exactly like the reference's YAML). The oracle rebuilds the
+    same rows relationally."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    from ..sources.connectors import taxonomy_to_df  # noqa: PLC0415
+
+    regions = sorted(
+        pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]).to_pylist(),
+        key=lambda r: r["r_regionkey"],
+    )
+    nations = sorted(
+        pq.read_table(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+        ).to_pylist(),
+        key=lambda r: r["n_nationkey"],
+    )
+    tree = [
+        {
+            "slug": r["r_name"].strip().lower(),
+            "name": r["r_name"].strip(),
+            "items": [
+                {
+                    "slug": n["n_name"].strip().lower(),
+                    "name": n["n_name"].strip(),
+                    "synonyms": [n["n_name"].strip()],
+                }
+                for n in nations
+                if n["n_regionkey"] == r["r_regionkey"]
+            ],
+        }
+        for r in regions
+    ]
+    return taxonomy_to_df(spark, tree)
+
+
+Q102_SQL = """
+SELECT trim(lower(r_name)) AS id, trim(r_name) AS name, trim(r_name) AS name_en,
+       CAST([] AS VARCHAR[]) AS synonyms, '' AS breadcrumbs
+FROM region
+UNION ALL
+SELECT trim(lower(r_name)) || ':' || trim(lower(n_name)) AS id,
+       trim(n_name) AS name, trim(n_name) AS name_en,
+       [trim(n_name)] AS synonyms, trim(r_name) AS breadcrumbs
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+EXT10_REGISTRY["q102_taxonomy_flatten"] = QueryDef(
+    q102_taxonomy_flatten, Q102_SQL, "S13 taxonomy YAML flatten parity"
+)
+
+
+# --------------------------------------------------------------------------
+# q103 — HTML table scrape (S11) oracle-checked
+# --------------------------------------------------------------------------
+
+def q103_html_scrape(spark, sf_dir):
+    """S11 end-to-end: the part dimension's first 200 rows rendered as a
+    static HTML table and scraped back through
+    sources/connectors.py:html_table_to_df (pandas read_html with the
+    regex fallback) — the oracle reads the same slice relationally, so a
+    hash match proves the scrape is lossless including numeric re-typing."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    from ..sources.connectors import html_table_to_df  # noqa: PLC0415
+
+    rows = sorted(
+        pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+        ).to_pylist(),
+        key=lambda r: r["p_partkey"],
+    )[:200]
+    body = "".join(
+        f"<tr><td>{r['p_partkey']}</td><td>{r['p_name']}</td><td>{r['p_brand']}</td></tr>"
+        for r in rows
+    )
+    html = (
+        "<html><body><table><tr><th>p_partkey</th><th>p_name</th><th>p_brand</th></tr>"
+        + body
+        + "</table></body></html>"
+    )
+    df = html_table_to_df(spark, html)
+    return df.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"), "p_name", "p_brand"
+    )
+
+
+Q103_SQL = """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name, p_brand
+FROM part ORDER BY p_partkey LIMIT 200
+"""
+
+EXT10_REGISTRY["q103_html_scrape"] = QueryDef(
+    q103_html_scrape, Q103_SQL, "S11 HTML table scrape parity"
+)

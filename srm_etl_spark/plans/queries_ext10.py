@@ -619,3 +619,97 @@ FROM part ORDER BY p_partkey LIMIT 200
 EXT10_REGISTRY["q103_html_scrape"] = QueryDef(
     q103_html_scrape, Q103_SQL, "S11 HTML table scrape parity"
 )
+
+
+# --------------------------------------------------------------------------
+# q104 — spreadsheet ingest (S4): headers on row 2 + duplicate-header dedup
+# --------------------------------------------------------------------------
+
+def q104_spreadsheet_ingest(spark, sf_dir):
+    """S4 end-to-end: the customer slice exported as a CSV "sheet" with a
+    tool banner on row 1, headers on row 2 and a DUPLICATE header name —
+    ingested through sources/connectors.py:spreadsheet_to_df (headers_row=2,
+    dedup_headers) exactly like the reference's Google-Sheet exports
+    (manual_data_entry/external.py:28-33). The oracle reads the same slice
+    relationally under the deduplicated names."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    from ..sources.connectors import spreadsheet_to_df  # noqa: PLC0415
+
+    rows = sorted(
+        pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+        ).to_pylist(),
+        key=lambda r: r["c_custkey"],
+    )[:300]
+    tmp = tempfile.mkdtemp(prefix="srm_q104_")
+    path = os.path.join(tmp, "sheet.csv")
+    with open(path, "w") as f:
+        f.write("exported,by,tool\n")
+        f.write("c_custkey,val,val\n")
+        for r in rows:
+            f.write(f"{r['c_custkey']},{r['c_name']},{r['c_mktsegment']}\n")
+    df = spreadsheet_to_df(spark, path, headers_row=2)
+    return df.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "val", "val_2"
+    )
+
+
+Q104_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name AS val, c_mktsegment AS val_2
+FROM customer ORDER BY c_custkey LIMIT 300
+"""
+
+EXT10_REGISTRY["q104_spreadsheet_ingest"] = QueryDef(
+    q104_spreadsheet_ingest, Q104_SQL, "S4 spreadsheet ingest (headers=2, dedup) parity"
+)
+
+
+# --------------------------------------------------------------------------
+# q105 — sitemap chunking (K8) oracle-checked
+# --------------------------------------------------------------------------
+
+def q105_sitemap(spark, sf_dir):
+    """K8 end-to-end: customer URLs chunked into ≤100-per-file sitemap XML
+    documents (sinks/files.py:sitemap_documents — the reference's 50k cap
+    scaled to the fixture). The oracle rebuilds each file's exact XML string
+    with an ordered string_agg, so the hash match pins chunk assignment,
+    per-file URL ordering and the XML envelope byte-for-byte."""
+    from ..sinks.files import sitemap_documents  # noqa: PLC0415
+
+    c = _t(spark, sf_dir, "customer")
+    urls = c.select(
+        F.concat(F.lit("https://example.org/c/"), F.col("c_custkey")).alias("url")
+    )
+    out = sitemap_documents(urls, urls_per_file=100)
+    return out.select(
+        F.col("file_index").cast("long").alias("file_index"),
+        "xml",
+        F.col("n_urls").cast("long").alias("n_urls"),
+    )
+
+
+Q105_SQL = """
+WITH u AS (
+  SELECT 'https://example.org/c/' || CAST(c_custkey AS VARCHAR) AS url FROM customer
+),
+i AS (
+  SELECT url,
+         CAST(floor((row_number() OVER (ORDER BY url) - 1) / 100.0) AS BIGINT) AS file_index
+  FROM u
+)
+SELECT file_index,
+       '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+       || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10)
+       || string_agg('<url><loc>' || url || '</loc></url>', chr(10) ORDER BY url) || chr(10)
+       || '</urlset>' AS xml,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM i GROUP BY file_index
+"""
+
+EXT10_REGISTRY["q105_sitemap"] = QueryDef(
+    q105_sitemap, Q105_SQL, "K8 sitemap chunking parity (to_sitemap:41-95)"
+)

@@ -713,3 +713,141 @@ FROM i GROUP BY file_index
 EXT10_REGISTRY["q105_sitemap"] = QueryDef(
     q105_sitemap, Q105_SQL, "K8 sitemap chunking parity (to_sitemap:41-95)"
 )
+
+
+# --------------------------------------------------------------------------
+# q106 — enum map with raise (F27) + data envelope roundtrip (F28)
+# --------------------------------------------------------------------------
+
+_PRIORITY_HE = {
+    "1-URGENT": "דחוף",
+    "2-HIGH": "גבוה",
+    "3-MEDIUM": "בינוני",
+    "4-NOT SPECIFIED": "לא צוין",
+    "5-LOW": "נמוך",
+}
+
+
+def q106_enum_envelope(spark, sf_dir):
+    """F27 + F28 composed: order priorities map through a strict literal
+    enum (unknown vocabulary raises — the reference's fail-fast assert,
+    operators/entities/__init__.py:396-520) and the mapped row rides a
+    pack/unpack data-envelope roundtrip (srm_tools/processors.py:20-50) —
+    the oracle is the plain CASE mapping, so a hash match proves both the
+    mapping and that the envelope is lossless."""
+    from ..operators.relational import enum_map, pack_data, unpack_data  # noqa: PLC0415
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    mapped = o.withColumn(
+        "priority_he", enum_map(F.col("o_orderpriority"), _PRIORITY_HE, strict=True)
+    )
+    packed = pack_data(mapped, ["o_orderpriority", "priority_he"])
+    out = unpack_data(packed)
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderpriority",
+        "priority_he",
+    )
+
+
+Q106_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+       CASE o_orderpriority
+         WHEN '1-URGENT' THEN 'דחוף'
+         WHEN '2-HIGH' THEN 'גבוה'
+         WHEN '3-MEDIUM' THEN 'בינוני'
+         WHEN '4-NOT SPECIFIED' THEN 'לא צוין'
+         WHEN '5-LOW' THEN 'נמוך'
+       END AS priority_he
+FROM orders
+"""
+
+EXT10_REGISTRY["q106_enum_envelope"] = QueryDef(
+    q106_enum_envelope, Q106_SQL, "F27 enum map w/ raise + F28 data envelope"
+)
+
+
+# --------------------------------------------------------------------------
+# q107 — urls → structs (F2)
+# --------------------------------------------------------------------------
+
+def q107_urls_parse(spark, sf_dir):
+    """F2: ``href#title`` lines → url entries (reference helpers.py:23-29 —
+    rsplit on the LAST '#', default title for bare hrefs). Synthesized
+    two-line inputs per customer exercise both branches; entries are
+    exploded to plain columns so the oracle compares values, not struct
+    renderings."""
+    from ..functions.cleaning import transform_urls  # noqa: PLC0415
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    raw = F.concat(
+        F.lit("https://site.example/c/"), F.col("c_custkey"),
+        F.lit("#Home page\nhttps://alt.example/c/"), F.col("c_custkey"),
+    )
+    parsed = c.withColumn("entry", F.explode(transform_urls(raw)))
+    return parsed.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("entry.href").alias("href"),
+        F.col("entry.title").alias("title"),
+    )
+
+
+Q107_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       'https://site.example/c/' || CAST(c_custkey AS VARCHAR) AS href,
+       'Home page' AS title
+FROM customer
+UNION ALL
+SELECT CAST(c_custkey AS BIGINT),
+       'https://alt.example/c/' || CAST(c_custkey AS VARCHAR),
+       'קישור'
+FROM customer
+"""
+
+EXT10_REGISTRY["q107_urls_parse"] = QueryDef(
+    q107_urls_parse, Q107_SQL, "F2 urls→structs (helpers.py:23-29)"
+)
+
+
+# --------------------------------------------------------------------------
+# q108 — clean_org_name (F3): legal-suffix/stopword strip parity
+# --------------------------------------------------------------------------
+
+def q108_clean_org_name(spark, sf_dir):
+    """F3: Hebrew legal-suffix and stopword cleanup
+    (srm_tools/data_cleaning.py:5-24) over synthesized org names
+    ('עמותת מרכז <name> (ע״ר)'). The SQL twin is GENERATED from the same
+    suffix/stopword lists in the same interleaved order (replace →
+    edge-trim per suffix), so the two chains cannot drift apart."""
+    from ..functions.cleaning import clean_org_name  # noqa: PLC0415
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    raw = F.concat(F.lit("עמותת מרכז "), F.col("c_name"), F.lit(" (ע״ר)"))
+    return c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        clean_org_name(raw).alias("org_name"),
+    )
+
+
+def _q108_sql() -> str:
+    from ..functions.cleaning import _ORG_STOPWORDS, _ORG_SUFFIXES  # noqa: PLC0415
+
+    expr = "'עמותת מרכז ' || c_name || ' (ע״ר)'"
+    for sfx in _ORG_SUFFIXES:
+        lit = sfx.replace("'", "''")
+        expr = f"replace({expr}, '{lit}', '')"
+        expr = f"regexp_replace({expr}, '^[,.()\\s]+|[,.()\\s]+$', '', 'g')"
+    for word in _ORG_STOPWORDS:
+        lit = word.replace("'", "''")
+        expr = f"replace({expr}, '{lit}', '')"
+    expr = f"regexp_replace({expr}, '^[ \\-,\\n\\t]+|[ \\-,\\n\\t]+$', '', 'g')"
+    return (
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+        + expr
+        + " AS org_name FROM customer"
+    )
+
+
+EXT10_REGISTRY["q108_clean_org_name"] = QueryDef(
+    q108_clean_org_name, _q108_sql(), "F3 clean_org_name (data_cleaning.py:5-24)"
+)

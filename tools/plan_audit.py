@@ -63,6 +63,10 @@ SINGLE_PARTITION_OK = {
                                 # all-keys window funnel was removed
     "q96_mixed_sample",         # single-row pow-sum normalizer for quotas
     "q100_curation_v2",         # four single-row audited stage counters
+    "q105_sitemap",             # global URL ordering: sitemap protocol caps
+                                # the corpus at 50k files x 50k URLs
+                                # (files.py:sitemap_documents documents the
+                                # per-partition-offset swap beyond that)
 }
 
 

@@ -62,8 +62,16 @@ def snapshot_patch(
     delete_by_query, the Airtable batch upserter, a JDBC MERGE) writes
     instead of the whole table. Applying the patch to the old snapshot
     reconstructs the new one row-for-row (property-tested).
+
+    The diff (the expensive full-outer hash join) is persisted via a session
+    slot: both returned frames read it, and without the persist each
+    materialization would re-run both snapshot scans and the join.
     """
-    d = snapshot_diff(old, new, key_col, compare_cols)
+    from .session_cache import keep_persisted  # noqa: PLC0415
+
+    d = keep_persisted(
+        snapshot_diff(old, new, key_col, compare_cols), "snapshot_patch_diff"
+    )
     upsert_keys = d.filter(F.col("change").isin("added", "changed")).select(key_col)
     upserts = new.join(upsert_keys, key_col, "left_semi")
     delete_keys = d.filter(F.col("change") == "removed").select(key_col)

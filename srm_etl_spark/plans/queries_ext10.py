@@ -21,6 +21,19 @@ from .queries import _NORM, QueryDef, _t
 
 _NORM_Q100 = _NORM.format(c='text')
 
+
+def _pylist(sf_dir: str, table: str, cols: list[str], key: str, limit: int | None = None):
+    """Driver-side fixture slice: pyarrow read → sort by key → optional cap.
+    Shared by every parity query that feeds a driver-side connector."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    rows = sorted(
+        pq.read_table(f"{sf_dir}/{table}.parquet", columns=cols).to_pylist(),
+        key=lambda r: r[key],
+    )
+    return rows[:limit] if limit is not None else rows
+
+
 _EMBED_DIM = 32  # random-projection noise ~1/sqrt(dim); 32 keeps overlap >> noise
 
 
@@ -304,18 +317,13 @@ def q99_connector_parity(spark, sf_dir):
     termination — and must all land the exact table content. Pagers are
     driver-side by nature (so is the reference's scraping); the dimension
     tables they ingest are driver-small by the same design."""
-    import pyarrow.parquet as pq  # noqa: PLC0415
-
     from ..sources.connectors import (  # noqa: PLC0415
         keyset_paged_to_df,
         linked_pager_to_df,
         paged_to_df,
     )
 
-    rows = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
-    ).to_pylist()
-    rows.sort(key=lambda r: r["s_suppkey"])
+    rows = _pylist(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"], "s_suppkey")
 
     def fetch_page(skip, limit):
         return rows[skip : skip + limit]
@@ -527,19 +535,11 @@ def q102_taxonomy_flatten(spark, sf_dir):
     (sources/connectors.py:flatten_taxonomy — the tree is catalog-small by
     nature, exactly like the reference's YAML). The oracle rebuilds the
     same rows relationally."""
-    import pyarrow.parquet as pq  # noqa: PLC0415
-
     from ..sources.connectors import taxonomy_to_df  # noqa: PLC0415
 
-    regions = sorted(
-        pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]).to_pylist(),
-        key=lambda r: r["r_regionkey"],
-    )
-    nations = sorted(
-        pq.read_table(
-            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
-        ).to_pylist(),
-        key=lambda r: r["n_nationkey"],
+    regions = _pylist(sf_dir, "region", ["r_regionkey", "r_name"], "r_regionkey")
+    nations = _pylist(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"], "n_nationkey"
     )
     tree = [
         {
@@ -586,16 +586,9 @@ def q103_html_scrape(spark, sf_dir):
     sources/connectors.py:html_table_to_df (pandas read_html with the
     regex fallback) — the oracle reads the same slice relationally, so a
     hash match proves the scrape is lossless including numeric re-typing."""
-    import pyarrow.parquet as pq  # noqa: PLC0415
-
     from ..sources.connectors import html_table_to_df  # noqa: PLC0415
 
-    rows = sorted(
-        pq.read_table(
-            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
-        ).to_pylist(),
-        key=lambda r: r["p_partkey"],
-    )[:200]
+    rows = _pylist(sf_dir, "part", ["p_partkey", "p_name", "p_brand"], "p_partkey", 200)
     body = "".join(
         f"<tr><td>{r['p_partkey']}</td><td>{r['p_name']}</td><td>{r['p_brand']}</td></tr>"
         for r in rows
@@ -633,26 +626,27 @@ def q104_spreadsheet_ingest(spark, sf_dir):
     (manual_data_entry/external.py:28-33). The oracle reads the same slice
     relationally under the deduplicated names."""
     import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
-
-    import pyarrow.parquet as pq  # noqa: PLC0415
 
     from ..sources.connectors import spreadsheet_to_df  # noqa: PLC0415
 
-    rows = sorted(
-        pq.read_table(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
-        ).to_pylist(),
-        key=lambda r: r["c_custkey"],
-    )[:300]
+    rows = _pylist(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"], "c_custkey", 300
+    )
     tmp = tempfile.mkdtemp(prefix="srm_q104_")
-    path = os.path.join(tmp, "sheet.csv")
-    with open(path, "w") as f:
-        f.write("exported,by,tool\n")
-        f.write("c_custkey,val,val\n")
-        for r in rows:
-            f.write(f"{r['c_custkey']},{r['c_name']},{r['c_mktsegment']}\n")
-    df = spreadsheet_to_df(spark, path, headers_row=2)
+    try:
+        path = os.path.join(tmp, "sheet.csv")
+        with open(path, "w") as f:
+            f.write("exported,by,tool\n")
+            f.write("c_custkey,val,val\n")
+            for r in rows:
+                f.write(f"{r['c_custkey']},{r['c_name']},{r['c_mktsegment']}\n")
+        # spreadsheet_to_df materializes through pandas (not a lazy file
+        # read), so the temp dir can be removed as soon as it returns
+        df = spreadsheet_to_df(spark, path, headers_row=2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return df.select(
         F.col("c_custkey").cast("long").alias("c_custkey"), "val", "val_2"
     )

@@ -1,0 +1,181 @@
+"""Empirical scaling probe: do the headline operators actually scale?
+
+SCALE.md argues shuffle shapes; this tool measures them. Each probe runs a
+representative operator at 1x, 4x and 16x the sf0.1 corpus (synthetic
+replicas: every document/embedding is cloned K times with a distinct id and
+a per-replica token so content-keyed operators don't collapse the clones)
+and reports wall-clock ratios. A shuffle-sane operator should grow ~linearly
+(ratio ~= scale); anything super-linear is a plan to fix before it meets a
+real cluster.
+
+Probes:
+- exact_dedup          hash-aggregate shuffle keyed by content
+- minhash signatures   per-row projection + banded candidate join
+- chunking             pure map (sequence+slice) — the no-shuffle baseline
+- quality+quota        window shuffle keyed by stratum
+- pagerank (2 rounds)  iterative join/agg over a growing edge list
+- ivf assignment       broadcast-argmax map over the embedding corpus
+
+Usage: python tools/scaling_probe.py [scales...]   (default 1 4 16)
+Writes SCALING.md with the measured table.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def scaled_docs(spark, k: int):
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    if k == 1:
+        return d
+    return (
+        d.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            (F.col("doc_id") * k + F.col("_r")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" replica"), F.col("_r")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+    )
+
+
+def scaled_emb(spark, k: int):
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    if k == 1:
+        return e
+    return (
+        e.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .select(
+            (F.col("vec_id") * k + F.col("_r")).alias("vec_id"),
+            # perturb one component per replica so vectors are distinct
+            F.transform(
+                "embedding", lambda x, i: x + (F.col("_r") * 0.001) * (i == 0).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+    )
+
+
+def probes(spark):
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from srm_etl_spark.functions.text import quality_score  # noqa: PLC0415
+    from srm_etl_spark.operators.chunking import chunk_documents  # noqa: PLC0415
+    from srm_etl_spark.operators.dedup import exact_dedup, minhash_signatures  # noqa: PLC0415
+    from srm_etl_spark.operators.graph import pagerank  # noqa: PLC0415
+    from srm_etl_spark.operators.similarity import centroid_vectors, ivf_topk  # noqa: PLC0415
+    from srm_etl_spark.operators.windows import top_k_per_group  # noqa: PLC0415
+
+    def p_dedup(k):
+        return exact_dedup(scaled_docs(spark, k), "text", "doc_id").select("doc_id")
+
+    def p_minhash(k):
+        return minhash_signatures(scaled_docs(spark, k), "text", "doc_id", num_hashes=16)
+
+    def p_chunk(k):
+        return chunk_documents(scaled_docs(spark, k), chunk_tokens=32, stride=24).select(
+            "chunk_id"
+        )
+
+    def p_quota(k):
+        d = scaled_docs(spark, k).select(
+            "doc_id", "source", "lang", quality_score(F.col("text")).alias("q")
+        )
+        return top_k_per_group(
+            d, ["source", "lang"], [F.col("q").desc(), F.col("doc_id").asc()], k=100
+        )
+
+    def p_pagerank(k):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+        o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_custkey")
+        e0 = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .select(
+                (F.col("l_suppkey") * 2).alias("src"),
+                (F.col("o_custkey") * 2 + 1).alias("dst"),
+            )
+        )
+        if k > 1:
+            e0 = e0.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))).select(
+                (F.col("src") * k + F.col("_r")).alias("src"),
+                (F.col("dst") * k + F.col("_r")).alias("dst"),
+            )
+        e0 = e0.distinct()
+        edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        return pagerank(edges, iterations=2, assume_distinct=True, symmetric=True)
+
+    def p_ivf(k):
+        emb = scaled_emb(spark, k)
+        queries = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 5)
+        return ivf_topk(emb, queries, k=5)
+
+    return {
+        "exact_dedup": p_dedup,
+        "minhash_sigs": p_minhash,
+        "chunking": p_chunk,
+        "quality_quota": p_quota,
+        "pagerank_2it": p_pagerank,
+        "ivf_topk": p_ivf,
+    }
+
+
+def main() -> None:
+    from srm_etl_spark.session import get_spark  # noqa: PLC0415
+
+    scales = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark("scaling-probe")
+    spark.read.parquet(f"{SF}/documents.parquet").count()
+    table = {}
+    for name, fn in probes(spark).items():
+        times = []
+        for k in scales:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(k).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times.append(best)
+            print(f"{name} x{k}: {best:.2f}s", flush=True)
+        table[name] = times
+
+    lines = [
+        "# SCALING — measured operator scaling at synthetic 1x/4x/16x (sf0.1 base)",
+        "",
+        "Replicated corpora (distinct ids + per-replica content perturbation);",
+        "min-of-2 warm, local[32]. `ratio` = t(16x)/t(1x); linear scaling with",
+        "fixed overheads gives ratio <= 16 — super-linear growth is a red flag.",
+        "",
+        "| probe | " + " | ".join(f"{k}x" for k in scales) + " | ratio |",
+        "|---|" + "---|" * (len(scales) + 1),
+    ]
+    for name, times in table.items():
+        ratio = times[-1] / times[0] if times[0] > 0 else float("nan")
+        lines.append(
+            f"| {name} | "
+            + " | ".join(f"{t:.2f}s" for t in times)
+            + f" | {ratio:.1f}x |"
+        )
+    out = "\n".join(lines) + "\n"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALING.md"), "w") as f:
+        f.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

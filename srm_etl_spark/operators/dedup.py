@@ -52,15 +52,26 @@ def exact_dedup(
 # --- MinHash + LSH ----------------------------------------------------------
 
 def shingle_hashes(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(id, _sh: array<long>) — each document's distinct k-word shingles as
-    xxhash64 longs, one shingling pass per row.
+    """(id, _sh) — each document's distinct k-word shingles, one shingling
+    pass per row.
+
+    ``hash_family='xxhash64'`` (default, the production path) projects each
+    shingle to an xxhash64 long: 8-byte longs instead of ~30-char strings cut
+    shuffle width and make array_intersect/union cheap.
+    ``hash_family='md5'`` keeps the raw shingle strings — every downstream
+    hash in this family is md5-hex, which an external SQL engine (DuckDB)
+    computes identically, so the whole MinHash pipeline becomes
+    oracle-checkable end-to-end. Same code path, same shapes; only the hash
+    primitive differs.
 
     Documents with no tokens are dropped (they have no shingles to compare —
-    exact dedup handles empty content). The hash array — not the string
-    shingles — is what every downstream stage consumes: 8-byte longs instead
-    of ~30-char strings cut shuffle width and make array_intersect/union cheap.
+    exact dedup handles empty content).
 
     Kept as its own projection: ``_sh`` is non-cheap, so CollapseProject will
     NOT inline it into the (many) signature expressions that reference it —
@@ -71,9 +82,8 @@ def shingle_hashes(
     # on size(_sh) > 0 gets pushed below the projection and re-evaluates the
     # whole shingle expression a second time per row.
     nonempty = df.filter(normalized_text(F.col(text_col)) != "")
-    return nonempty.select(
-        id_col, F.transform(sh, lambda s: F.xxhash64(s)).alias("_sh")
-    )
+    proj = sh if hash_family == "md5" else F.transform(sh, lambda s: F.xxhash64(s))
+    return nonempty.select(id_col, proj.alias("_sh"))
 
 
 def minhash_signatures(
@@ -82,6 +92,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature over k-word shingles, as columns mh_0..n.
 
@@ -94,19 +105,28 @@ def minhash_signatures(
     no explode, no shuffle, no aggregation — the signature is a projection,
     which is the shape that holds at 100 TB (previously an explode → groupBy
     carried |doc|×|shingles| rows into a shuffle)."""
-    base = shingle_hashes(df, text_col, id_col, shingle_k)
-    return base.select(id_col, *_mh_cols(num_hashes)).drop("_sh")
+    base = shingle_hashes(df, text_col, id_col, shingle_k, hash_family)
+    return base.select(id_col, *_mh_cols(num_hashes, hash_family)).drop("_sh")
 
 
-def _mh_cols(num_hashes: int) -> list:
+def _mh_cols(num_hashes: int, hash_family: str = "xxhash64") -> list:
     """Signature columns mh_0..n-1 over the ``_sh`` array (closure factory —
     PySpark lambdas take arity from the full Python parameter list, so
-    ``lambda h, i=i:`` would break)."""
+    ``lambda h, i=i:`` would break).
+
+    md5 family: slot i is the lexicographic min of ``md5('{i}:' || shingle)``
+    hex strings — MinHash needs any totally-ordered independent hash family,
+    and md5-hex min-of-strings is one an external SQL oracle reproduces
+    byte-for-byte."""
 
     def mh(i: int):
-        return F.array_min(
-            F.transform(F.col("_sh"), lambda h: F.xxhash64(h, F.lit(i)))
-        ).alias(f"mh_{i}")
+        if hash_family == "md5":
+            slot = F.transform(
+                F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+            )
+        else:
+            slot = F.transform(F.col("_sh"), lambda h: F.xxhash64(h, F.lit(i)))
+        return F.array_min(slot).alias(f"mh_{i}")
 
     return [mh(i) for i in range(num_hashes)]
 
@@ -116,22 +136,28 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs.
 
     Returns distinct (left_id, right_id) with left < right. The band join is
     an equi-join on (band_index, band_hash) — shuffle-partitioned by bucket,
     never quadratic in the corpus.
+
+    md5 family: band hash = md5 of the band's signature slots joined with
+    '|' — oracle-reproducible; default is Spark's murmur ``hash(...)``.
     """
     rows_per_band = num_hashes // bands
+
+    def band_hash(b: int):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_family == "md5":
+            return F.md5(F.concat_ws("|", *cols))
+        return F.hash(*cols)
+
     band_arrays = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                    "band_hash"
-                ),
-            )
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
             for b in range(bands)
         ]
     )
@@ -163,6 +189,7 @@ def minhash_dedup(
     bands: int = 4,
     jaccard_threshold: float = 0.7,
     shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact-Jaccard
     verify on shingle sets -> survivors (min id per duplicate pair removed).
@@ -178,11 +205,11 @@ def minhash_dedup(
     Jaccard verification runs on the 8-byte hash arrays, not string shingles
     (collision probability ~2^-64 — immaterial next to MinHash's own error).
     """
-    base = shingle_hashes(df, text_col, id_col, shingle_k).select(
-        id_col, "_sh", *_mh_cols(num_hashes)
+    base = shingle_hashes(df, text_col, id_col, shingle_k, hash_family).select(
+        id_col, "_sh", *_mh_cols(num_hashes, hash_family)
     )
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = minhash_lsh_candidates(base, id_col, num_hashes, bands)
+    cands = minhash_lsh_candidates(base, id_col, num_hashes, bands, hash_family)
     shingled = base.select(id_col, "_sh")
     verified = (
         cands.join(
@@ -206,16 +233,36 @@ def minhash_dedup(
 
 # --- SimHash ----------------------------------------------------------------
 
-def _token_hashes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, _th: array<long>) — xxhash64 of every token occurrence, JVM-side.
+def _token_hashes(
+    df: DataFrame, text_col: str, id_col: str, hash_family: str = "xxhash64"
+) -> DataFrame:
+    """(id, _th: array<long>) — 64-bit hash of every token occurrence, JVM-side.
 
     The string work (normalize, split, hash) stays in native expressions;
-    only the numeric bit-fold leaves the JVM (as 8-byte longs over Arrow)."""
+    only the numeric bit-fold leaves the JVM (as 8-byte longs over Arrow).
+
+    md5 family: the first 15 hex chars of md5(token) parsed as a 60-bit long
+    (bits 60-63 are zero, so those fingerprint bits always vote negative) —
+    an external SQL oracle computes the identical value via
+    ``CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)``."""
     toks = tokens(normalized_text(F.col(text_col)))
-    return df.select(id_col, F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"))
+    if hash_family == "md5":
+        th = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        th = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.select(id_col, th.alias("_th"))
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash fingerprints: JVM tokenize+hash, Arrow-batched bit-fold.
 
     Each token occurrence votes its xxhash64 bits; fingerprint bit b is 1 when
@@ -246,13 +293,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             out[i] = weights[votes > 0].sum()  # distinct powers of two: no overflow
         return pd.Series(out)
 
-    return _token_hashes(df, text_col, id_col).select(
+    return _token_hashes(df, text_col, id_col, hash_family).select(
         id_col, _fold(F.col("_th")).alias("simhash")
     )
 
 
 def simhash_native(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Expression-only SimHash (no UDF) — same fingerprints as :func:`simhash`.
 
@@ -278,7 +329,9 @@ def simhash_native(
           0L, (a, x) -> a | x)
         """
     )
-    return _token_hashes(df, text_col, id_col).select(id_col, fp.alias("simhash"))
+    return _token_hashes(df, text_col, id_col, hash_family).select(
+        id_col, fp.alias("simhash")
+    )
 
 
 def simhash_near_dup_pairs(

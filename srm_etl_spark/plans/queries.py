@@ -729,21 +729,102 @@ def q26_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup dedup (shingle → signature → banded candidate
     join → exact-Jaccard verify). Candidate generation is an equi-join on
     (band, band_hash) buckets — shuffle is linear in (docs × bands), never
-    quadratic. Non-SQL-expressible (hash-family specific) → rows-only check."""
+    quadratic. Runs the md5 hash family so the ENTIRE pipeline (signatures,
+    banding, verify, survivors) is reproduced by the DuckDB oracle
+    byte-for-byte; the production default family is xxhash64 (same code
+    path, narrower shuffle), parity-covered in pytest."""
     d = _t(spark, sf_dir, "documents")
-    out = DD.minhash_dedup(d, "text", "doc_id", num_hashes=16, bands=4, jaccard_threshold=0.7)
+    out = DD.minhash_dedup(
+        d, "text", "doc_id", num_hashes=16, bands=4, jaccard_threshold=0.7,
+        hash_family="md5",
+    )
     return out.select("doc_id", "source")
+
+
+Q26_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM.format(c='text')} AS norm FROM documents
+), toksrc AS (
+  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t != '') AS tok
+  FROM base WHERE norm != ''
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(tok) - 2, 1)),
+           i -> array_to_string(tok[i:i+2], ' '))) AS shingles
+  FROM toksrc
+), slots AS (
+  SELECT s.doc_id, g.i, min(md5(CAST(g.i AS VARCHAR) || ':' || us.shingle)) AS mh
+  FROM sh s, UNNEST(s.shingles) AS us(shingle), generate_series(0, 15) AS g(i)
+  GROUP BY s.doc_id, g.i
+), bands AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+  FROM slots GROUP BY doc_id, i // 4
+), cands AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+), losers AS (
+  SELECT DISTINCT c.right_id
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.left_id
+  JOIN sh b ON b.doc_id = c.right_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
+)
+SELECT d.doc_id, d.source
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.right_id
+WHERE l.right_id IS NULL
+"""
 
 
 def q27_simhash_pairs(spark, sf_dir):
     """SimHash near-dup candidate pairs with pigeonhole blocking (segments of
-    the 64-bit fingerprint as equi-join keys). Hash-family specific →
-    rows-only check."""
+    the 64-bit fingerprint as equi-join keys). Runs the md5 token-hash family
+    (60-bit longs from the md5 hex prefix) so the bit-vote fold, fingerprints
+    and blocked hamming join are all DuckDB-reproducible; production default
+    stays xxhash64 (full 64 bits), parity-covered in pytest."""
     d = _t(spark, sf_dir, "documents")
-    fp = DD.simhash(d, "text", "doc_id")
+    fp = DD.simhash(d, "text", "doc_id", hash_family="md5")
     return DD.simhash_near_dup_pairs(fp, "doc_id", max_hamming=3, blocks=4).select(
         "left_id", "right_id", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+Q27_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM.format(c='text')} AS norm FROM documents
+), toksrc AS (
+  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t != '') AS tok
+  FROM base
+), th AS (
+  SELECT t.doc_id, CAST('0x' || substr(md5(ut.tok), 1, 15) AS BIGINT) AS h
+  FROM toksrc t, UNNEST(t.tok) AS ut(tok)
+), votes AS (
+  SELECT doc_id, g.b,
+         sum(CASE WHEN ((h >> g.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, generate_series(0, 63) AS g(b)
+  GROUP BY doc_id, g.b
+), fp0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM votes GROUP BY doc_id
+), fp AS (
+  SELECT d.doc_id, coalesce(f.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN fp0 f ON d.doc_id = f.doc_id
+), seg AS (
+  SELECT doc_id, simhash, g.i AS seg,
+         (simhash >> (g.i * 16)) & 65535 AS seg_val
+  FROM fp, generate_series(0, 3) AS g(i)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+         bit_count(xor(l.simhash, r.simhash)) AS hamming
+  FROM seg l JOIN seg r
+    ON l.seg = r.seg AND l.seg_val = r.seg_val AND l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+)
+SELECT left_id, right_id, CAST(hamming AS BIGINT) AS hamming FROM pairs
+"""
 
 
 def q28_jaccard_pairs(spark, sf_dir):
@@ -809,7 +890,8 @@ FROM ranked WHERE rank <= 5
 def q30_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH approximate top-k: compare only within the query's
     bucket — the 100 TB path where a query touches 1/2^bits of the corpus.
-    Approximate by construction → rows-only check."""
+    The hyperplanes are deterministic (seeded sin-hash, engine-independent
+    double math), so the oracle reproduces bucketing + ranking exactly."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = SIM.lsh_topk(emb, queries, k=5, num_bits=4, dim=64)
@@ -818,6 +900,44 @@ def q30_lsh_topk(spark, sf_dir):
         F.round("cosine", 4).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+Q30_SQL = """
+WITH planes AS (
+  -- the same seeded sin-hash hyperplanes as operators/similarity.py
+  -- _hyperplane_sign: component i of plane `seed` =
+  -- frac(sin((i+1)*(seed*12.9898+78.233))*43758.5453) - 0.5
+  -- NB: '%' (sign follows dividend, like Spark/Java '%'), NOT DuckDB's
+  -- fmod() (floored, always-positive remainder — flips every negative bucket bit)
+  SELECT seed,
+         list_transform(generate_series(0, 63),
+           i -> ((sin((i + 1) * (seed * 12.9898 + 78.233)) * 43758.5453) % 1.0) - 0.5) AS w
+  FROM generate_series(1, 4) AS t(seed)
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), buckets AS (
+  -- bucket = MSB-first sign bits, seed 1 is the high bit
+  SELECT v.vec_id, v.v,
+         CAST(sum(CASE WHEN list_dot_product(v.v, p.w) >= 0
+                       THEN (CAST(1 AS BIGINT) << (4 - p.seed))
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM vecs v CROSS JOIN planes p
+  GROUP BY v.vec_id, v.v
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM buckets WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(b.v, q.qv) AS cos_raw
+  FROM buckets b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q31_centroids(spark, sf_dir):
@@ -1101,11 +1221,11 @@ REGISTRY: dict[str, QueryDef] = {
     "q23_text_features": QueryDef(q23_text_features, Q23_SQL, "text-quality F24"),
     "q24_lang_id": QueryDef(q24_lang_id, Q24_SQL, "text-langid F25"),
     "q25_fingerprint": QueryDef(q25_fingerprint, Q25_SQL, "text-fingerprint F22"),
-    "q26_minhash_dedup": QueryDef(q26_minhash_dedup, None, "dedup-minhash-lsh"),
-    "q27_simhash_pairs": QueryDef(q27_simhash_pairs, None, "dedup-simhash"),
+    "q26_minhash_dedup": QueryDef(q26_minhash_dedup, Q26_SQL, "dedup-minhash-lsh"),
+    "q27_simhash_pairs": QueryDef(q27_simhash_pairs, Q27_SQL, "dedup-simhash"),
     "q28_jaccard_pairs": QueryDef(q28_jaccard_pairs, Q28_SQL, "dedup-jaccard J7"),
     "q29_topk_cosine": QueryDef(q29_topk_cosine, Q29_SQL, "similarity-bruteforce"),
-    "q30_lsh_topk": QueryDef(q30_lsh_topk, None, "similarity-lsh"),
+    "q30_lsh_topk": QueryDef(q30_lsh_topk, Q30_SQL, "similarity-lsh"),
     "q31_centroids": QueryDef(q31_centroids, Q31_SQL, "similarity-ivf-centroids"),
     "q32_tumbling_window": QueryDef(q32_tumbling_window, Q32_SQL, "streaming-batch-twin"),
     "q33_filter_with_stats": QueryDef(q33_filter_with_stats, Q33_SQL, "P7 A9"),

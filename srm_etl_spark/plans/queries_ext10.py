@@ -2,8 +2,10 @@
 
 q95 — RAG retrieval end-to-end: chunk → deterministic hash-embedding →
       exact top-k over chunks. Composes operators/chunking.py with the
-      similarity family; hash-family-specific features → rows-only check
-      (self-retrieval and determinism are pytest-pinned).
+      similarity family; runs the md5 feature family so the whole pipeline
+      (chunk windows, per-token features, fold, cosine ranking) is
+      DuckDB-oracle-checkable; the xxhash64 default family stays
+      pytest-pinned (self-retrieval and determinism).
 q96 — the q87 mixing table EXECUTED: per-source quotas from the
       temperature weights, filled by deterministic md5-order sampling —
       the materialization step between "decide the mix" and "train on it".
@@ -37,17 +39,47 @@ def _pylist(sf_dir: str, table: str, cols: list[str], key: str, limit: int | Non
 _EMBED_DIM = 32  # random-projection noise ~1/sqrt(dim); 32 keeps overlap >> noise
 
 
-def hash_embedding(text_col, dim: int = _EMBED_DIM):
+def hash_embedding(text_col, dim: int = _EMBED_DIM, hash_family: str = "xxhash64"):
     """Deterministic pseudo-embedding: a bag-of-tokens random projection —
-    component i is the sum over tokens of a zero-mean seeded xxhash64
+    component i is the sum over tokens of a zero-mean seeded hash
     feature in [-1, 1) (pmod — a signed % would bias every feature by -1). The stand-in for a real encoder (not in this container) with
     the property retrieval plumbing actually needs: texts sharing tokens
     get correlated vectors (overlapping chunks ARE near neighbors),
     disjoint texts are near-orthogonal. Pure codegen, no Python; the token
-    array is let-bound so the split runs once, not ``dim`` times."""
+    array is let-bound so the split runs once, not ``dim`` times.
+
+    ``hash_family='md5'``: feature i of token t is carved from 4 hex chars of
+    ``md5(t || ':' || i//8)`` (8 features per digest, so only ``dim/8`` md5
+    evaluations per token) — a SQL oracle engine computes the identical
+    vector. The fold runs token-major (one feature-vector per token,
+    zip_with-summed in token order), giving bit-identical double sums to the
+    oracle's per-dimension in-order reduce."""
     from ..functions.expr import let as _let  # noqa: PLC0415
 
     def build(toks):
+        if hash_family == "md5":
+            def tok_vec(t):
+                def feat(i: int):
+                    grp, off = divmod(i, 8)
+                    val = F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", t, F.lit(str(grp)))),
+                            off * 4 + 1,
+                            4,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    return F.pmod(val, F.lit(1000)).cast("double") / 500.0 - 1.0
+
+                return F.array(*[feat(i) for i in range(dim)])
+
+            return F.aggregate(
+                F.transform(toks, tok_vec),
+                F.array_repeat(F.lit(0.0), dim),
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            )
+
         def feat(i: int):
             return F.aggregate(
                 toks,
@@ -67,20 +99,24 @@ def hash_embedding(text_col, dim: int = _EMBED_DIM):
 
 def q95_rag_retrieval(spark, sf_dir):
     """Retrieval pipeline over the chunked corpus: 32-token windows (stride
-    24), hash-embedded, exact cosine top-3 per query chunk (queries = the
-    first chunk of the 5 lowest doc_ids). All stages are per-row codegen
-    until the final broadcast-queries × streamed-chunks ranking — the q29
-    shape over the chunk table. Hash-feature embedding → rows-only."""
+    24), hash-embedded (md5 feature family → oracle-checkable), exact cosine
+    top-3 per query chunk (queries = the first chunk of the 5 lowest
+    doc_ids). All stages are per-row codegen until the final
+    broadcast-queries × streamed-chunks ranking — the q29 shape over the
+    chunk table. Chunks are keyed by ``doc_id:chunk_start`` (the sha1-based
+    ``chunk_id`` stays the production key; the oracle engine lacks sha1)."""
     d = _t(spark, sf_dir, "documents")
     chunks = chunk_documents(d, chunk_tokens=32, stride=24).select(
-        "chunk_id",
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("chunk_start").cast("string")
+        ).alias("chunk_key"),
         "doc_id",
         "chunk_start",
-        hash_embedding(F.col("chunk_text")).alias("embedding"),
+        hash_embedding(F.col("chunk_text"), hash_family="md5").alias("embedding"),
     )
     queries = chunks.filter((F.col("doc_id") < 5) & (F.col("chunk_start") == 1))
     out = brute_force_topk(
-        chunks, queries, k=3, vec_col="embedding", id_col="chunk_id"
+        chunks, queries, k=3, vec_col="embedding", id_col="chunk_key"
     )
     return out.select(
         "query_id",
@@ -88,6 +124,45 @@ def q95_rag_retrieval(spark, sf_dir):
         F.round("cosine", 4).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+Q95_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS t
+  FROM documents
+), st AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 24)) AS cs
+  FROM toks WHERE len(t) > 0
+), chunks AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(cs AS VARCHAR) AS chunk_key,
+         doc_id, cs AS chunk_start,
+         list_slice(t, cs, cs + 31) AS ct
+  FROM st
+), emb AS (
+  -- feature i of token t: 4 hex chars of md5(t || ':' || i//8) -> [-1, 1);
+  -- per-dimension sum folds in token order (matches the Spark zip_with fold)
+  SELECT chunk_key, doc_id, chunk_start,
+         list_transform(generate_series(0, 31), i ->
+           list_reduce(list_transform(ct, tok ->
+             (CAST('0x' || substr(md5(tok || ':' || CAST(i // 8 AS VARCHAR)),
+                                  (i % 8) * 4 + 1, 4) AS BIGINT) % 1000) / 500.0 - 1.0),
+             (a, b) -> a + b)) AS v
+  FROM chunks
+), q AS (
+  SELECT chunk_key AS query_id, v AS qv FROM emb WHERE doc_id < 5 AND chunk_start = 1
+), scored AS (
+  SELECT q.query_id, e.chunk_key AS neighbor_id,
+         list_cosine_similarity(e.v, q.qv) AS cos_raw
+  FROM emb e CROSS JOIN q WHERE e.chunk_key != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
 
 
 # --------------------------------------------------------------------------
@@ -159,7 +234,7 @@ WHERE r.pick <= q.quota
 
 EXT10_REGISTRY = {
     "q95_rag_retrieval": QueryDef(
-        q95_rag_retrieval, None, "LLM-pipeline: composed RAG chunk→embed→top-k"
+        q95_rag_retrieval, Q95_SQL, "LLM-pipeline: composed RAG chunk→embed→top-k"
     ),
     "q96_mixed_sample": QueryDef(
         q96_mixed_sample, Q96_SQL, "LLM-pipeline: executed temperature mix sample"

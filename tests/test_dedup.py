@@ -87,6 +87,48 @@ def test_simhash_arrow_matches_native_fold(corpus):
     assert arrow == native
 
 
+def test_minhash_md5_family_same_decisions(corpus):
+    # the md5 (oracle-checkable) family runs the identical pipeline and must
+    # make the same keep/drop decisions on the planted corpus
+    out = DD.minhash_dedup(
+        corpus, "text", "doc_id", num_hashes=16, bands=8,
+        jaccard_threshold=0.6, hash_family="md5",
+    )
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {1, 4, 5, 6}
+
+
+def test_minhash_md5_signatures_are_hex_strings(corpus):
+    sigs = DD.minhash_signatures(
+        corpus, "text", "doc_id", num_hashes=4, hash_family="md5"
+    )
+    rows = {r.doc_id: r for r in sigs.collect()}
+    assert all(
+        isinstance(rows[1][f"mh_{i}"], str) and len(rows[1][f"mh_{i}"]) == 32
+        for i in range(4)
+    )
+    assert all(rows[1][f"mh_{i}"] == rows[2][f"mh_{i}"] for i in range(4))
+
+
+def test_simhash_md5_family_parity_and_bit_range(corpus):
+    # Arrow fold and native fold agree under the md5 family too, and the
+    # 60-bit md5-derived hashes leave fingerprint bits 60-63 at zero
+    arrow = {
+        r.doc_id: r.simhash
+        for r in DD.simhash(corpus, "text", "doc_id", hash_family="md5").collect()
+    }
+    native = {
+        r.doc_id: r.simhash
+        for r in DD.simhash_native(corpus, "text", "doc_id", hash_family="md5").collect()
+    }
+    assert arrow == native
+    assert all(fp >= 0 and fp < (1 << 60) for fp in arrow.values())
+    assert arrow[1] == arrow[2]
+    ham_near = bin(arrow[1] ^ arrow[3]).count("1")
+    ham_far = bin(arrow[1] ^ arrow[4]).count("1")
+    assert ham_near < ham_far
+
+
 def test_simhash_near_dup_pairs(corpus):
     fps = DD.simhash(corpus, "text", "doc_id")
     pairs = DD.simhash_near_dup_pairs(fps, "doc_id", max_hamming=12, blocks=16).collect()

@@ -397,6 +397,35 @@ def test_hash_embedding_overlap_similarity(spark):
     assert [r.e for r in emb2.orderBy("id").collect()][0] == a
 
 
+def test_hash_embedding_md5_family_same_property(spark):
+    # the md5 (oracle-checkable) feature family keeps the same geometry:
+    # overlap => similar, disjoint => near-orthogonal; and is deterministic
+    from srm_etl_spark.operators.similarity import cosine_similarity
+    from srm_etl_spark.plans.queries_ext10 import hash_embedding
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six"),
+        ],
+        "id long, text string",
+    )
+    emb = df.select("id", hash_embedding(F.col("text"), hash_family="md5").alias("e"))
+    a, b, c = [r.e for r in emb.orderBy("id").collect()]
+    assert len(a) == 32
+    rows = spark.createDataFrame(
+        [(a, b, c)], "a array<double>, b array<double>, c array<double>"
+    )
+    got = rows.select(
+        cosine_similarity(F.col("a"), F.col("b")).alias("ab"),
+        cosine_similarity(F.col("a"), F.col("c")).alias("ac"),
+    ).collect()[0]
+    assert got.ab > got.ac
+    emb2 = df.select("id", hash_embedding(F.col("text"), hash_family="md5").alias("e"))
+    assert [r.e for r in emb2.orderBy("id").collect()][0] == a
+
+
 def test_rag_retrieval_finds_overlapping_neighbor(spark):
     from srm_etl_spark.plans.queries_ext10 import hash_embedding
     from srm_etl_spark.operators.chunking import chunk_documents

@@ -228,8 +228,9 @@ def q92_pq_topk(spark, sf_dir):
     (operators/similarity.py:pq_*). Codebook training is k-means (driver
     syncs the m×k codeword matrix — bounded by construction); encode and
     search are pure codegen over the 1-byte-per-subspace corpus.
-    Training-dependent like the LSH family → rows-only check; cluster
-    separation and determinism are pytest-verified."""
+    Training is deterministic (q83's fixed init + 6-decimal centroid grid),
+    so the two Lloyd iterations unroll into the DuckDB oracle and the whole
+    train→encode→ADC pipeline is hash-checked end-to-end."""
     from ..operators.similarity import pq_encode, pq_topk, pq_train_codebooks  # noqa: PLC0415
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -245,8 +246,69 @@ def q92_pq_topk(spark, sf_dir):
     )
 
 
+Q92_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v
+         FROM e ORDER BY vec_id LIMIT 8),
+-- per-subspace views: subvector j = v[j*16+1 .. (j+1)*16]
+sube AS (SELECT vec_id, g.j, list_slice(v, g.j*16 + 1, (g.j+1)*16) AS sv
+         FROM e, generate_series(0, 3) AS g(j)),
+c0 AS (SELECT g.j, cid, list_slice(v, g.j*16 + 1, (g.j+1)*16) AS c
+       FROM init, generate_series(0, 3) AS g(j)),
+-- Lloyd iteration 1 (argmin tie-breaks on cid, the array_min struct order)
+a1 AS (SELECT vec_id, j, sv, cid FROM (
+         SELECT s.vec_id, s.j, s.sv, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.c),
+                                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+         FROM sube s JOIN c0 c ON s.j = c.j) WHERE rn = 1),
+c1 AS (SELECT j, cid, list(val ORDER BY pos) AS c FROM (
+         SELECT j, cid, pos, round(avg(x), 6) AS val FROM (
+           SELECT j, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x FROM a1)
+         GROUP BY j, cid, pos)
+       GROUP BY j, cid),
+-- Lloyd iteration 2
+a2 AS (SELECT vec_id, j, sv, cid FROM (
+         SELECT s.vec_id, s.j, s.sv, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                  list_sum(list_transform(list_zip(s.sv, c.c),
+                                          p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+         FROM sube s JOIN c1 c ON s.j = c.j) WHERE rn = 1),
+c2 AS (SELECT j, cid, list(val ORDER BY pos) AS c FROM (
+         SELECT j, cid, pos, round(avg(x), 6) AS val FROM (
+           SELECT j, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x FROM a2)
+         GROUP BY j, cid, pos)
+       GROUP BY j, cid),
+-- encode: nearest final codeword per (vector, subspace)
+codes AS (SELECT vec_id, j, cid FROM (
+            SELECT s.vec_id, s.j, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                     list_sum(list_transform(list_zip(s.sv, c.c),
+                                             p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+            FROM sube s JOIN c2 c ON s.j = c.j) WHERE rn = 1),
+-- ADC: per-query distance table (query subvector vs every codeword), then
+-- a document's distance = sum of its m table lookups
+qd AS (SELECT q.vec_id AS query_id, c.j, c.cid,
+              list_sum(list_transform(list_zip(q.sv, c.c),
+                                      p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+       FROM (SELECT vec_id, j, sv FROM sube WHERE vec_id < 5) q
+       JOIN c2 c ON q.j = c.j),
+dist AS (SELECT qd.query_id, codes.vec_id AS neighbor_id, sum(qd.d) AS adc
+         FROM codes JOIN qd ON codes.j = qd.j AND codes.cid = qd.cid
+         GROUP BY qd.query_id, codes.vec_id),
+ranked AS (SELECT query_id, neighbor_id, adc,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc ASC, neighbor_id ASC) AS rank
+           FROM dist WHERE neighbor_id != query_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       round(adc, 4) AS adc_dist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 EXT9_REGISTRY["q92_pq_topk"] = QueryDef(
-    q92_pq_topk, None, "LLM-pipeline: product-quantized ANN (IVFPQ fine half)"
+    q92_pq_topk, Q92_SQL, "LLM-pipeline: product-quantized ANN (IVFPQ fine half)"
 )
 
 

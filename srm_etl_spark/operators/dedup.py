@@ -643,6 +643,125 @@ def embedding_near_dup_pairs_arrow(
     return grouped.applyInPandas(score, "left_id long, right_id long, cosine double")
 
 
+# --- exact substring spans (fixed-window suffix-dedup approximation) --------
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 16,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Exact duplicated-substring detection: the fixed-length sliding-window
+    approximation of suffix-array dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022 — their 50-BPE-token threshold,
+    adapted to whitespace tokens).
+
+    Every ``min_tokens``-token window of every document is hashed; window
+    keys occurring >= 2 times ANYWHERE in the corpus (across documents or
+    repeated inside one) mark their start positions, and marked positions
+    coalesce into maximal duplicated spans per document (two windows merge
+    when their intervals overlap or touch, i.e. start gap <= min_tokens).
+
+    Output: (id_col, span_start, span_end, span_tokens, n_windows) — 1-based
+    inclusive token coordinates, one row per maximal span.
+
+    Scale shape: |tokens| window rows, shuffled ONCE keyed by the 64-bit
+    window hash; the occurrence count is a map-side-combinable aggregate, the
+    mark-back is an equi-join on the same key (AQE turns it into a broadcast
+    when few keys are duplicated), and span coalescing is a per-document
+    window over only the marked rows. Nothing is quadratic; no suffix array
+    materializes. ``hash_family='md5'`` keys windows by md5 hex (oracle-
+    reproducible); default xxhash64 longs halve the shuffle width.
+    """
+    toks = tokens(F.col(text_col))
+    base = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .withColumn("_n", F.size("_t"))
+        .filter(F.col("_n") >= min_tokens)
+    )
+    wins = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.col("_n") - (min_tokens - 1))).alias("s"),
+        "_t",
+    ).select(
+        id_col,
+        "s",
+        F.array_join(F.slice(F.col("_t"), F.col("s"), min_tokens), " ").alias("_wt"),
+    )
+    key = F.md5(F.col("_wt")) if hash_family == "md5" else F.xxhash64(F.col("_wt"))
+    keyed = wins.select(id_col, "s", key.alias("_k"))
+    dup_keys = (
+        keyed.groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_k")
+    )
+    marked = keyed.join(dup_keys, "_k").select(id_col, "s")
+    w = Window.partitionBy(id_col).orderBy("s")
+    brk = F.when(F.col("s") - F.lag("s").over(w) > min_tokens, 1).otherwise(0)
+    island = F.sum("_brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.withColumn("_brk", brk)
+        .withColumn("_isl", island)
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("s").alias("span_start"),
+            (F.max("s") + F.lit(min_tokens - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Cut the spans reported by :func:`duplicate_substring_spans` out of each
+    document: tokens whose 1-based position falls inside any of the doc's
+    spans are dropped, the rest re-join with single spaces. Documents with no
+    spans pass through untouched (left join). One aggregation of the spans
+    per doc (tiny side), one per-row filter over the token array — no second
+    corpus shuffle beyond the span join."""
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = tokens(F.col(text_col))
+    joined = df.join(agg, id_col, "left")
+    # position-tagged keep/drop: zip each token with its 1-based index, null
+    # out tokens inside any span, compact, re-join
+    tagged = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+        lambda t, i: F.when(
+            ~F.exists(
+                F.col("_spans"),
+                lambda sp: (i >= sp["span_start"]) & (i <= sp["span_end"]),
+            ),
+            t,
+        ),
+    )
+    cleaned = F.array_join(F.filter(tagged, lambda t: t.isNotNull()), " ")
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("_spans").isNull() | (F.size(toks) == 0), F.col(text_col)).otherwise(
+            cleaned
+        ),
+    ).drop("_spans")
+
+
 # --- composite-key dedup (reference A8) -------------------------------------
 
 def dedup_by_keys(df: DataFrame, keys: list[str], order_by: list | None = None) -> DataFrame:

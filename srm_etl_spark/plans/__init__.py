@@ -17,6 +17,7 @@ from .queries_ext7 import EXT7_REGISTRY
 from .queries_ext8 import EXT8_REGISTRY
 from .queries_ext9 import EXT9_REGISTRY
 from .queries_ext10 import EXT10_REGISTRY
+from .queries_ext11 import EXT11_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -28,3 +29,4 @@ REGISTRY.update(EXT7_REGISTRY)
 REGISTRY.update(EXT8_REGISTRY)
 REGISTRY.update(EXT9_REGISTRY)
 REGISTRY.update(EXT10_REGISTRY)
+REGISTRY.update(EXT11_REGISTRY)

@@ -239,3 +239,72 @@ def test_incremental_dedup_semantics(spark):
     out = incremental_dedup(batch, history)
     got = {r["doc_id"]: r["dup_count"] for r in out.collect()}
     assert got == {11: 2, 13: 1}
+
+
+# --- exact substring spans (q109/q110) ---------------------------------------
+
+def test_duplicate_substring_spans_planted(spark):
+    # docs 1 and 2 share an exact 6-token run; doc 3 is clean; doc 4 repeats
+    # a 6-token run inside itself (intra-doc duplication also counts)
+    shared = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            (1, f"aa bb {shared} cc dd"),
+            (2, f"xx {shared} yy zz ww"),
+            (3, "totally unique words nothing repeated here at all okay"),
+            (4, f"{shared} pad1 pad2 pad3 pad4 pad5 pad6 {shared}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.duplicate_substring_spans(df, "text", "doc_id", min_tokens=6)
+    spans = {(r.doc_id, r.span_start, r.span_end) for r in out.collect()}
+    # doc 1: shared run at tokens 3-8; doc 2: at 2-7
+    assert (1, 3, 8) in spans
+    assert (2, 2, 7) in spans
+    assert not any(d == 3 for d, _, _ in spans)
+    # doc 4: two occurrences at 1-6 and 13-18 (gap of 6 pads > window, so two
+    # separate spans)
+    assert (4, 1, 6) in spans and (4, 13, 18) in spans
+
+
+def test_duplicate_substring_spans_merges_overlap(spark):
+    # a 8-token duplicated run yields 3 overlapping 6-token windows that must
+    # coalesce into ONE maximal span
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    df = spark.createDataFrame(
+        [(1, f"{run} tail1 tail2"), (2, f"head1 {run}")],
+        "doc_id long, text string",
+    )
+    out = DD.duplicate_substring_spans(df, "text", "doc_id", min_tokens=6)
+    got = {(r.doc_id): (r.span_start, r.span_end, r.n_windows) for r in out.collect()}
+    assert got[1] == (1, 8, 3)
+    assert got[2] == (2, 9, 3)
+
+
+def test_substring_span_families_agree(spark):
+    df = spark.createDataFrame(
+        [(1, "p q r s t u v w"), (2, "z p q r s t u k")],
+        "doc_id long, text string",
+    )
+    a = DD.duplicate_substring_spans(df, "text", "doc_id", min_tokens=6)
+    b = DD.duplicate_substring_spans(df, "text", "doc_id", min_tokens=6, hash_family="md5")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_remove_duplicate_spans(spark):
+    shared = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            (1, f"aa bb {shared} cc dd"),
+            (2, f"xx {shared} yy zz ww"),
+            (3, "totally unique words nothing repeated here at all okay"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = DD.duplicate_substring_spans(df, "text", "doc_id", min_tokens=6)
+    out = DD.remove_duplicate_spans(df, spans, "text", "doc_id")
+    got = {r.doc_id: r.clean_text for r in out.collect()}
+    assert got[1] == "aa bb cc dd"
+    assert got[2] == "xx yy zz ww"
+    # untouched doc keeps its text verbatim
+    assert got[3] == "totally unique words nothing repeated here at all okay"

@@ -643,6 +643,56 @@ def embedding_near_dup_pairs_arrow(
     return grouped.applyInPandas(score, "left_id long, right_id long, cosine double")
 
 
+# --- semantic dedup (SemDeDup: cluster, then prune within clusters) ---------
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.95,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the embedding
+    corpus, then drop semantic duplicates *within* each cluster — a row is a
+    duplicate when some smaller-id row in its cluster sits at cosine >=
+    ``threshold`` (the same greedy min-id keeper rule as
+    :func:`minhash_dedup`, so the survivor set is deterministic and
+    engine-reproducible).
+
+    Output: every input row as (id_col, cluster, kept) — callers filter
+    ``kept`` for the surviving corpus; the flag form keeps the removal
+    auditable (q112's oracle pins it).
+
+    Scale shape: the clustering bounds the quadratic. The only pairwise work
+    is the per-cluster BLAS kernel (:func:`embedding_near_dup_pairs_arrow`),
+    O(cluster²·dim) per task instead of O(n²) — on a 100 TB corpus ``k``
+    grows with the data (the paper uses ~100k clusters for LAION-scale) so
+    cluster size, and with it task memory and runtime, stays bounded. The
+    k-means trainer itself is one codegen argmin map + one map-side-combined
+    (cluster, dim) average per iteration (operators/similarity.py:kmeans).
+    """
+    from .similarity import kmeans  # noqa: PLC0415
+
+    assigned = keep_persisted(  # feeds the pair kernel AND the final join
+        kmeans(df, vec_col, id_col, k=k, iterations=iterations), "semantic_dedup_assigned"
+    )
+    pairs = embedding_near_dup_pairs_arrow(
+        assigned, vec_col, id_col,
+        threshold=threshold, block_col="cluster", chunk_rows=chunk_rows,
+    )
+    losers = pairs.select(F.col("right_id").alias(id_col)).distinct()
+    return (
+        assigned.join(losers.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 # --- exact substring spans (fixed-window suffix-dedup approximation) --------
 
 def duplicate_substring_spans(

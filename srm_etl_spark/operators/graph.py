@@ -30,7 +30,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -257,6 +257,37 @@ def duplicate_clusters(
     cc = connected_components(pairs, left_col, right_col)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "component").select("node", "component", "cluster_size")
+
+
+def keep_best_representative(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-ranked keeper: for every clustered node, flag the one member
+    of its component with the best score (ties broken by min id) as ``kept``.
+
+    ``clusters`` is :func:`duplicate_clusters` output (node, component,
+    cluster_size); ``scores`` maps ``id_col`` -> ``score_col``. This upgrades
+    the min-id survivor rule to the keep-best-quality policy an LLM curation
+    pipeline actually wants: near-dup clusters collapse to their
+    highest-quality member, not their lowest id (the reference's pandas
+    dedup keeps first-seen — operators/derive/to_dp.py:237-286 — which is
+    exactly the min-id rule; the score-ranked form is the corpus-curation
+    generalization).
+
+    Scale shape: one equi-join clusters⋈scores on the node id and one window
+    partitioned by component — both shuffle on keys whose cardinality tracks
+    the duplicate set, not the corpus; no global ordering anywhere.
+    """
+    joined = clusters.join(
+        scores.select(F.col(id_col).alias("node"), score_col), "node"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col("node").asc()
+    )
+    return joined.withColumn("kept", F.row_number().over(w) == 1)
 
 
 def pagerank(

@@ -18,6 +18,7 @@ from .queries_ext8 import EXT8_REGISTRY
 from .queries_ext9 import EXT9_REGISTRY
 from .queries_ext10 import EXT10_REGISTRY
 from .queries_ext11 import EXT11_REGISTRY
+from .queries_ext12 import EXT12_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -30,3 +31,4 @@ REGISTRY.update(EXT8_REGISTRY)
 REGISTRY.update(EXT9_REGISTRY)
 REGISTRY.update(EXT10_REGISTRY)
 REGISTRY.update(EXT11_REGISTRY)
+REGISTRY.update(EXT12_REGISTRY)

@@ -1,0 +1,145 @@
+"""Round-4 extension queries, part 7: curation-grade dedup policies.
+
+q111 — near-dup clusters collapsed to their BEST-QUALITY member: the q28
+       Jaccard pair set resolved into connected components, each component
+       keeping its highest-quality document (ties -> min doc_id) instead of
+       the min-id survivor. The keep-best policy is what an LLM curation
+       pipeline actually wants from fuzzy dedup.
+q112 — SemDeDup (Abbas et al. 2023): k-means the embedding corpus, prune
+       cosine-duplicates within each cluster. The clustering bounds the
+       quadratic — the scale story for semantic dedup at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import with_text_features
+from ..operators.dedup import semantic_dedup
+from ..operators.graph import duplicate_clusters, keep_best_representative
+from .queries import Q28_SQL, QueryDef, _t
+from .queries import q28_jaccard_pairs as _q28_pairs
+from .queries_ext7 import Q83_CORE
+
+# --------------------------------------------------------------------------
+# q111 — fuzzy-dedup keep-best: pairs -> components -> quality-ranked keeper
+# --------------------------------------------------------------------------
+
+
+def q111_dedup_keep_best(spark, sf_dir):
+    """Near-dup clusters with the keep-best-quality policy: q28's exact
+    Jaccard pairs -> min-label connected components (operators/graph.py) ->
+    per-component quality ranking (keep_best_representative), flagging the
+    highest-quality member kept (ties by min doc_id). One join on the node id
+    + one window per component — shuffle tracks the duplicate set, not the
+    corpus."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = _q28_pairs(spark, sf_dir)
+    clusters = duplicate_clusters(pairs, "left_id", "right_id")
+    qual = with_text_features(d, "text").select("doc_id", "quality")
+    out = keep_best_representative(clusters, qual, "doc_id", "quality")
+    return out.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "quality",
+        "kept",
+    )
+
+
+# The oracle replays q28's pair set verbatim, resolves components via the
+# recursive min-reachable-label CTE (q62's form), recomputes the q23 quality
+# score, and ranks within each component.
+Q111_SQL = (
+    "WITH RECURSIVE pairs AS ("
+    + Q28_SQL
+    + """),
+edges AS (
+  SELECT left_id AS a, right_id AS b FROM pairs
+  UNION ALL
+  SELECT right_id AS a, left_id AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+sized AS (
+  SELECT node, component,
+         CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+  FROM comp
+),
+qbase AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+qfeat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE)
+                   / length(regexp_replace(text, '\\s', '', 'g')) END AS punct_raw,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                   / len(toks) END AS mwl_raw
+  FROM qbase
+),
+qual AS (
+  SELECT doc_id,
+         round((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                + (1.0 - least(punct_raw * 4.0, 1.0))
+                + CASE WHEN mwl_raw >= 2.0 AND mwl_raw <= 12.0 THEN 1.0 ELSE 0.0 END
+               ) / 3.0, 4) AS quality
+  FROM qfeat
+)
+SELECT s.node AS doc_id, s.component, s.cluster_size, q.quality,
+       (row_number() OVER (PARTITION BY s.component
+                           ORDER BY q.quality DESC, s.node ASC) = 1) AS kept
+FROM sized s JOIN qual q ON q.doc_id = s.node
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# q112 — SemDeDup: k-means clusters -> within-cluster cosine prune
+# --------------------------------------------------------------------------
+
+
+def q112_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embedding corpus (operators/dedup.py:semantic_dedup):
+    q83's deterministic k-means (k=8, 2 Lloyd iterations) assigns clusters,
+    then the per-cluster BLAS kernel drops every vector with a smaller-id
+    cluster-mate at cosine >= 0.3. Every row is emitted with its cluster and
+    kept flag so the removal is auditable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, "embedding", "vec_id", k=8, iterations=2, threshold=0.3
+    )
+    return out.select("vec_id", "cluster", "kept")
+
+
+# The oracle reuses q83's unrolled k-means CTE chain (same deterministic
+# assignment, pinned-grid centroids) and prunes within the final clusters.
+Q112_SQL = Q83_CORE + """,
+simpairs AS (
+  SELECT l.vec_id AS lid, r.vec_id AS rid
+  FROM a2 l JOIN a2 r ON l.cid = r.cid AND l.vec_id < r.vec_id
+  WHERE list_cosine_similarity(l.v, r.v) >= 0.3
+),
+losers AS (SELECT DISTINCT rid FROM simpairs)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster, (l.rid IS NULL) AS kept
+FROM a2 a LEFT JOIN losers l ON a.vec_id = l.rid
+"""
+
+
+EXT12_REGISTRY = {
+    "q111_dedup_keep_best": QueryDef(
+        q111_dedup_keep_best, Q111_SQL,
+        "LLM-pipeline: near-dup clusters keep best-quality representative",
+    ),
+    "q112_semantic_dedup": QueryDef(
+        q112_semantic_dedup, Q112_SQL,
+        "LLM-pipeline: SemDeDup — k-means clusters, within-cluster cosine prune",
+    ),
+}

@@ -224,7 +224,9 @@ def q83_kmeans(spark, sf_dir):
     )
 
 
-Q83_SQL = """
+# CTE chain through the final assignment (a2) — shared with q112's SemDeDup
+# oracle, which prunes within the same deterministic clusters.
+Q83_CORE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v
        FROM e ORDER BY vec_id LIMIT 8),
@@ -244,7 +246,9 @@ a2 AS (SELECT vec_id, v, cid FROM (
                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
                   list_sum(list_transform(list_zip(e.v, c.v),
                                           p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
-         FROM e CROSS JOIN c1 c) WHERE rn = 1),
+         FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
+
+Q83_SQL = Q83_CORE + """,
 sizes AS (SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid),
 cent AS (SELECT cid, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM a2),
 agg AS (SELECT cid, pos, round(avg(x), 4) + CAST(0.0 AS DOUBLE) AS value FROM cent GROUP BY cid, pos)

@@ -308,3 +308,24 @@ def test_remove_duplicate_spans(spark):
     assert got[2] == "xx yy zz ww"
     # untouched doc keeps its text verbatim
     assert got[3] == "totally unique words nothing repeated here at all okay"
+
+
+def test_semantic_dedup_prunes_within_clusters(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.99, 0.01]),   # cosine ~1 with 1 -> dropped
+            (4, [0.01, 0.99]),   # cosine ~1 with 2 -> dropped
+            (5, [0.8, -0.6]),    # same cluster as 1, cosine 0.8 < tau -> kept
+            (6, [-0.6, 0.8]),    # same cluster as 2, cosine 0.8 < tau -> kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = DD.semantic_dedup(emb, "embedding", "vec_id", k=2, iterations=2, threshold=0.95)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert {v for v, r in rows.items() if r.kept} == {1, 2, 5, 6}
+    assert {v for v, r in rows.items() if not r.kept} == {3, 4}
+    # a dropped row shares its cluster with the smaller-id mate that beat it
+    assert rows[3].cluster == rows[1].cluster
+    assert rows[4].cluster == rows[2].cluster

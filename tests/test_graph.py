@@ -77,3 +77,22 @@ def test_unknown_scheme_rejected(spark):
     df = spark.createDataFrame([(1, 2)], "left_id long, right_id long")
     with pytest.raises(ValueError, match="unknown"):
         connected_components(df, scheme="nope")
+
+
+def test_keep_best_representative(spark):
+    from srm_etl_spark.operators.graph import duplicate_clusters, keep_best_representative
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "left_id long, right_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.4), (11, 0.4)],
+        "doc_id long, quality double",
+    )
+    clusters = duplicate_clusters(pairs)
+    out = keep_best_representative(clusters, scores, "doc_id", "quality")
+    kept = {r.node for r in out.collect() if r.kept}
+    # component {1,2,3}: best quality wins (2); component {10,11}: quality
+    # tie -> min id wins (10)
+    assert kept == {2, 10}
+    assert out.count() == 5  # every clustered node emitted, flagged

@@ -133,6 +133,87 @@ FROM a2 a LEFT JOIN losers l ON a.vec_id = l.rid
 """
 
 
+# --------------------------------------------------------------------------
+# q113 — entity resolution: normalize -> block -> match -> cluster -> assign
+# --------------------------------------------------------------------------
+
+
+def q113_entity_resolution(spark, sf_dir):
+    """Entity resolution over noisy org-name records
+    (operators/relational.py:resolve_entities): each part name spawns three
+    records — the original, an upper-cased variant with a ' LTD' legal
+    suffix, and a last-char-dropped typo. Normalization (lower + suffix
+    strip) plus a first-two-tokens blocking key plus thresholded Levenshtein
+    (<= 2) recovers the variants; connected components close the matches
+    transitively; every record gets its canonical entity_id + entity_size."""
+    from ..operators.relational import resolve_entities  # noqa: PLC0415
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("pk"), "p_name"
+    )
+    recs = (
+        p.select(
+            F.explode(
+                F.array(
+                    F.struct((F.col("pk") * 4).alias("record_id"), F.col("p_name").alias("raw")),
+                    F.struct(
+                        (F.col("pk") * 4 + 1).alias("record_id"),
+                        F.concat(F.upper("p_name"), F.lit(" LTD")).alias("raw"),
+                    ),
+                    F.struct(
+                        (F.col("pk") * 4 + 2).alias("record_id"),
+                        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("raw"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .withColumn("nm", F.regexp_replace(F.lower("raw"), r"\s+ltd$", ""))
+    )
+    blk = F.array_join(F.slice(F.split(F.col("nm"), " "), 1, 2), " ")
+    out = resolve_entities(recs, "nm", "record_id", blk, max_edits=2)
+    return out.select(
+        "record_id", "entity_id", F.col("entity_size").cast("long").alias("entity_size")
+    )
+
+
+Q113_SQL = """
+WITH RECURSIVE p AS (SELECT CAST(p_partkey AS BIGINT) AS pk, p_name FROM part),
+recs AS (
+  SELECT pk * 4 AS record_id, p_name AS raw FROM p
+  UNION ALL SELECT pk * 4 + 1, upper(p_name) || ' LTD' FROM p
+  UNION ALL SELECT pk * 4 + 2, substr(p_name, 1, length(p_name) - 1) FROM p
+),
+normed AS (
+  SELECT record_id, regexp_replace(lower(raw), '\\s+ltd$', '') AS nm FROM recs
+),
+blocked AS (
+  SELECT record_id, nm,
+         array_to_string(list_slice(string_split(nm, ' '), 1, 2), ' ') AS blk
+  FROM normed
+),
+edges0 AS (
+  SELECT l.record_id AS a, r.record_id AS b
+  FROM blocked l JOIN blocked r ON l.blk = r.blk AND l.record_id < r.record_id
+  WHERE levenshtein(l.nm, r.nm) <= 2
+),
+edges AS (SELECT a, b FROM edges0 UNION ALL SELECT b, a FROM edges0),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+assigned AS (
+  SELECT n.record_id, coalesce(c.component, n.record_id) AS entity_id
+  FROM normed n LEFT JOIN comp c ON c.node = n.record_id
+)
+SELECT record_id, entity_id,
+       CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS entity_size
+FROM assigned
+"""
+
+
 EXT12_REGISTRY = {
     "q111_dedup_keep_best": QueryDef(
         q111_dedup_keep_best, Q111_SQL,
@@ -141,5 +222,9 @@ EXT12_REGISTRY = {
     "q112_semantic_dedup": QueryDef(
         q112_semantic_dedup, Q112_SQL,
         "LLM-pipeline: SemDeDup — k-means clusters, within-cluster cosine prune",
+    ),
+    "q113_entity_resolution": QueryDef(
+        q113_entity_resolution, Q113_SQL,
+        "entity resolution: normalize, block, fuzzy-match, cluster, assign",
     ),
 }

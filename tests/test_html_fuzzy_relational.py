@@ -144,3 +144,28 @@ def test_map_tags_with_feedback(spark):
     assert rows["s3"].response_ids == []  # no tags at all
     # the curator write-back set: each missing mapping exactly once
     assert sorted(r.name for r in unknown.collect()) == ["ghost", "phantom"]
+
+
+def test_resolve_entities(spark):
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.operators.relational import resolve_entities
+
+    recs = spark.createDataFrame(
+        [
+            (1, "acme corp"),
+            (2, "acme corp"),     # exact dup of 1
+            (3, "acme cor"),      # 1 edit from 1
+            (4, "zenith labs"),   # singleton
+            (5, "acme corporation"),  # 7 edits: same block, NOT matched
+        ],
+        "record_id long, nm string",
+    )
+    blk = F.split(F.col("nm"), " ").getItem(0)
+    out = resolve_entities(recs, "nm", "record_id", blk, max_edits=2)
+    rows = {r.record_id: r for r in out.collect()}
+    assert len(rows) == 5                      # every record assigned
+    assert rows[1].entity_id == rows[2].entity_id == rows[3].entity_id == 1
+    assert rows[1].entity_size == 3
+    assert rows[4].entity_id == 4 and rows[4].entity_size == 1
+    assert rows[5].entity_id == 5 and rows[5].entity_size == 1

@@ -243,6 +243,14 @@ def _cc_star(
     )
 
 
+# One-deep memo over the SAME discipline as operators/session_cache.py: the
+# CC loop runs eagerly at construction time (each round localCheckpoints), so
+# slot-persisting the *output* frame cannot dedupe the work — the reuse check
+# must run against the INPUT pair plan before the loop starts. Bounded to one
+# entry; a different pair plan evicts the predecessor.
+_CLUSTER_MEMO: list = []
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     left_col: str = "left_id",
@@ -253,10 +261,24 @@ def duplicate_clusters(
     The canonical survivor of each cluster is ``node == component`` (min id);
     everything else is a duplicate to drop — the cluster generalization of
     :func:`srm_etl_spark.operators.dedup.minhash_dedup`'s pairwise loser rule.
+
+    Repeated resolution of a semantically identical pair plan in one session
+    (the dedup report and the keep-best policy both cluster the same pair
+    set) returns the already-materialized labeling instead of re-running the
+    propagation loop.
     """
+    if _CLUSTER_MEMO:
+        prev_pairs, prev_cols, prev_out = _CLUSTER_MEMO[0]
+        try:
+            if (left_col, right_col) == prev_cols and pairs.sameSemantics(prev_pairs):
+                return prev_out
+        except Exception:  # noqa: BLE001, S110 — prior session may be gone
+            _CLUSTER_MEMO.clear()
     cc = connected_components(pairs, left_col, right_col)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return cc.join(sizes, "component").select("node", "component", "cluster_size")
+    out = cc.join(sizes, "component").select("node", "component", "cluster_size")
+    _CLUSTER_MEMO[:] = [(pairs, (left_col, right_col), out)]
+    return out
 
 
 def keep_best_representative(

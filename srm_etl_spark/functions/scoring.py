@@ -90,3 +90,20 @@ def idf_score_table(
         item_col,
         F.log(F.sum("_freq").over(total) / F.col("_freq")).alias(score_col),
     )
+
+
+def logistic_score(features: dict[str, float], bias: float = 0.0) -> Column:
+    """Linear model + sigmoid over feature columns: the model-based quality
+    filter shape (FineWeb-edu / Llama-style classifier gating), expressed as
+    pure codegen so the score runs JVM-side at full scan speed.
+
+    ``features`` maps column name -> weight; the column is the inference
+    surface. A production classifier swaps this linear scorer for an
+    Arrow-batched model kernel (the multimodal operators establish that
+    escalation path); the plumbing — score column, threshold gate, audit
+    emit — is identical.
+    """
+    z: Column = F.lit(float(bias))
+    for col_name, w in sorted(features.items()):
+        z = z + F.lit(float(w)) * F.col(col_name)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

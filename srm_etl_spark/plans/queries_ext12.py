@@ -214,6 +214,131 @@ FROM assigned
 """
 
 
+# --------------------------------------------------------------------------
+# q114 — multi-format source parity: parquet == csv == json round-trip
+# --------------------------------------------------------------------------
+
+
+def q114_format_roundtrip(spark, sf_dir):
+    """Format round-trip parity: a deterministic orders slice is written as
+    CSV (header) and JSON lines, read back through spark.read with an
+    explicit schema, and summarized per (format, priority) with
+    decimal-pinned sums. All three format rows must agree with the parquet
+    truth the oracle computes — any parse/print fidelity loss in either
+    writer+reader pair breaks the hash. Scratch writes go to a mkdtemp dir
+    (the q64 pattern); the lazy reads keep the data distributed."""
+    import tempfile  # noqa: PLC0415
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+    o = _t(spark, sf_dir, "orders").select(*cols).filter(F.col("o_orderkey") % 20 == 0)
+    base = tempfile.mkdtemp(prefix="srm_q114_")
+    o.write.mode("overwrite").option("header", True).csv(base + "/csv")
+    o.write.mode("overwrite").json(base + "/json")
+    schema = (
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderstatus string, o_orderpriority string"
+    )
+    sources = {
+        "parquet": o,
+        "csv": spark.read.schema(schema).option("header", True).csv(base + "/csv"),
+        "json": spark.read.schema(schema).json(base + "/json"),
+    }
+
+    def summarize(df, fmt):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_price"),
+            F.max("o_orderstatus").alias("max_status"),
+        ).withColumn("fmt", F.lit(fmt))
+
+    out = None
+    for fmt, df in sources.items():
+        s = summarize(df, fmt)
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
+Q114_SQL = """
+WITH s AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+         max(o_orderstatus) AS max_status
+  FROM orders WHERE o_orderkey % 20 = 0
+  GROUP BY o_orderpriority
+)
+SELECT s.*, f.fmt
+FROM s CROSS JOIN (VALUES ('parquet'), ('csv'), ('json')) f(fmt)
+"""
+
+
+# --------------------------------------------------------------------------
+# q115 — model-based quality filter (classifier-gating shape)
+# --------------------------------------------------------------------------
+
+
+def q115_quality_classifier(spark, sf_dir):
+    """Classifier-gated quality filter (functions/scoring.py:logistic_score):
+    a fixed-weight logistic model over the q23 text features scores every
+    document JVM-side (pure codegen — no Python in the scan), and the gate
+    keeps prob >= 0.5. This is the FineWeb-edu-style model-filter stage with
+    a linear scorer standing in for the network; swapping in an Arrow-batched
+    model kernel changes only the scoring expression."""
+    from ..functions.scoring import logistic_score  # noqa: PLC0415
+
+    d = with_text_features(_t(spark, sf_dir, "documents"), "text")
+    feats = d.select(
+        "doc_id",
+        F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)).alias("f_len"),
+        F.col("punct_ratio").alias("f_punct"),
+        F.col("stopword_ratio").alias("f_stop"),
+        (F.col("mean_word_len") / 10.0).alias("f_mwl"),
+    )
+    prob = logistic_score(
+        {"f_len": 2.0, "f_punct": -3.0, "f_stop": 1.5, "f_mwl": 0.5}, bias=-1.0
+    )
+    return feats.select(
+        "doc_id",
+        F.round(prob, 4).alias("keep_prob"),
+        (prob >= 0.5).alias("kept"),
+    )
+
+
+def _q115_sql() -> str:
+    from .queries import _STOP_SQL  # noqa: PLC0415
+
+    # feature terms in sorted(features) order so float addition order — and
+    # with it every last bit of z — matches the Spark expression
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS f_len,
+         CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+                   / length(regexp_replace(text, '\\s', '', 'g')) END AS f_punct,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, t -> list_contains({_STOP_SQL}, lower(t)))) AS DOUBLE)
+                   / len(toks) END AS f_stop,
+         (CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                    / len(toks) END) / 10.0 AS f_mwl
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-(((((-1.0) + 2.0 * f_len) + 0.5 * f_mwl) + (-3.0) * f_punct) + 1.5 * f_stop))) AS p
+  FROM feats
+)
+SELECT doc_id, round(p, 4) AS keep_prob, (p >= 0.5) AS kept FROM scored
+"""
+
+
 EXT12_REGISTRY = {
     "q111_dedup_keep_best": QueryDef(
         q111_dedup_keep_best, Q111_SQL,
@@ -226,5 +351,13 @@ EXT12_REGISTRY = {
     "q113_entity_resolution": QueryDef(
         q113_entity_resolution, Q113_SQL,
         "entity resolution: normalize, block, fuzzy-match, cluster, assign",
+    ),
+    "q114_format_roundtrip": QueryDef(
+        q114_format_roundtrip, Q114_SQL,
+        "multi-format source parity: parquet == csv == json round-trip",
+    ),
+    "q115_quality_classifier": QueryDef(
+        q115_quality_classifier, _q115_sql(),
+        "LLM-pipeline: model-based (logistic) quality filter gate",
     ),
 }

@@ -254,3 +254,19 @@ def test_quality_flags_integer_exact(spark):
     assert rows[1].keep and rows[1].length_ok and rows[1].stop_ok
     assert not rows[2].length_ok and not rows[2].keep
     assert not rows[3].symbol_ok and not rows[3].keep
+
+
+def test_logistic_score(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.functions.scoring import logistic_score
+
+    df = spark.createDataFrame([(1, 1.0, 0.5), (2, 0.0, 0.0)], "id long, a double, b double")
+    out = df.select(
+        "id", logistic_score({"a": 2.0, "b": -1.0}, bias=0.5).alias("p")
+    ).collect()
+    by_id = {r.id: r.p for r in out}
+    assert abs(by_id[1] - 1 / (1 + math.exp(-(0.5 + 2.0 * 1.0 - 1.0 * 0.5)))) < 1e-12
+    assert abs(by_id[2] - 1 / (1 + math.exp(-0.5))) < 1e-12

@@ -123,6 +123,60 @@ def probes(spark):
         queries = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 5)
         return ivf_topk(emb, queries, k=5)
 
+    def p_entity_res(k):
+        # scale axis = MORE ENTITIES (replica prefix changes the blocking
+        # key), not bigger blocks — matching how a growing org registry
+        # behaves; block size stays bounded, block count grows with k
+        from srm_etl_spark.operators.relational import resolve_entities  # noqa: PLC0415
+
+        p = spark.read.parquet(f"{SF}/part.parquet").select(
+            F.col("p_partkey").cast("long").alias("pk"), "p_name"
+        )
+        if k > 1:
+            p = p.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))).select(
+                (F.col("pk") * k + F.col("_r")).alias("pk"),
+                F.concat(F.lit("r"), F.col("_r"), F.lit(" "), F.col("p_name")).alias("p_name"),
+            )
+        recs = (
+            p.select(
+                F.explode(
+                    F.array(
+                        F.struct((F.col("pk") * 4).alias("record_id"), F.col("p_name").alias("raw")),
+                        F.struct(
+                            (F.col("pk") * 4 + 1).alias("record_id"),
+                            F.concat(F.upper("p_name"), F.lit(" LTD")).alias("raw"),
+                        ),
+                        F.struct(
+                            (F.col("pk") * 4 + 2).alias("record_id"),
+                            F.expr("substring(p_name, 1, length(p_name) - 1)").alias("raw"),
+                        ),
+                    )
+                ).alias("r")
+            )
+            .select("r.*")
+            .withColumn("nm", F.regexp_replace(F.lower("raw"), r"\s+ltd$", ""))
+        )
+        blk = F.array_join(F.slice(F.split(F.col("nm"), " "), 1, 2), " ")
+        return resolve_entities(recs, "nm", "record_id", blk, max_edits=2)
+
+    def p_semantic_dedup(k):
+        # SemDeDup's operating point grows cluster COUNT with the corpus so
+        # per-cluster pairwise work stays bounded — the probe scales k (the
+        # cluster count) with the data exactly as the paper does
+        from srm_etl_spark.operators.dedup import semantic_dedup  # noqa: PLC0415
+
+        return semantic_dedup(
+            scaled_emb(spark, k), "embedding", "vec_id",
+            k=8 * k, iterations=2, threshold=0.3,
+        )
+
+    def p_substr_spans(k):
+        from srm_etl_spark.operators.dedup import duplicate_substring_spans  # noqa: PLC0415
+
+        return duplicate_substring_spans(
+            scaled_docs(spark, k), "text", "doc_id", min_tokens=16
+        )
+
     return {
         "exact_dedup": p_dedup,
         "minhash_sigs": p_minhash,
@@ -130,6 +184,9 @@ def probes(spark):
         "quality_quota": p_quota,
         "pagerank_2it": p_pagerank,
         "ivf_topk": p_ivf,
+        "entity_res": p_entity_res,
+        "semantic_dedup": p_semantic_dedup,
+        "substr_spans": p_substr_spans,
     }
 
 

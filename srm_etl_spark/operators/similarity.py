@@ -408,6 +408,13 @@ def quantize_embeddings(
 # Product quantization (PQ) — FAISS-IVFPQ-style fine compression
 # --------------------------------------------------------------------------
 
+# One-deep training memo (the duplicate_clusters discipline): PQ training
+# executes eagerly (driver syncs per Lloyd iteration), so when the PQ index
+# query and the rerank serving query train on the same corpus in one session
+# the second call replays the driver-held codebooks instead of the scans.
+_PQ_MEMO: list = []
+
+
 def pq_train_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -437,6 +444,14 @@ def pq_train_codebooks(
         raise ValueError("dim must be divisible by m")
     if k <= 0 or iterations <= 0:
         raise ValueError("k and iterations must be positive")
+    params = (vec_col, id_col, m, k, iterations, dim)
+    if _PQ_MEMO:
+        prev_df, prev_params, prev_books = _PQ_MEMO[0]
+        try:
+            if params == prev_params and df.sameSemantics(prev_df):
+                return prev_books
+        except Exception:  # noqa: BLE001, S110 — prior session may be gone
+            _PQ_MEMO.clear()
     sub = dim // m
     data = df.select(
         F.col(id_col).alias("_kid"), F.col(vec_col).cast("array<double>").alias("_v")
@@ -493,6 +508,7 @@ def pq_train_codebooks(
         for r in rows:
             books[int(r["j"])][int(r["cluster"])] = list(r["centroid"])
     data.unpersist(blocking=False)
+    _PQ_MEMO[:] = [(df, params, books)]
     return books
 
 
@@ -586,4 +602,47 @@ def pq_topk(
         exploded.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    neighbor_id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Exact-cosine rerank of an approximate shortlist — the refine half of
+    the standard two-stage ANN serving plan (coarse/ADC shortlist at k' >> k,
+    then exact scoring of only the shortlist). Output: (query_id,
+    neighbor_id, cosine, rank) with rank <= k.
+
+    Scale shape: the float vectors are touched only for shortlist rows —
+    |queries| x k' lookups, not the corpus — via one equi-join against the
+    corpus (shuffle keyed by the bounded shortlist) and one broadcast join
+    for the driver-small query vectors; the final ordering is a per-query
+    window over k' rows.
+    """
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias(neighbor_id_col), F.col(vec_col).cast("array<double>").alias("_nv")
+    )
+    scored = (
+        shortlist.select(query_id_col, neighbor_id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .join(nv, neighbor_id_col)
+        .withColumn("cosine", cosine_similarity(F.col("_qv"), F.col("_nv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(neighbor_id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, neighbor_id_col, "cosine", "rank")
     )

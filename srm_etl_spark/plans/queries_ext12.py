@@ -140,29 +140,36 @@ FROM a2 a LEFT JOIN losers l ON a.vec_id = l.rid
 
 def q113_entity_resolution(spark, sf_dir):
     """Entity resolution over noisy org-name records
-    (operators/relational.py:resolve_entities): each part name spawns three
-    records — the original, an upper-cased variant with a ' LTD' legal
-    suffix, and a last-char-dropped typo. Normalization (lower + suffix
-    strip) plus a first-two-tokens blocking key plus thresholded Levenshtein
-    (<= 2) recovers the variants; connected components close the matches
-    transitively; every record gets its canonical entity_id + entity_size."""
+    (operators/relational.py:resolve_entities): each part spawns three
+    records of a distinct org name ('org-<pk> <p_name>') — the original, an
+    upper-cased variant with a ' LTD' legal suffix, and a last-char-dropped
+    typo. Normalization (lower + suffix strip) plus a first-token blocking
+    key plus thresholded Levenshtein (<= 2) recovers the variants; connected
+    components close the matches transitively; every record gets its
+    canonical entity_id + entity_size. (p_name alone is NOT usable as the
+    identity: the synthetic vocabulary has only 64 distinct names, which
+    collapses any name-derived blocking key and explodes the pair set — the
+    org-<pk> discriminator models real org registries, where names are
+    near-unique and the blocking key is selective. Block selectivity is THE
+    scale knob of this operator; see resolve_entities.)"""
     from ..operators.relational import resolve_entities  # noqa: PLC0415
 
     p = _t(spark, sf_dir, "part").select(
-        F.col("p_partkey").cast("long").alias("pk"), "p_name"
+        F.col("p_partkey").cast("long").alias("pk"),
+        F.concat(F.lit("org-"), F.col("p_partkey").cast("string"), F.lit(" "), F.col("p_name")).alias("name"),
     )
     recs = (
         p.select(
             F.explode(
                 F.array(
-                    F.struct((F.col("pk") * 4).alias("record_id"), F.col("p_name").alias("raw")),
+                    F.struct((F.col("pk") * 4).alias("record_id"), F.col("name").alias("raw")),
                     F.struct(
                         (F.col("pk") * 4 + 1).alias("record_id"),
-                        F.concat(F.upper("p_name"), F.lit(" LTD")).alias("raw"),
+                        F.concat(F.upper("name"), F.lit(" LTD")).alias("raw"),
                     ),
                     F.struct(
                         (F.col("pk") * 4 + 2).alias("record_id"),
-                        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("raw"),
+                        F.expr("substring(name, 1, length(name) - 1)").alias("raw"),
                     ),
                 )
             ).alias("r")
@@ -170,7 +177,7 @@ def q113_entity_resolution(spark, sf_dir):
         .select("r.*")
         .withColumn("nm", F.regexp_replace(F.lower("raw"), r"\s+ltd$", ""))
     )
-    blk = F.array_join(F.slice(F.split(F.col("nm"), " "), 1, 2), " ")
+    blk = F.split(F.col("nm"), " ").getItem(0)
     out = resolve_entities(recs, "nm", "record_id", blk, max_edits=2)
     return out.select(
         "record_id", "entity_id", F.col("entity_size").cast("long").alias("entity_size")
@@ -178,18 +185,21 @@ def q113_entity_resolution(spark, sf_dir):
 
 
 Q113_SQL = """
-WITH RECURSIVE p AS (SELECT CAST(p_partkey AS BIGINT) AS pk, p_name FROM part),
+WITH RECURSIVE p AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pk,
+         'org-' || CAST(p_partkey AS VARCHAR) || ' ' || p_name AS name
+  FROM part
+),
 recs AS (
-  SELECT pk * 4 AS record_id, p_name AS raw FROM p
-  UNION ALL SELECT pk * 4 + 1, upper(p_name) || ' LTD' FROM p
-  UNION ALL SELECT pk * 4 + 2, substr(p_name, 1, length(p_name) - 1) FROM p
+  SELECT pk * 4 AS record_id, name AS raw FROM p
+  UNION ALL SELECT pk * 4 + 1, upper(name) || ' LTD' FROM p
+  UNION ALL SELECT pk * 4 + 2, substr(name, 1, length(name) - 1) FROM p
 ),
 normed AS (
   SELECT record_id, regexp_replace(lower(raw), '\\s+ltd$', '') AS nm FROM recs
 ),
 blocked AS (
-  SELECT record_id, nm,
-         array_to_string(list_slice(string_split(nm, ' '), 1, 2), ' ') AS blk
+  SELECT record_id, nm, list_extract(string_split(nm, ' '), 1) AS blk
   FROM normed
 ),
 edges0 AS (
@@ -361,3 +371,64 @@ EXT12_REGISTRY = {
         "LLM-pipeline: model-based (logistic) quality filter gate",
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# q116 — two-stage ANN serving: PQ/ADC shortlist -> exact-cosine rerank
+# --------------------------------------------------------------------------
+
+
+def q116_pq_rerank(spark, sf_dir):
+    """The full two-stage ANN serving plan: q92's PQ pipeline shortlists the
+    top-20 per query by asymmetric distance (1-byte-per-subspace codegen, no
+    float vectors touched), then operators/similarity.py:exact_rerank
+    re-scores only the shortlist with exact cosine and keeps the top-5. The
+    oracle extends q92's unrolled train->encode->ADC chain with the same
+    shortlist + rerank."""
+    from ..operators.similarity import (  # noqa: PLC0415
+        exact_rerank,
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=4, k=8, iterations=2, dim=64)
+    codes = pq_encode(emb, books, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5)
+    shortlist = pq_topk(codes, books, queries, k=20, dim=64)
+    out = exact_rerank(shortlist, emb, queries, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q116_sql() -> str:
+    from .queries_ext9 import Q92_CORE  # noqa: PLC0415
+
+    return Q92_CORE + """,
+short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 20),
+ex AS (
+  SELECT s.query_id, s.neighbor_id, list_cosine_similarity(q.v, n.v) AS cos
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e n ON n.vec_id = s.neighbor_id
+),
+rr AS (SELECT query_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+       FROM ex)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       round(cos, 4) AS cosine, CAST(rank AS BIGINT) AS rank
+FROM rr WHERE rank <= 5
+"""
+
+
+EXT12_REGISTRY["q116_pq_rerank"] = QueryDef(
+    q116_pq_rerank, _q116_sql(),
+    "LLM-pipeline: two-stage ANN serving (ADC shortlist + exact rerank)",
+)

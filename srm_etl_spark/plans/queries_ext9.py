@@ -246,7 +246,10 @@ def q92_pq_topk(spark, sf_dir):
     )
 
 
-Q92_SQL = """
+# CTE chain through the ADC ranking (`ranked`, over `e`/`codes`/`c2`) —
+# shared with q116's rerank oracle, which shortlists at a larger k and
+# re-scores the shortlist with exact cosine.
+Q92_CORE = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v
          FROM e ORDER BY vec_id LIMIT 8),
@@ -299,7 +302,9 @@ dist AS (SELECT qd.query_id, codes.vec_id AS neighbor_id, sum(qd.d) AS adc
 ranked AS (SELECT query_id, neighbor_id, adc,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY adc ASC, neighbor_id ASC) AS rank
-           FROM dist WHERE neighbor_id != query_id)
+           FROM dist WHERE neighbor_id != query_id)"""
+
+Q92_SQL = Q92_CORE + """
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(neighbor_id AS BIGINT) AS neighbor_id,
        round(adc, 4) AS adc_dist, CAST(rank AS BIGINT) AS rank

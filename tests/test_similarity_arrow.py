@@ -55,3 +55,28 @@ def test_ivf_topk_probes_and_recall(spark, sf_dir):
         hits += len(want & got)
         total += len(want)
     assert hits / total >= 0.2, f"IVF recall {hits}/{total}"
+
+
+def test_exact_rerank_orders_by_true_cosine(spark):
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.operators.similarity import exact_rerank
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (10, [0.9, 0.1]),
+            (11, [0.5, 0.5]),
+            (12, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") == 1)
+    # shortlist deliberately ordered WRONG (by id): rerank must re-order by
+    # true cosine and cut to k
+    shortlist = spark.createDataFrame(
+        [(1, 12), (1, 11), (1, 10)], "query_id long, neighbor_id long"
+    )
+    out = exact_rerank(shortlist, corpus, queries, k=2).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(10, 1), (11, 2)]

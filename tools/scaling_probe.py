@@ -124,9 +124,9 @@ def probes(spark):
         return ivf_topk(emb, queries, k=5)
 
     def p_entity_res(k):
-        # scale axis = MORE ENTITIES (replica prefix changes the blocking
-        # key), not bigger blocks — matching how a growing org registry
-        # behaves; block size stays bounded, block count grows with k
+        # scale axis = MORE ENTITIES (distinct org-<pk> names; pk scales with
+        # the replica index), matching how a growing org registry behaves:
+        # block size stays bounded, block count grows with k
         from srm_etl_spark.operators.relational import resolve_entities  # noqa: PLC0415
 
         p = spark.read.parquet(f"{SF}/part.parquet").select(
@@ -134,21 +134,26 @@ def probes(spark):
         )
         if k > 1:
             p = p.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))).select(
-                (F.col("pk") * k + F.col("_r")).alias("pk"),
-                F.concat(F.lit("r"), F.col("_r"), F.lit(" "), F.col("p_name")).alias("p_name"),
+                (F.col("pk") * k + F.col("_r")).alias("pk"), "p_name"
             )
+        p = p.select(
+            "pk",
+            F.concat(
+                F.lit("org-"), F.col("pk").cast("string"), F.lit(" "), F.col("p_name")
+            ).alias("name"),
+        )
         recs = (
             p.select(
                 F.explode(
                     F.array(
-                        F.struct((F.col("pk") * 4).alias("record_id"), F.col("p_name").alias("raw")),
+                        F.struct((F.col("pk") * 4).alias("record_id"), F.col("name").alias("raw")),
                         F.struct(
                             (F.col("pk") * 4 + 1).alias("record_id"),
-                            F.concat(F.upper("p_name"), F.lit(" LTD")).alias("raw"),
+                            F.concat(F.upper("name"), F.lit(" LTD")).alias("raw"),
                         ),
                         F.struct(
                             (F.col("pk") * 4 + 2).alias("record_id"),
-                            F.expr("substring(p_name, 1, length(p_name) - 1)").alias("raw"),
+                            F.expr("substring(name, 1, length(name) - 1)").alias("raw"),
                         ),
                     )
                 ).alias("r")
@@ -156,7 +161,7 @@ def probes(spark):
             .select("r.*")
             .withColumn("nm", F.regexp_replace(F.lower("raw"), r"\s+ltd$", ""))
         )
-        blk = F.array_join(F.slice(F.split(F.col("nm"), " "), 1, 2), " ")
+        blk = F.split(F.col("nm"), " ").getItem(0)
         return resolve_entities(recs, "nm", "record_id", blk, max_edits=2)
 
     def p_semantic_dedup(k):

@@ -432,3 +432,93 @@ EXT12_REGISTRY["q116_pq_rerank"] = QueryDef(
     q116_pq_rerank, _q116_sql(),
     "LLM-pipeline: two-stage ANN serving (ADC shortlist + exact rerank)",
 )
+
+
+# --------------------------------------------------------------------------
+# q117 — APPEND-mode watermark semantics: late stragglers dropped against
+#         evicted state, emitted set = the deterministic finalization rule
+# --------------------------------------------------------------------------
+
+_Q117_ID = __import__("itertools").count()
+
+
+def q117_late_data_drops(spark, sf_dir):
+    """Watermark late-data semantics under a controlled 3-batch replay
+    (streaming/events.py:replay_in_batches): batch0 = on-time rows up to the
+    70%-of-span cut (minus held-back stragglers), batch1 = the tail (advances
+    the watermark to max(ts) - 30min, evicting every old window at its end),
+    batch2 = the stragglers (event_id % 5 == 0 in the first 30% of the span)
+    — they arrive after their windows were evicted and are DROPPED. The
+    emitted APPEND output is exactly the deterministic rule the oracle
+    states: every non-straggler row, in windows whose end <= max(ts) - 30min
+    (later windows are never finalized). Measured on this data: Spark
+    reports the drops in numRowsDroppedByWatermark (pytest pins > 0), and
+    rows landing in still-live windows merge regardless of the watermark —
+    eviction, not arrival time, is the drop boundary."""
+    import datetime  # noqa: PLC0415
+
+    from ..streaming.events import replay_in_batches  # noqa: PLC0415
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    mm = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = mm["lo"], mm["hi"]
+    span_s = int((hi - lo).total_seconds())
+    cut_low = lo + datetime.timedelta(seconds=(span_s * 3) // 10)
+    cut1 = lo + datetime.timedelta(seconds=(span_s * 7) // 10)
+    strag = (F.col("event_id") % 5 == 0) & (F.col("ts") < F.lit(cut_low))
+    batches = [
+        ev.filter((F.col("ts") <= F.lit(cut1)) & ~strag),
+        ev.filter(F.col("ts") > F.lit(cut1)),
+        ev.filter(strag),
+    ]
+
+    def build(s):
+        return (
+            s.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+
+    out, _progress = replay_in_batches(
+        spark, batches, build, f"q117_sink_{next(_Q117_ID)}"
+    )
+    return out
+
+
+Q117_SQL = """
+WITH bounds AS (
+  SELECT min(ts) AS lo, max(ts) AS hi,
+         CAST(floor(epoch(max(ts)) - epoch(min(ts))) AS BIGINT) AS span_s
+  FROM events
+),
+marked AS (
+  SELECT e.*,
+         (e.event_id % 5 = 0
+          AND e.ts < b.lo + to_seconds((b.span_s * 3) // 10)) AS strag,
+         b.hi - INTERVAL 30 MINUTE AS wm_final
+  FROM events e CROSS JOIN bounds b
+)
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM marked
+WHERE NOT strag
+  AND time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR <= wm_final
+GROUP BY 1, 2
+"""
+
+
+EXT12_REGISTRY["q117_late_data_drops"] = QueryDef(
+    q117_late_data_drops, Q117_SQL,
+    "streaming watermark semantics: append finalization + late-straggler drops",
+)

@@ -350,3 +350,64 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def replay_in_batches(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    build,
+    name: str,
+    mode: str = "append",
+    timeout_sec: int = 300,
+):
+    """Replay a controlled sequence of micro-batches through a streaming plan.
+
+    Each batch DataFrame is written as ONE parquet file into a scratch source
+    dir with explicitly spaced modification times (the file source orders by
+    mtime), then streamed with ``maxFilesPerTrigger=1`` + ``availableNow`` —
+    one micro-batch per file, in the given order, plus Spark's final no-data
+    batch that advances the watermark and finalizes eligible state. ``build``
+    maps the source stream to the streaming plan; the result is drained
+    through a memory sink, copied to a scratch parquet (the q64 discipline:
+    the sink view is dropped so repeated replays hold no driver state) and
+    returned as (lazy result DataFrame, query progress list).
+
+    This is the harness for semantics only multi-batch execution exposes —
+    watermark advancement, APPEND-mode finalization, late-row drops against
+    evicted state. On a cluster the same plan runs against a live source;
+    nothing here is local-mode-specific except the scratch paths.
+    """
+    import glob as _glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import time as _time  # noqa: PLC0415
+
+    base = tempfile.mkdtemp(prefix=f"srm_replay_{name}_")
+    data = os.path.join(base, "stream")
+    os.makedirs(data)
+    now = _time.time()
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        d = os.path.join(base, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        (src,) = _glob.glob(os.path.join(d, "*.parquet"))
+        dst = os.path.join(data, f"batch{i}.parquet")
+        shutil.copy(src, dst)
+        # spaced mtimes pin the batch order however fast the writes ran
+        os.utime(dst, (now - 100 * (len(batches) - i), now - 100 * (len(batches) - i)))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(data)
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    out_path = os.path.join(base, "result")
+    spark.table(name).write.mode("overwrite").parquet(out_path)
+    progress = list(q.recentProgress)
+    spark.catalog.dropTempView(name)
+    return spark.read.parquet(out_path), progress

@@ -191,3 +191,63 @@ def test_stream_upsert_to_staging_matches_batch_merge(spark, sf_dir, tmp_path):
     assert final.count() == want.count()
     assert final.filter(F.col("status") != "ACTIVE").count() == 0
     assert sorted(final.columns) == sorted(want.columns)
+
+
+def test_replay_in_batches_late_drops(spark, sf_dir):
+    """Stragglers arriving after their windows were evicted are dropped (the
+    engine reports them in numRowsDroppedByWatermark); rows landing in
+    still-live windows merge regardless of the watermark."""
+    import datetime
+    import json
+
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.sources.tables import load_table
+    from srm_etl_spark.streaming.events import replay_in_batches
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    mm = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    span_s = int((mm["hi"] - mm["lo"]).total_seconds())
+    cut_low = mm["lo"] + datetime.timedelta(seconds=(span_s * 3) // 10)
+    cut1 = mm["lo"] + datetime.timedelta(seconds=(span_s * 7) // 10)
+    strag = (F.col("event_id") % 5 == 0) & (F.col("ts") < F.lit(cut_low))
+
+    def build(s):
+        return (
+            s.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+    out, progress = replay_in_batches(
+        spark,
+        [
+            ev.filter((F.col("ts") <= F.lit(cut1)) & ~strag),
+            ev.filter(F.col("ts") > F.lit(cut1)),
+            ev.filter(strag),
+        ],
+        build,
+        "t117_sink",
+    )
+    dropped = sum(
+        (json.loads(rp.json).get("stateOperators") or [{}])[0].get(
+            "numRowsDroppedByWatermark", 0
+        ) or 0
+        for rp in progress
+    )
+    n_strag = ev.filter(strag).count()
+    assert n_strag > 0
+    assert dropped > 0  # late stragglers hit evicted state
+    # emitted = deterministic finalization rule: non-straggler rows in
+    # windows closed by the final watermark
+    wm1 = mm["hi"] - datetime.timedelta(minutes=30)
+    pred = (
+        ev.filter(~strag)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(wm1))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    assert out.exceptAll(pred).count() == 0
+    assert pred.exceptAll(out).count() == 0

@@ -281,6 +281,13 @@ def ivf_topk(
 # k-means (Lloyd) — the IVF quantizer trainer / semantic-dedup clusterer
 # --------------------------------------------------------------------------
 
+# One-deep training memo (the duplicate_clusters discipline): the Lloyd loop
+# collects centroids eagerly at construction, so when the clustering query
+# and semantic dedup train on the same corpus in one session the second call
+# reuses the assignment plan instead of re-syncing.
+_KMEANS_MEMO: list = []
+
+
 def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
     lit = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
@@ -341,6 +348,14 @@ def kmeans(
     """
     if k <= 0 or iterations <= 0:
         raise ValueError("k and iterations must be positive")
+    params = (vec_col, id_col, k, iterations, round_to)
+    if _KMEANS_MEMO:
+        prev_df, prev_params, prev_out = _KMEANS_MEMO[0]
+        try:
+            if params == prev_params and df.sameSemantics(prev_df):
+                return prev_out
+        except Exception:  # noqa: BLE001, S110 — prior session may be gone
+            _KMEANS_MEMO.clear()
     data = df.select(
         F.col(id_col).alias("_kid"), F.col(vec_col).cast("array<double>").alias("_v")
     ).persist()
@@ -359,6 +374,7 @@ def kmeans(
             cents = {int(r["cluster"]): list(r["centroid"]) for r in new_rows}
     out = assigned.select(F.col("_kid").alias(id_col), "cluster", F.col("_v").alias(vec_col))
     data.unpersist(blocking=False)
+    _KMEANS_MEMO[:] = [(df, params, out)]
     return out
 
 

@@ -522,3 +522,42 @@ EXT12_REGISTRY["q117_late_data_drops"] = QueryDef(
     q117_late_data_drops, Q117_SQL,
     "streaming watermark semantics: append finalization + late-straggler drops",
 )
+
+
+# --------------------------------------------------------------------------
+# q118 — lake schema evolution: mergeSchema over heterogeneous batches
+# --------------------------------------------------------------------------
+
+
+def q118_schema_evolution(spark, sf_dir):
+    """Schema evolution on a growing lake table: an early batch lands with
+    (c_custkey, c_name), a later batch adds a `segment` column; a
+    mergeSchema read unifies them — old rows surface NULL for the added
+    column, no rewrite of history. This is the everyday 100 TB lake concern
+    (a producer adds a field mid-stream); the hash gate proves the merged
+    read loses nothing and invents nothing."""
+    import tempfile  # noqa: PLC0415
+
+    c = _t(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
+    new = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", F.upper("c_mktsegment").alias("segment")
+    )
+    base = tempfile.mkdtemp(prefix="srm_q118_") + "/table"
+    old.write.mode("overwrite").parquet(base)
+    new.write.mode("append").parquet(base)
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.select("c_custkey", "c_name", "segment")
+
+
+Q118_SQL = """
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 2 = 1 THEN upper(c_mktsegment) END AS segment
+FROM customer
+"""
+
+
+EXT12_REGISTRY["q118_schema_evolution"] = QueryDef(
+    q118_schema_evolution, Q118_SQL,
+    "lake schema evolution: mergeSchema read over heterogeneous batches",
+)

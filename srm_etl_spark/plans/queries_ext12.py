@@ -561,3 +561,57 @@ EXT12_REGISTRY["q118_schema_evolution"] = QueryDef(
     q118_schema_evolution, Q118_SQL,
     "lake schema evolution: mergeSchema read over heterogeneous batches",
 )
+
+
+# --------------------------------------------------------------------------
+# q119 — bucketed co-located join: the exchange-free warehouse layout
+# --------------------------------------------------------------------------
+
+_Q119_ID = __import__("itertools").count()
+
+
+def q119_bucketed_join(spark, sf_dir):
+    """The warehouse layout paying off (sinks/warehouse.py:write_bucketed):
+    orders and customer are written bucketed + bucket-sorted on the join key
+    with the same bucket count, then sort-merge-joined — each bucket pair is
+    a co-located merge, ZERO exchanges on the join (pinned in
+    tests/test_plans.py; the merge hint keeps the small demo side from
+    degenerating to broadcast, which would bypass the layout under test).
+    At 100 TB this is the difference between re-shuffling the fact table on
+    every join and never shuffling it at all. The oracle joins the raw
+    tables — the layout must not change a single value."""
+    import tempfile  # noqa: PLC0415
+
+    from ..sinks.warehouse import write_bucketed  # noqa: PLC0415
+
+    i = next(_Q119_ID)
+    base = tempfile.mkdtemp(prefix="srm_q119_")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    to, tc = f"q119_orders_{i}", f"q119_cust_{i}"
+    write_bucketed(o, to, ["o_custkey"], num_buckets=8, sort_cols=["o_custkey"], path=base + "/o")
+    write_bucketed(c, tc, ["c_custkey"], num_buckets=8, sort_cols=["c_custkey"], path=base + "/c")
+    j = spark.table(to).hint("merge").join(
+        spark.table(tc), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_price"),
+    )
+
+
+Q119_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+EXT12_REGISTRY["q119_bucketed_join"] = QueryDef(
+    q119_bucketed_join, Q119_SQL,
+    "bucketed co-located join: exchange-free fact-dimension merge",
+)

@@ -164,3 +164,13 @@ def test_card_search_on_partitioned_write_prunes_partitions(spark, tmp_path):
     assert sorted(r["card_key"] for r in got.select("card_key").collect()) == sorted(
         r["card_key"] for r in direct.select("card_key").collect()
     )
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    plan = _simple(spark, "q119_bucketed_join")
+    join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else ""
+    assert "SortMergeJoin" in plan, "bucketed layout must keep the sort-merge join"
+    assert "Bucketed: true" in plan
+    assert join_part.count("Exchange") == 0, "co-bucketed join must not shuffle either side"
+    # the only exchange in the whole plan is the final aggregate's
+    assert plan.count("Exchange") == 1

@@ -615,3 +615,92 @@ EXT12_REGISTRY["q119_bucketed_join"] = QueryDef(
     q119_bucketed_join, Q119_SQL,
     "bucketed co-located join: exchange-free fact-dimension merge",
 )
+
+
+# --------------------------------------------------------------------------
+# q120 — datapackage IR round-trip: K1 write -> S2 typed load, lossless
+# --------------------------------------------------------------------------
+
+
+def q120_datapackage_roundtrip(spark, sf_dir):
+    """The reference's inter-stage IR as a closed loop: a customer slice is
+    dumped as a datapackage (sinks/files.py:write_datapackage — CSV resource
+    + manifest with the field schema), then loaded back through the
+    manifest-typed reader (sources/tables.py:load_datapackage). The oracle
+    reads the original table — every value must survive the CSV+manifest
+    round trip bit-for-bit."""
+    import tempfile  # noqa: PLC0415
+
+    from ..sinks.files import write_datapackage  # noqa: PLC0415
+    from ..sources.tables import load_datapackage  # noqa: PLC0415
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="srm_q120_")
+    write_datapackage(c, base, "customers", fmt="csv")
+    return load_datapackage(spark, base)
+
+
+Q120_SQL = """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+"""
+
+
+EXT12_REGISTRY["q120_datapackage_roundtrip"] = QueryDef(
+    q120_datapackage_roundtrip, Q120_SQL,
+    "datapackage IR round-trip: K1 dump -> S2 manifest-typed load",
+)
+
+
+# --------------------------------------------------------------------------
+# q121 — GeoJSON sink round-trip: features parse back losslessly
+# --------------------------------------------------------------------------
+
+
+def q121_geojson_roundtrip(spark, sf_dir):
+    """GeoJSON sink fidelity: deterministic supplier points written as
+    newline-delimited Features (sinks/files.py:write_geojson — the
+    GeoJSONSeq layout geo tooling ingests at scale), read back as text and
+    parsed with from_json. The oracle recomputes the coordinates/properties
+    relationally — a hash match proves the JSON print/parse cycle is
+    lossless, which is what makes the sink a safe inter-system boundary."""
+    import tempfile  # noqa: PLC0415
+
+    from ..sinks.files import write_geojson  # noqa: PLC0415
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        ((F.col("s_suppkey") % 360) - 180 + F.lit(0.5)).alias("lon"),
+        ((F.col("s_suppkey") % 180) - 90 + F.lit(0.25)).alias("lat"),
+    )
+    path = tempfile.mkdtemp(prefix="srm_q121_") + "/features"
+    write_geojson(s, path, props=["s_suppkey", "s_name"])
+    schema = (
+        "type string, geometry struct<type: string, coordinates: array<double>>, "
+        "properties struct<s_suppkey: bigint, s_name: string>"
+    )
+    back = spark.read.text(path).select(F.from_json("value", schema).alias("f"))
+    return back.select(
+        F.col("f.properties.s_suppkey").alias("s_suppkey"),
+        F.col("f.properties.s_name").alias("s_name"),
+        F.col("f.geometry.type").alias("geom_type"),
+        F.col("f.geometry.coordinates").getItem(0).alias("lon"),
+        F.col("f.geometry.coordinates").getItem(1).alias("lat"),
+    )
+
+
+Q121_SQL = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       'Point' AS geom_type,
+       (s_suppkey % 360) - 180 + 0.5 AS lon,
+       (s_suppkey % 180) - 90 + 0.25 AS lat
+FROM supplier
+"""
+
+
+EXT12_REGISTRY["q121_geojson_roundtrip"] = QueryDef(
+    q121_geojson_roundtrip, Q121_SQL,
+    "GeoJSON sink round-trip: write features, parse back losslessly",
+)

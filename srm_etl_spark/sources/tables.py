@@ -98,3 +98,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = True)
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in (names or TABLES)}
+
+
+def load_datapackage(spark: SparkSession, path: str, resource: str | None = None) -> DataFrame:
+    """S2: read a datapackage directory (the reference's inter-stage IR,
+    written by sinks/files.py:write_datapackage or the reference's
+    dump_to_path) — the ``datapackage.json`` manifest's field list drives a
+    TYPED distributed read of the resource files, so the loop
+    write_datapackage -> load_datapackage is lossless (q120 hash-gates it).
+
+    ``resource`` selects by name when the package carries several; default is
+    the first. Only the manifest is driver-side (bytes of JSON); the resource
+    read is a normal lazy file scan.
+    """
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    with open(os.path.join(path, "datapackage.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    resources = manifest["resources"]
+    res = (
+        resources[0]
+        if resource is None
+        else next(r for r in resources if r["name"] == resource)
+    )
+    ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in res["schema"]["fields"])
+    rdir = os.path.join(path, res["path"])
+    fmt = res.get("format", "csv")
+    if fmt == "csv":
+        return spark.read.schema(ddl).option("header", "true").csv(rdir)
+    if fmt == "json":
+        return spark.read.schema(ddl).json(rdir)
+    return spark.read.parquet(rdir)

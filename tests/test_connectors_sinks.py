@@ -186,3 +186,16 @@ def test_write_datapackage(spark, tmp_path):
     assert on_disk == manifest
     back = spark.read.option("header", "true").csv(str(tmp_path / "stage"))
     assert back.count() == 2
+
+
+def test_load_datapackage_roundtrip(spark, tmp_path):
+    from srm_etl_spark.sinks.files import write_datapackage
+    from srm_etl_spark.sources.tables import load_datapackage
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25)], "id long, name string, score double"
+    )
+    write_datapackage(df.coalesce(1), str(tmp_path), "things", fmt="csv")
+    back = load_datapackage(spark, str(tmp_path))
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())

@@ -704,3 +704,39 @@ EXT12_REGISTRY["q121_geojson_roundtrip"] = QueryDef(
     q121_geojson_roundtrip, Q121_SQL,
     "GeoJSON sink round-trip: write features, parse back losslessly",
 )
+
+
+# --------------------------------------------------------------------------
+# q122 — ES bulk payload lines, byte-exact (K3's wire format hash-gated)
+# --------------------------------------------------------------------------
+
+
+def q122_es_actions(spark, sf_dir):
+    """K3's bulk-API wire format (sinks/es.py:to_es_actions): per-row
+    (action_json, doc_json) built entirely JVM-side with to_json and a
+    pinned revision stamp. The oracle REBUILDS both JSON lines by string
+    construction — a hash match means the payload the publisher would send
+    is byte-exact, not merely equivalent. Integer + string columns only:
+    float JSON formatting is renderer-specific and the publisher contract
+    (es.py) keeps floats out of id/action lines anyway."""
+    from ..sinks.es import to_es_actions  # noqa: PLC0415
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return to_es_actions(c, "cards", "c_custkey", revision="r1")
+
+
+Q122_SQL = """
+SELECT '{"index":{"_index":"cards","_id":"' || CAST(c_custkey AS VARCHAR) || '"}}'
+         AS action_json,
+       '{"c_custkey":' || CAST(c_custkey AS VARCHAR)
+         || ',"c_name":"' || c_name
+         || '","c_mktsegment":"' || c_mktsegment
+         || '","revision":"r1"}' AS doc_json
+FROM customer
+"""
+
+
+EXT12_REGISTRY["q122_es_actions"] = QueryDef(
+    q122_es_actions, Q122_SQL,
+    "ES bulk payload lines byte-exact (K3 wire format)",
+)

@@ -247,7 +247,10 @@ def _cc_star(
 # CC loop runs eagerly at construction time (each round localCheckpoints), so
 # slot-persisting the *output* frame cannot dedupe the work — the reuse check
 # must run against the INPUT pair plan before the loop starts. Bounded to one
-# entry; a different pair plan evicts the predecessor.
+# entry; a different pair plan evicts the predecessor. Like every
+# session_cache slot, this assumes inputs are immutable for the session's
+# lifetime: a same-plan re-read after the underlying files changed serves
+# the materialized result (the standard warm-cache contract).
 _CLUSTER_MEMO: list = []
 
 
@@ -270,7 +273,13 @@ def duplicate_clusters(
     if _CLUSTER_MEMO:
         prev_pairs, prev_cols, prev_out = _CLUSTER_MEMO[0]
         try:
-            if (left_col, right_col) == prev_cols and pairs.sameSemantics(prev_pairs):
+            # same-session guard: a memo bound to a stopped session would
+            # pass the pure-JVM plan comparison and crash on first action
+            if (
+                prev_pairs.sparkSession is pairs.sparkSession
+                and (left_col, right_col) == prev_cols
+                and pairs.sameSemantics(prev_pairs)
+            ):
                 return prev_out
         except Exception:  # noqa: BLE001, S110 — prior session may be gone
             _CLUSTER_MEMO.clear()
@@ -303,11 +312,14 @@ def keep_best_representative(
     partitioned by component — both shuffle on keys whose cardinality tracks
     the duplicate set, not the corpus; no global ordering anywhere.
     """
+    # left join + nulls-last ordering: a cluster member missing from
+    # ``scores`` must still be emitted (kept only if no scored member
+    # exists), not silently dropped from the audit output
     joined = clusters.join(
-        scores.select(F.col(id_col).alias("node"), score_col), "node"
+        scores.select(F.col(id_col).alias("node"), score_col), "node", "left"
     )
     w = Window.partitionBy("component").orderBy(
-        F.col(score_col).desc(), F.col("node").asc()
+        F.col(score_col).desc_nulls_last(), F.col("node").asc()
     )
     return joined.withColumn("kept", F.row_number().over(w) == 1)
 

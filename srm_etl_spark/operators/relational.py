@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -190,9 +190,13 @@ def resolve_entities(
             F.coalesce("component", F.col("record_id")).alias("entity_id"),
         )
     )
-    return assigned.withColumn(
-        "entity_size",
-        F.count(F.lit(1)).over(Window.partitionBy("entity_id")),
+    # map-side-combinable size count joined back: the partial aggregate
+    # shrinks each task's contribution to one row per entity before the
+    # shuffle, where a count-window would buffer the largest entity's full
+    # row set in a single task
+    sizes = assigned.groupBy("entity_id").agg(F.count(F.lit(1)).alias("entity_size"))
+    return assigned.join(sizes, "entity_id").select(
+        "record_id", "entity_id", "entity_size"
     )
 
 

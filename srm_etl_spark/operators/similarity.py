@@ -352,7 +352,11 @@ def kmeans(
     if _KMEANS_MEMO:
         prev_df, prev_params, prev_out = _KMEANS_MEMO[0]
         try:
-            if params == prev_params and df.sameSemantics(prev_df):
+            if (
+                prev_df.sparkSession is df.sparkSession
+                and params == prev_params
+                and df.sameSemantics(prev_df)
+            ):
                 return prev_out
         except Exception:  # noqa: BLE001, S110 — prior session may be gone
             _KMEANS_MEMO.clear()
@@ -464,7 +468,11 @@ def pq_train_codebooks(
     if _PQ_MEMO:
         prev_df, prev_params, prev_books = _PQ_MEMO[0]
         try:
-            if params == prev_params and df.sameSemantics(prev_df):
+            if (
+                prev_df.sparkSession is df.sparkSession
+                and params == prev_params
+                and df.sameSemantics(prev_df)
+            ):
                 return prev_books
         except Exception:  # noqa: BLE001, S110 — prior session may be gone
             _PQ_MEMO.clear()

@@ -138,6 +138,34 @@ FROM a2 a LEFT JOIN losers l ON a.vec_id = l.rid
 # --------------------------------------------------------------------------
 
 
+def fabricate_org_records(parts):
+    """Noisy org-name records from a (pk, name) frame: per entity the
+    original, an upper-cased ' LTD' legal-suffix variant, and a
+    last-char-dropped typo — normalized (lower + suffix strip) into ``nm``
+    with ``record_id = pk*4 + variant``. Shared by q113 and the scaling
+    probe so the demo corruption model cannot desynchronize between the
+    correctness gate and the measurement."""
+    return (
+        parts.select(
+            F.explode(
+                F.array(
+                    F.struct((F.col("pk") * 4).alias("record_id"), F.col("name").alias("raw")),
+                    F.struct(
+                        (F.col("pk") * 4 + 1).alias("record_id"),
+                        F.concat(F.upper("name"), F.lit(" LTD")).alias("raw"),
+                    ),
+                    F.struct(
+                        (F.col("pk") * 4 + 2).alias("record_id"),
+                        F.expr("substring(name, 1, length(name) - 1)").alias("raw"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .withColumn("nm", F.regexp_replace(F.lower("raw"), r"\s+ltd$", ""))
+    )
+
+
 def q113_entity_resolution(spark, sf_dir):
     """Entity resolution over noisy org-name records
     (operators/relational.py:resolve_entities): each part spawns three
@@ -158,25 +186,7 @@ def q113_entity_resolution(spark, sf_dir):
         F.col("p_partkey").cast("long").alias("pk"),
         F.concat(F.lit("org-"), F.col("p_partkey").cast("string"), F.lit(" "), F.col("p_name")).alias("name"),
     )
-    recs = (
-        p.select(
-            F.explode(
-                F.array(
-                    F.struct((F.col("pk") * 4).alias("record_id"), F.col("name").alias("raw")),
-                    F.struct(
-                        (F.col("pk") * 4 + 1).alias("record_id"),
-                        F.concat(F.upper("name"), F.lit(" LTD")).alias("raw"),
-                    ),
-                    F.struct(
-                        (F.col("pk") * 4 + 2).alias("record_id"),
-                        F.expr("substring(name, 1, length(name) - 1)").alias("raw"),
-                    ),
-                )
-            ).alias("r")
-        )
-        .select("r.*")
-        .withColumn("nm", F.regexp_replace(F.lower("raw"), r"\s+ltd$", ""))
-    )
+    recs = fabricate_org_records(p)
     blk = F.split(F.col("nm"), " ").getItem(0)
     out = resolve_entities(recs, "nm", "record_id", blk, max_edits=2)
     return out.select(

@@ -405,7 +405,14 @@ def replay_in_batches(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # a partial sink snapshot would return silently wrong results —
+        # stop the straggling query and fail loudly instead
+        q.stop()
+        raise RuntimeError(
+            f"replay_in_batches[{name}]: availableNow replay did not finish "
+            f"within {timeout_sec}s"
+        )
     out_path = os.path.join(base, "result")
     spark.table(name).write.mode("overwrite").parquet(out_path)
     progress = list(q.recentProgress)

@@ -96,3 +96,15 @@ def test_keep_best_representative(spark):
     # tie -> min id wins (10)
     assert kept == {2, 10}
     assert out.count() == 5  # every clustered node emitted, flagged
+
+
+def test_keep_best_representative_unscored_members_survive(spark):
+    from srm_etl_spark.operators.graph import duplicate_clusters, keep_best_representative
+
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "left_id long, right_id long")
+    scores = spark.createDataFrame([(2, 0.9)], "doc_id long, quality double")
+    out = keep_best_representative(duplicate_clusters(pairs), scores, "doc_id", "quality")
+    rows = {r.node: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}          # unscored members still emitted
+    assert rows[2].kept and not rows[1].kept and not rows[3].kept
+    assert rows[1].quality is None

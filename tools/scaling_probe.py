@@ -136,31 +136,15 @@ def probes(spark):
             p = p.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))).select(
                 (F.col("pk") * k + F.col("_r")).alias("pk"), "p_name"
             )
+        from srm_etl_spark.plans.queries_ext12 import fabricate_org_records  # noqa: PLC0415
+
         p = p.select(
             "pk",
             F.concat(
                 F.lit("org-"), F.col("pk").cast("string"), F.lit(" "), F.col("p_name")
             ).alias("name"),
         )
-        recs = (
-            p.select(
-                F.explode(
-                    F.array(
-                        F.struct((F.col("pk") * 4).alias("record_id"), F.col("name").alias("raw")),
-                        F.struct(
-                            (F.col("pk") * 4 + 1).alias("record_id"),
-                            F.concat(F.upper("name"), F.lit(" LTD")).alias("raw"),
-                        ),
-                        F.struct(
-                            (F.col("pk") * 4 + 2).alias("record_id"),
-                            F.expr("substring(name, 1, length(name) - 1)").alias("raw"),
-                        ),
-                    )
-                ).alias("r")
-            )
-            .select("r.*")
-            .withColumn("nm", F.regexp_replace(F.lower("raw"), r"\s+ltd$", ""))
-        )
+        recs = fabricate_org_records(p)
         blk = F.split(F.col("nm"), " ").getItem(0)
         return resolve_entities(recs, "nm", "record_id", blk, max_edits=2)
 

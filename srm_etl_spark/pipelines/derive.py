@@ -540,7 +540,13 @@ def card_search(
     loc_in_city = locs.filter(F.col("city") == city).select(F.col("key").alias("location"))
     brs_f = brs.join(F.broadcast(loc_in_city), "location", "left_semi")
     svcs_f = svcs.filter(F.exists("responses", lambda x: x.contains(response_token)))
-    fb = flat_branches(brs_f, locs, orgs)
+    # the pruned flat_branches feeds BOTH flat_services and flat_table — the
+    # same double-consumer shape run_derive persists for the full DAG; the
+    # session slot keeps repeated searches from recomputing the branch ⋈
+    # location ⋈ org dedup (a different city/response evicts it)
+    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+
+    fb = keep_persisted(flat_branches(brs_f, locs, orgs), "card_search_fb")
     ft = flat_table(flat_services(svcs_f, fb), fb)
     return card_data(ft)
 

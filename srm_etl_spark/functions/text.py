@@ -340,3 +340,46 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
         )
 
     return _let(normalized_text(text), build)
+
+
+# BPE tokenization (sequential-merge variant) ---------------------------------
+
+DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("in", "g"), ("t", "o"), ("o", "u"),
+)
+
+
+def bpe_tokens(text: Column, merges=DEFAULT_BPE_MERGES) -> Column:
+    """Byte-pair tokens of each whitespace word under a fixed merge table —
+    the SEQUENTIAL-merge BPE variant: each merge rule is applied globally
+    (leftmost, non-overlapping) in table order, one pass per rule, instead
+    of the per-word lowest-rank priority loop GPT-2's encoder runs.
+
+    The sequential variant is what makes the tokenizer a pure expression
+    chain: a word becomes its space-joined characters and every rule is one
+    string replace, so the whole tokenizer runs inside whole-stage codegen
+    (and is reproducible in any engine with replace() — q123's oracle). For
+    a priority-loop tokenizer swap in an Arrow kernel (the multimodal
+    escalation path); corpora tokenized for *statistics* — vocab coverage,
+    length budgeting, mixing weights — are insensitive to the variant
+    difference, which only reorders merges inside a word.
+
+    Returns array<string> of subword tokens for the whole text.
+    """
+
+    def merge_word(w: Column) -> Column:
+        # "word" -> "w o r d", then each rule rewrites " a b " -> " ab "
+        # (sentinel spaces keep matches token-aligned; replace() is
+        # leftmost non-overlapping in both Spark and the oracle engine)
+        out = F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 "))
+        for a, b in merges:
+            out = F.replace(out, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+            # a second pass catches the alternating-occurrence chains the
+            # non-overlapping scan skips (" t h t h " -> first pass merges
+            # at positions 1 and 3 only when disjoint)
+            out = F.replace(out, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+        return F.filter(F.split(F.trim(out), " "), lambda t: t != "")
+
+    return F.flatten(F.transform(tokens(text), merge_word))

@@ -750,3 +750,56 @@ EXT12_REGISTRY["q122_es_actions"] = QueryDef(
     q122_es_actions, Q122_SQL,
     "ES bulk payload lines byte-exact (K3 wire format)",
 )
+
+
+# --------------------------------------------------------------------------
+# q123 — BPE tokenization (sequential-merge variant), vocab statistics
+# --------------------------------------------------------------------------
+
+
+def q123_bpe_vocab(spark, sf_dir):
+    """BPE tokenization as pure codegen (functions/text.py:bpe_tokens): each
+    word becomes its char sequence and the fixed merge table applies as a
+    chain of string replaces (two passes per rule to close alternating
+    chains) — the sequential-merge BPE variant, reproducible in any engine
+    with replace(). Emits the corpus top-20 subword vocabulary by frequency
+    (ties -> token asc), the statistic a data pipeline actually needs from
+    a tokenizer (vocab coverage / token budgeting / mixing weights)."""
+    from ..functions.text import bpe_tokens  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(bpe_tokens(F.lower(F.col("text")))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def _q123_sql() -> str:
+    from ..functions.text import DEFAULT_BPE_MERGES  # noqa: PLC0415
+
+    expr = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    for a, b in DEFAULT_BPE_MERGES:
+        for _ in range(2):  # same two-pass closure as the Spark chain
+            expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> t != '')) AS w
+  FROM documents
+), sub AS (
+  SELECT unnest(list_filter(string_split(trim({expr}), ' '), t -> t != '')) AS token
+  FROM words
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM sub GROUP BY token
+ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+EXT12_REGISTRY["q123_bpe_vocab"] = QueryDef(
+    q123_bpe_vocab, _q123_sql(),
+    "LLM-pipeline: BPE tokenization (sequential-merge, codegen) + top-20 vocab",
+)

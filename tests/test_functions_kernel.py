@@ -270,3 +270,20 @@ def test_logistic_score(spark):
     by_id = {r.id: r.p for r in out}
     assert abs(by_id[1] - 1 / (1 + math.exp(-(0.5 + 2.0 * 1.0 - 1.0 * 0.5)))) < 1e-12
     assert abs(by_id[2] - 1 / (1 + math.exp(-0.5))) < 1e-12
+
+
+def test_bpe_tokens_sequential_merges(spark):
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.functions.text import bpe_tokens
+
+    df = spark.createDataFrame(
+        [(1, "the then"), (2, "ththth"), (3, "xyz")], "id long, text string"
+    )
+    out = {r.id: r.toks for r in df.select("id", bpe_tokens(F.col("text")).alias("toks")).collect()}
+    # (t,h) then (th,e) chain builds "the"; the trailing n stays split
+    assert out[1] == ["the", "the", "n"]
+    # alternating chain: the two-pass closure merges every (t,h) pair
+    assert out[2] == ["th", "th", "th"]
+    # no applicable merges -> plain characters
+    assert out[3] == ["x", "y", "z"]

@@ -183,3 +183,118 @@ def test_quantization_per_component_error_bound(spark, vecs):
         # round-trip: dequantized values reproduce the input within the bound
         for x, q in zip(v, r.qvec):
             assert abs(x - q / r.scale) <= 0.5 / r.scale + 1e-9
+
+
+def _spans_ref(docs, L):
+    """Independent brute-force of duplicate_substring_spans' contract:
+    hash every L-token window, mark positions of windows seen >= 2 times
+    anywhere, coalesce marked starts into islands (gap > L breaks)."""
+    from collections import Counter
+
+    wins = {}  # doc_id -> [(1-based start, key)] — the operator's convention
+    counts = Counter()
+    for doc_id, toks in docs:
+        ws = [(s + 1, " ".join(toks[s : s + L])) for s in range(len(toks) - L + 1)]
+        wins[doc_id] = ws
+        for _, k in ws:
+            counts[k] += 1
+    out = []
+    for doc_id, ws in wins.items():
+        marked = sorted(s for s, k in ws if counts[k] >= 2)
+        island = []
+        for s in marked:
+            if island and s - island[-1] > L:
+                out.append((doc_id, island))
+                island = []
+            island.append(s)
+        if island:
+            out.append((doc_id, island))
+    return sorted(
+        (d, i[0], i[-1] + L - 1, i[-1] + L - i[0], len(i)) for d, i in out
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_substring_spans_match_bruteforce(spark, token_lists):
+    from srm_etl_spark.operators.dedup import duplicate_substring_spans
+
+    L = 4
+    docs = [(i, toks) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_windows)
+        for r in duplicate_substring_spans(df, "text", "doc_id", min_tokens=L).collect()
+    )
+    assert got == _spans_ref(docs, L)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.floats(-1, 1, allow_nan=False), st.floats(-1, 1, allow_nan=False)),
+        min_size=2,
+        max_size=10,
+    ).filter(lambda vs: all(abs(a) + abs(b) > 1e-3 for a, b in vs))
+)
+def test_semantic_dedup_greedy_rule(spark, vecs):
+    """kept == no smaller-id cluster-mate at cosine >= tau — checked against
+    the operator's own cluster assignment with an independent numpy cosine."""
+    import numpy as np
+
+    from srm_etl_spark.operators.dedup import semantic_dedup
+
+    tau = 0.9
+    df = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = semantic_dedup(df, "embedding", "vec_id", k=2, iterations=2, threshold=tau).collect()
+    cluster = {r.vec_id: r.cluster for r in rows}
+    kept = {r.vec_id: r.kept for r in rows}
+    mat = np.array([[a, b] for a, b in vecs], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    for i in range(len(vecs)):
+        has_smaller_mate = any(
+            j < i and cluster[j] == cluster[i] and sims[i, j] >= tau
+            for j in range(i)
+        )
+        assert kept[i] == (not has_smaller_mate), f"vec {i}"
+
+
+@settings(**_SETTINGS)
+@given(st.integers(2, 8))
+def test_resolve_entities_variants_always_cluster(spark, n_entities):
+    """Each entity's 3 corrupted records resolve to one entity; distinct
+    first-token blocks never merge across entities."""
+    from pyspark.sql import functions as F2
+
+    from srm_etl_spark.operators.relational import resolve_entities
+
+    rows = []
+    for i in range(n_entities):
+        base = f"org{i} unit alpha"
+        rows += [
+            (i * 4, base),
+            (i * 4 + 1, base),            # exact dup
+            (i * 4 + 2, base[:-1]),       # 1-edit typo
+        ]
+    recs = spark.createDataFrame(rows, "record_id long, nm string")
+    blk = F2.split(F2.col("nm"), " ").getItem(0)
+    out = resolve_entities(recs, "nm", "record_id", blk, max_edits=2).collect()
+    by_entity = {}
+    for r in out:
+        by_entity.setdefault(r.entity_id, set()).add(r.record_id)
+    assert len(out) == 3 * n_entities
+    assert sorted(by_entity) == [i * 4 for i in range(n_entities)]
+    for i in range(n_entities):
+        assert by_entity[i * 4] == {i * 4, i * 4 + 1, i * 4 + 2}

@@ -366,8 +366,21 @@ def bpe_tokens(text: Column, merges=DEFAULT_BPE_MERGES) -> Column:
     length budgeting, mixing weights — are insensitive to the variant
     difference, which only reorders merges inside a word.
 
+    Same-pair rules (``a == b``: ll, ee, oo …) are REJECTED: on runs of 5+
+    identical tokens a replace chain cannot reproduce leftmost-greedy
+    pairing (the skipped occurrence shares a token, not just the sentinel
+    space, with a prior match — no fixed pass count recovers it). A merge
+    table carrying them needs the Arrow-kernel tokenizer.
+
     Returns array<string> of subword tokens for the whole text.
     """
+    for a, b in merges:
+        if a == b:
+            raise ValueError(
+                f"bpe_tokens: same-pair merge rule ({a!r}, {b!r}) is not "
+                "expressible as a replace chain — use the Arrow-kernel "
+                "tokenizer for tables with double-letter merges"
+            )
 
     def merge_word(w: Column) -> Column:
         # "word" -> "w o r d", then each rule rewrites " a b " -> " ab "
@@ -377,8 +390,10 @@ def bpe_tokens(text: Column, merges=DEFAULT_BPE_MERGES) -> Column:
         for a, b in merges:
             out = F.replace(out, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
             # a second pass catches the alternating-occurrence chains the
-            # non-overlapping scan skips (" t h t h " -> first pass merges
-            # at positions 1 and 3 only when disjoint)
+            # non-overlapping scan skips (" t h t h ": pass 1 merges the
+            # 1st and 3rd occurrences, pass 2 the survivor between them —
+            # with a != b, overlaps are only ever the shared sentinel
+            # space, so two passes close every chain)
             out = F.replace(out, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
         return F.filter(F.split(F.trim(out), " "), lambda t: t != "")
 

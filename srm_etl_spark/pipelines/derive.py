@@ -514,6 +514,7 @@ def card_search(
     sf_dir: str,
     city: str = "NATION_3",
     response_token: str = "responses:economy",
+    use_cache: bool = True,
 ) -> DataFrame:
     """The flagship search ("cards for response X in city Y", SURVEY §7.1)
     with the filters pushed BELOW the derive DAG instead of over the finished
@@ -543,10 +544,16 @@ def card_search(
     # the pruned flat_branches feeds BOTH flat_services and flat_table — the
     # same double-consumer shape run_derive persists for the full DAG; the
     # session slot keeps repeated searches from recomputing the branch ⋈
-    # location ⋈ org dedup (a different city/response evicts it)
+    # location ⋈ org dedup. fb's plan depends only on (sf_dir, city), so a
+    # different city evicts the slot while a response-only change reuses it
+    # (the response predicate prunes services, downstream of fb).
+    # use_cache=False (run_derive's escape hatch) bypasses the slot for
+    # callers that rewrite the sf_dir fixtures in place mid-session.
     from ..operators.session_cache import keep_persisted  # noqa: PLC0415
 
-    fb = keep_persisted(flat_branches(brs_f, locs, orgs), "card_search_fb")
+    fb = flat_branches(brs_f, locs, orgs)
+    if use_cache:
+        fb = keep_persisted(fb, "card_search_fb")
     ft = flat_table(flat_services(svcs_f, fb), fb)
     return card_data(ft)
 

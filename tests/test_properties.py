@@ -276,8 +276,6 @@ def test_semantic_dedup_greedy_rule(spark, vecs):
 def test_resolve_entities_variants_always_cluster(spark, n_entities):
     """Each entity's 3 corrupted records resolve to one entity; distinct
     first-token blocks never merge across entities."""
-    from pyspark.sql import functions as F2
-
     from srm_etl_spark.operators.relational import resolve_entities
 
     rows = []
@@ -289,7 +287,7 @@ def test_resolve_entities_variants_always_cluster(spark, n_entities):
             (i * 4 + 2, base[:-1]),       # 1-edit typo
         ]
     recs = spark.createDataFrame(rows, "record_id long, nm string")
-    blk = F2.split(F2.col("nm"), " ").getItem(0)
+    blk = F.split(F.col("nm"), " ").getItem(0)
     out = resolve_entities(recs, "nm", "record_id", blk, max_edits=2).collect()
     by_entity = {}
     for r in out:

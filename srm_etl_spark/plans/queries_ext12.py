@@ -803,3 +803,86 @@ EXT12_REGISTRY["q123_bpe_vocab"] = QueryDef(
     q123_bpe_vocab, _q123_sql(),
     "LLM-pipeline: BPE tokenization (sequential-merge, codegen) + top-20 vocab",
 )
+
+
+# --------------------------------------------------------------------------
+# q124 — per-source corpus scorecard (curation observability)
+# --------------------------------------------------------------------------
+
+
+def q124_source_scorecard(spark, sf_dir):
+    """The per-source report card a curation run publishes: volume, exact
+    duplicate rate (q22's normalized-text rule), quality and token budget
+    (q23's features), language spread — one pass over the corpus plus the
+    dedup window. Every ratio is a single double division over
+    decimal-exact sums, so the numbers are engine-deterministic without
+    tolerance bands."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    from ..functions.text import normalized_text, with_text_features  # noqa: PLC0415
+
+    d = with_text_features(_t(spark, sf_dir, "documents"), "text")
+    w = W.partitionBy(normalized_text(F.col("text"))).orderBy("doc_id")
+    flagged = d.withColumn("_dup", F.row_number().over(w) > 1)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_dup").cast("long")).alias("_dups"),
+            F.sum(F.col("quality").cast("decimal(10,4)")).cast("double").alias("_q"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_dups") / F.col("n_docs"), 4).alias("dup_rate"),
+            F.round(F.col("_q") / F.col("n_docs"), 4).alias("avg_quality"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+        )
+    )
+
+
+def _q124_sql() -> str:
+    from .queries import _NORM  # noqa: PLC0415
+
+    return f"""
+WITH qbase AS (
+  SELECT doc_id, source, lang, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         {_NORM.format(c='text')} AS norm
+  FROM documents
+), qfeat AS (
+  SELECT doc_id, source, lang, norm,
+         len(toks) AS n_tokens,
+         CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE)
+                   / length(regexp_replace(text, '\\s', '', 'g')) END AS punct_raw,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                   / len(toks) END AS mwl_raw
+  FROM qbase
+), scored AS (
+  SELECT doc_id, source, lang, norm, n_tokens,
+         round((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                + (1.0 - least(punct_raw * 4.0, 1.0))
+                + CASE WHEN mwl_raw >= 2.0 AND mwl_raw <= 12.0 THEN 1.0 ELSE 0.0 END
+               ) / 3.0, 4) AS quality,
+         (row_number() OVER (PARTITION BY norm ORDER BY doc_id) > 1) AS dup
+  FROM qfeat
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_rate,
+       round(CAST(sum(CAST(quality AS DECIMAL(10,4))) AS DOUBLE) / count(*), 4) AS avg_quality,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM scored GROUP BY source
+"""
+
+
+EXT12_REGISTRY["q124_source_scorecard"] = QueryDef(
+    q124_source_scorecard, _q124_sql(),
+    "LLM-pipeline: per-source corpus scorecard (volume, dup rate, quality, tokens)",
+)

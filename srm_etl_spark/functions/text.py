@@ -398,3 +398,57 @@ def bpe_tokens(text: Column, merges=DEFAULT_BPE_MERGES) -> Column:
         return F.filter(F.split(F.trim(out), " "), lambda t: t != "")
 
     return F.flatten(F.transform(tokens(text), merge_word))
+
+
+def bigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-trained bigram language-model score per document — the
+    CCNet/KenLM-shaped perplexity filter with the n-gram model trained on
+    the corpus itself: P(b|a) = (c(a,b) + 1) / (c_left(a) + V) (add-one
+    smoothing; c_left counts `a` as a bigram left-hand side, V = distinct
+    token vocabulary), score = mean ln P over the document's bigrams.
+    Documents with fewer than two tokens are excluded.
+
+    Determinism across engines: each ln is cast to DECIMAL(20,12) before
+    the per-document sum, so the mean is an exact decimal total divided
+    once — float summation order never reaches the rounded output, and a
+    1-ulp ln() difference between libm implementations dies at the 1e-12
+    grid.
+
+    Scale shape: two count aggregates (bigram and left-unigram, both
+    map-side combinable, cardinality <= vocab²) joined back to the bigram
+    stream on their keys, plus one broadcast scalar (V). No driver state;
+    the model IS the count tables.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") >= 2)
+    pairs = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - 1),
+                lambda i: F.struct(
+                    F.element_at("_t", i).alias("a"),
+                    F.element_at("_t", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.a", "p.b")
+    c2 = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    lp = F.log(
+        (F.col("n2") + 1).cast("double") / (F.col("n1") + F.col("v"))
+    ).cast("decimal(20,12)")
+    scored = (
+        pairs.join(c2, ["a", "b"])
+        .join(c1, ["a"])
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, lp.alias("_lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("_lp").cast("double") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+    )

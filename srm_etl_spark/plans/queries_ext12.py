@@ -886,3 +886,61 @@ EXT12_REGISTRY["q124_source_scorecard"] = QueryDef(
     q124_source_scorecard, _q124_sql(),
     "LLM-pipeline: per-source corpus scorecard (volume, dup rate, quality, tokens)",
 )
+
+
+# --------------------------------------------------------------------------
+# q125 — bigram LM perplexity scoring (CCNet-shaped quality filter)
+# --------------------------------------------------------------------------
+
+
+def q125_lm_perplexity(spark, sf_dir):
+    """Corpus-trained bigram LM score per document
+    (functions/text.py:bigram_logprob_scores): add-one-smoothed
+    P(b|a) from the corpus's own bigram/left-unigram counts, score = mean
+    ln P over the document's bigrams — the CCNet/KenLM-shaped perplexity
+    filter with the model held as count tables, not driver state. Each ln
+    is decimal-pinned before the per-document sum so float summation order
+    never reaches the rounded output."""
+    from ..functions.text import bigram_logprob_scores  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    out = bigram_logprob_scores(d, "text", "doc_id")
+    return out.select(
+        "doc_id", F.col("n_bigrams").cast("long").alias("n_bigrams"), "avg_logprob"
+    )
+
+
+Q125_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[i] AS a, t[i + 1] AS b
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+c2 AS (SELECT a, b, count(*) AS n2 FROM pairs GROUP BY a, b),
+c1 AS (SELECT a, count(*) AS n1 FROM pairs GROUP BY a),
+v AS (SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(t) AS w FROM toks)),
+scored AS (
+  SELECT p.doc_id,
+         CAST(ln(CAST(c2.n2 + 1 AS DOUBLE) / (c1.n1 + v.v)) AS DECIMAL(20,12)) AS lp
+  FROM pairs p
+  JOIN c2 ON p.a = c2.a AND p.b = c2.b
+  JOIN c1 ON p.a = c1.a
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+EXT12_REGISTRY["q125_lm_perplexity"] = QueryDef(
+    q125_lm_perplexity, Q125_SQL,
+    "LLM-pipeline: corpus-trained bigram LM perplexity score (CCNet-shaped)",
+)

@@ -237,14 +237,18 @@ def test_substring_spans_match_bruteforce(spark, token_lists):
     assert got == _spans_ref(docs, L)
 
 
-@settings(**_SETTINGS)
-@given(
-    st.lists(
-        st.tuples(st.floats(-1, 1, allow_nan=False), st.floats(-1, 1, allow_nan=False)),
-        min_size=2,
-        max_size=10,
-    ).filter(lambda vs: all(abs(a) + abs(b) > 1e-3 for a, b in vs))
+# first component bounded away from 0 by construction (a list-level
+# .filter() here intermittently trips hypothesis's filter_too_much health
+# check in long suite runs), so every vector has a nonzero norm
+_nonzero_vec = st.tuples(
+    st.floats(0.001, 1, allow_nan=False), st.floats(-1, 1, allow_nan=False)
+) | st.tuples(
+    st.floats(-1, -0.001, allow_nan=False), st.floats(-1, 1, allow_nan=False)
 )
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_nonzero_vec, min_size=2, max_size=10))
 def test_semantic_dedup_greedy_rule(spark, vecs):
     """kept == no smaller-id cluster-mate at cosine >= tau — checked against
     the operator's own cluster assignment with an independent numpy cosine."""

@@ -63,6 +63,9 @@ SINGLE_PARTITION_OK = {
                                 # all-keys window funnel was removed
     "q96_mixed_sample",         # single-row pow-sum normalizer for quotas
     "q100_curation_v2",         # four single-row audited stage counters
+    "q125_lm_perplexity",       # single-row vocabulary-size aggregate (V):
+                                # partial distinct counts combine map-side,
+                                # the single partition merges one row
     "q105_sitemap",             # global URL ordering: sitemap protocol caps
                                 # the corpus at 50k files x 50k URLs
                                 # (files.py:sitemap_documents documents the

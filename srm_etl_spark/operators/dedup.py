@@ -397,6 +397,7 @@ def jaccard_near_dup_pairs(
     threshold: float = 0.5,
     strategy: str = "auto",
     bitmap_max_vocab: int = 4096,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """Token-set Jaccard similarity pairs within blocks. Exact — both physical
     strategies produce the identical pair set; ``strategy`` only picks the
@@ -422,8 +423,21 @@ def jaccard_near_dup_pairs(
 
     With ``threshold > 0`` the zero-overlap pairs a naive pairwise
     formulation would score 0.0 are (identically) absent from both paths.
+
+    The quadratic contract is MECHANICAL, not documentation: with no
+    ``block_cols`` the bitmap path degenerates to within-corpus all-pairs
+    (``l.id < r.id`` only), so unblocked calls raise unless the caller
+    explicitly opts in with ``allow_unblocked=True`` (reserved for corpora
+    known to be driver-small, e.g. a per-cluster kernel that already bounded
+    the group).
     """
     blocks = list(block_cols or [])
+    if not blocks and not allow_unblocked:
+        raise ValueError(
+            "jaccard_near_dup_pairs with no block_cols is an unbounded "
+            "all-pairs comparison; pass block_cols (preferred) or "
+            "allow_unblocked=True for corpora known to be small"
+        )
     toks = df.select(
         id_col,
         *blocks,

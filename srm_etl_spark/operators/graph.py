@@ -254,10 +254,23 @@ def _cc_star(
 _CLUSTER_MEMO: list = []
 
 
+def clear_cluster_memo() -> None:
+    """Drop the memo entry and release any persisted state it pins. Call when
+    the underlying sf_dir files are rewritten in place mid-session (the
+    ``card_search(use_cache=False)`` scenario)."""
+    for _, _, out in _CLUSTER_MEMO:
+        try:
+            out.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001, S110 — session may be gone
+            pass
+    _CLUSTER_MEMO.clear()
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     left_col: str = "left_id",
     right_col: str = "right_id",
+    use_cache: bool = True,
 ) -> DataFrame:
     """(node, component, cluster_size) for every clustered node.
 
@@ -268,8 +281,13 @@ def duplicate_clusters(
     Repeated resolution of a semantically identical pair plan in one session
     (the dedup report and the keep-best policy both cluster the same pair
     set) returns the already-materialized labeling instead of re-running the
-    propagation loop.
+    propagation loop. ``use_cache=False`` (mirroring
+    ``card_search(use_cache=False)``) bypasses AND clears the memo — the
+    escape hatch for callers that rewrite the sf_dir files in place
+    mid-session, where a same-plan lookup would serve stale clusters.
     """
+    if not use_cache:
+        clear_cluster_memo()
     if _CLUSTER_MEMO:
         prev_pairs, prev_cols, prev_out = _CLUSTER_MEMO[0]
         try:
@@ -286,7 +304,9 @@ def duplicate_clusters(
     cc = connected_components(pairs, left_col, right_col)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     out = cc.join(sizes, "component").select("node", "component", "cluster_size")
-    _CLUSTER_MEMO[:] = [(pairs, (left_col, right_col), out)]
+    if use_cache:
+        clear_cluster_memo()  # evict (and unpersist) the predecessor
+        _CLUSTER_MEMO[:] = [(pairs, (left_col, right_col), out)]
     return out
 
 

@@ -288,6 +288,17 @@ def ivf_topk(
 _KMEANS_MEMO: list = []
 
 
+def clear_kmeans_memo() -> None:
+    """Drop the kmeans memo and release any persisted state it pins
+    (the in-place sf_dir rewrite escape hatch — see clear_cluster_memo)."""
+    for _, _, out in _KMEANS_MEMO:
+        try:
+            out.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001, S110 — session may be gone
+            pass
+    _KMEANS_MEMO.clear()
+
+
 def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
     lit = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
@@ -297,25 +308,62 @@ def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
     )
 
 
+ASSIGN_LITERAL_MAX_K = 128
+
+
 def assign_clusters(
     df: DataFrame, centroids_by_id: dict[int, list[float]], vec_col: str = "_v"
 ) -> DataFrame:
-    """Nearest-centroid assignment against a broadcast literal centroid set.
+    """Nearest-centroid assignment against a broadcast centroid set.
 
-    The centroid table is tiny by construction (k x dim), so it is inlined
-    into the plan as literal arrays: assignment is pure whole-stage-codegen
-    array math over the streaming corpus — zero shuffle, zero Python.
-    Ties break to the lowest centroid id (struct ordering of (dist, cid))."""
-    cands = F.array(
-        *[
-            F.struct(
-                _sq_dist_to_literal(F.col(vec_col), c).alias("d"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, c in sorted(centroids_by_id.items())
-        ]
+    Two physically different plans, value-identical by construction (same
+    sequential-fold distance, same (dist, cid) struct-min tie-break to the
+    lowest centroid id):
+
+    - k <= ASSIGN_LITERAL_MAX_K: the centroid matrix inlines into the plan
+      as literal arrays — pure whole-stage-codegen array math, zero shuffle,
+      zero Python.
+    - larger k: inlining k literal expressions makes Catalyst re-analyze and
+      codegen-compile an O(k·dim)-node expression tree on EVERY Lloyd
+      iteration — the measured 11.6x scaling knee of semantic_dedup at 16x
+      corpus (SCALING.md r4). Instead the matrix ships as ONE broadcast row
+      (array<array<double>>) and the argmin is a constant-size
+      ``transform``+``array_min`` over it — compile cost independent of k,
+      still no shuffle (broadcast nested-loop against a single row).
+    """
+    items = sorted((int(cid), [float(x) for x in c]) for cid, c in centroids_by_id.items())
+    if len(items) <= ASSIGN_LITERAL_MAX_K:
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_dist_to_literal(F.col(vec_col), c).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in items
+            ]
+        )
+        return df.withColumn("cluster", F.array_min(cands)["cid"])
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [([cid for cid, _ in items], [c for _, c in items])],
+        "_cids: array<int>, _cm: array<array<double>>",
     )
-    return df.withColumn("cluster", F.array_min(cands)["cid"])
+    cands = F.transform(
+        F.col("_cm"),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.col("_cids")[i].alias("cid"),
+        ),
+    )
+    return (
+        df.join(F.broadcast(cent))
+        .withColumn("cluster", F.array_min(cands)["cid"])
+        .drop("_cids", "_cm")
+    )
 
 
 def kmeans(
@@ -325,6 +373,7 @@ def kmeans(
     k: int = 8,
     iterations: int = 2,
     round_to: int = 6,
+    use_cache: bool = True,
 ) -> DataFrame:
     """Lloyd's k-means with deterministic init: cluster assignment for every
     row after ``iterations`` rounds. Output: (id_col, cluster, vec_col) — the
@@ -349,6 +398,8 @@ def kmeans(
     if k <= 0 or iterations <= 0:
         raise ValueError("k and iterations must be positive")
     params = (vec_col, id_col, k, iterations, round_to)
+    if not use_cache:
+        clear_kmeans_memo()
     if _KMEANS_MEMO:
         prev_df, prev_params, prev_out = _KMEANS_MEMO[0]
         try:
@@ -378,7 +429,9 @@ def kmeans(
             cents = {int(r["cluster"]): list(r["centroid"]) for r in new_rows}
     out = assigned.select(F.col("_kid").alias(id_col), "cluster", F.col("_v").alias(vec_col))
     data.unpersist(blocking=False)
-    _KMEANS_MEMO[:] = [(df, params, out)]
+    if use_cache:
+        clear_kmeans_memo()  # evict (and unpersist) the predecessor
+        _KMEANS_MEMO[:] = [(df, params, out)]
     return out
 
 
@@ -435,6 +488,12 @@ def quantize_embeddings(
 _PQ_MEMO: list = []
 
 
+def clear_pq_memo() -> None:
+    """Drop the PQ training memo (codebooks are driver-held dicts — no
+    cluster state to release; clearing unpins the input frame reference)."""
+    _PQ_MEMO.clear()
+
+
 def pq_train_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -443,6 +502,7 @@ def pq_train_codebooks(
     k: int = 16,
     iterations: int = 2,
     dim: int = 64,
+    use_cache: bool = True,
 ) -> dict[int, dict[int, list[float]]]:
     """Train one k-codeword codebook per subspace: the vector is split into
     ``m`` contiguous subvectors and each subspace gets its own k-means run
@@ -465,6 +525,8 @@ def pq_train_codebooks(
     if k <= 0 or iterations <= 0:
         raise ValueError("k and iterations must be positive")
     params = (vec_col, id_col, m, k, iterations, dim)
+    if not use_cache:
+        clear_pq_memo()
     if _PQ_MEMO:
         prev_df, prev_params, prev_books = _PQ_MEMO[0]
         try:
@@ -532,7 +594,8 @@ def pq_train_codebooks(
         for r in rows:
             books[int(r["j"])][int(r["cluster"])] = list(r["centroid"])
     data.unpersist(blocking=False)
-    _PQ_MEMO[:] = [(df, params, books)]
+    if use_cache:
+        _PQ_MEMO[:] = [(df, params, books)]
     return books
 
 

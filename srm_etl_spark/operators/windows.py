@@ -16,13 +16,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def enumerate_rows(df: DataFrame, order_by: list, out_col: str = "score") -> DataFrame:
+def enumerate_rows(
+    df: DataFrame, order_by: list, out_col: str = "score", small: bool = False
+) -> DataFrame:
     """Global 0-based row index in a deterministic order (W1).
 
-    A global window is a single-partition sort — fine for the small preset
-    tables it's used on; for big data use zipWithIndex-style per-partition
-    offsets instead.
+    Default path is :func:`enumerate_rows_scalable` (ranged partitions +
+    per-partition offsets — no single-partition sort), so a caller cannot
+    accidentally grab the scale footgun. Pass ``small=True`` for frames known
+    to be tiny (the reference's preset tables) to use a plain global window
+    and skip the extra per-partition counting job.
     """
+    if not small:
+        return enumerate_rows_scalable(df, order_by, out_col)
     w = Window.orderBy(*order_by)
     return df.withColumn(out_col, F.row_number().over(w) - 1)
 

@@ -702,14 +702,14 @@ def q104_spreadsheet_ingest(spark, sf_dir):
     relationally under the deduplicated names."""
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
+    from ..session import scratch_dir  # noqa: PLC0415
 
     from ..sources.connectors import spreadsheet_to_df  # noqa: PLC0415
 
     rows = _pylist(
         sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"], "c_custkey", 300
     )
-    tmp = tempfile.mkdtemp(prefix="srm_q104_")
+    tmp = scratch_dir("srm_q104")
     try:
         path = os.path.join(tmp, "sheet.csv")
         with open(path, "w") as f:

@@ -247,11 +247,11 @@ def q114_format_roundtrip(spark, sf_dir):
     truth the oracle computes — any parse/print fidelity loss in either
     writer+reader pair breaks the hash. Scratch writes go to a mkdtemp dir
     (the q64 pattern); the lazy reads keep the data distributed."""
-    import tempfile  # noqa: PLC0415
+    from ..session import scratch_dir  # noqa: PLC0415
 
     cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
     o = _t(spark, sf_dir, "orders").select(*cols).filter(F.col("o_orderkey") % 20 == 0)
-    base = tempfile.mkdtemp(prefix="srm_q114_")
+    base = scratch_dir("srm_q114")
     o.write.mode("overwrite").option("header", True).csv(base + "/csv")
     o.write.mode("overwrite").json(base + "/json")
     schema = (
@@ -473,6 +473,18 @@ def q117_late_data_drops(spark, sf_dir):
     mm = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     lo, hi = mm["lo"], mm["hi"]
     span_s = int((hi - lo).total_seconds())
+    # Data contract: stragglers live in the first 30% of the span and their
+    # 1-hour windows are only guaranteed EVICTED before batch2 (and finalized,
+    # matching the oracle's "window end <= hi - 30min" rule) when
+    # 0.3*span + 1h <= span - 30min, i.e. span >= (1h + 30min) / 0.7 ≈ 2.15h.
+    # On a smaller fixture span stragglers would merge into live windows and
+    # break the hash gate in a hard-to-diagnose way — fail loudly instead.
+    min_span_s = int((3600 + 1800) / 0.7) + 1
+    if span_s < min_span_s:
+        raise ValueError(
+            f"q117 requires events to span >= {min_span_s}s (~2.15h) so that "
+            f"straggler windows are evicted before the late batch; got {span_s}s"
+        )
     cut_low = lo + datetime.timedelta(seconds=(span_s * 3) // 10)
     cut1 = lo + datetime.timedelta(seconds=(span_s * 7) // 10)
     strag = (F.col("event_id") % 5 == 0) & (F.col("ts") < F.lit(cut_low))
@@ -546,14 +558,14 @@ def q118_schema_evolution(spark, sf_dir):
     column, no rewrite of history. This is the everyday 100 TB lake concern
     (a producer adds a field mid-stream); the hash gate proves the merged
     read loses nothing and invents nothing."""
-    import tempfile  # noqa: PLC0415
+    from ..session import scratch_dir  # noqa: PLC0415
 
     c = _t(spark, sf_dir, "customer")
     old = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
     new = c.filter(F.col("c_custkey") % 2 == 1).select(
         "c_custkey", "c_name", F.upper("c_mktsegment").alias("segment")
     )
-    base = tempfile.mkdtemp(prefix="srm_q118_") + "/table"
+    base = scratch_dir("srm_q118") + "/table"
     old.write.mode("overwrite").parquet(base)
     new.write.mode("append").parquet(base)
     merged = spark.read.option("mergeSchema", "true").parquet(base)
@@ -580,6 +592,33 @@ EXT12_REGISTRY["q118_schema_evolution"] = QueryDef(
 _Q119_ID = __import__("itertools").count()
 
 
+def q119_bucketed_agg_plan(spark, sf_dir):
+    """Build the bucketed layout + co-located join plan WITHOUT materializing
+    — returns (agg_df, orders_table, customer_table). The plan test pins the
+    zero-exchange join shape on agg_df directly; callers must drop the two
+    catalog tables once done."""
+    from ..session import scratch_dir  # noqa: PLC0415
+    from ..sinks.warehouse import write_bucketed  # noqa: PLC0415
+
+    i = next(_Q119_ID)
+    base = scratch_dir("srm_q119")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    to, tc = f"q119_orders_{i}", f"q119_cust_{i}"
+    write_bucketed(o, to, ["o_custkey"], num_buckets=8, sort_cols=["o_custkey"], path=base + "/o")
+    write_bucketed(c, tc, ["c_custkey"], num_buckets=8, sort_cols=["c_custkey"], path=base + "/c")
+    j = spark.table(to).hint("merge").join(
+        spark.table(tc), F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_price"),
+    )
+    return agg, to, tc, base
+
+
 def q119_bucketed_join(spark, sf_dir):
     """The warehouse layout paying off (sinks/warehouse.py:write_bucketed):
     orders and customer are written bucketed + bucket-sorted on the join key
@@ -590,26 +629,14 @@ def q119_bucketed_join(spark, sf_dir):
     At 100 TB this is the difference between re-shuffling the fact table on
     every join and never shuffling it at all. The oracle joins the raw
     tables — the layout must not change a single value."""
-    import tempfile  # noqa: PLC0415
-
-    from ..sinks.warehouse import write_bucketed  # noqa: PLC0415
-
-    i = next(_Q119_ID)
-    base = tempfile.mkdtemp(prefix="srm_q119_")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    to, tc = f"q119_orders_{i}", f"q119_cust_{i}"
-    write_bucketed(o, to, ["o_custkey"], num_buckets=8, sort_cols=["o_custkey"], path=base + "/o")
-    write_bucketed(c, tc, ["c_custkey"], num_buckets=8, sort_cols=["c_custkey"], path=base + "/c")
-    j = spark.table(to).hint("merge").join(
-        spark.table(tc), F.col("o_custkey") == F.col("c_custkey")
-    )
-    return j.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
-        ).alias("sum_price"),
-    )
+    agg, to, tc, base = q119_bucketed_agg_plan(spark, sf_dir)
+    # materialize the tiny aggregate, then drop the per-run catalog tables so
+    # repeated bench/correctness runs don't accumulate metastore entries
+    out_path = base + "/agg"
+    agg.write.mode("overwrite").parquet(out_path)
+    spark.sql(f"DROP TABLE IF EXISTS {to}")
+    spark.sql(f"DROP TABLE IF EXISTS {tc}")
+    return spark.read.parquet(out_path)
 
 
 Q119_SQL = """
@@ -639,7 +666,7 @@ def q120_datapackage_roundtrip(spark, sf_dir):
     manifest-typed reader (sources/tables.py:load_datapackage). The oracle
     reads the original table — every value must survive the CSV+manifest
     round trip bit-for-bit."""
-    import tempfile  # noqa: PLC0415
+    from ..session import scratch_dir  # noqa: PLC0415
 
     from ..sinks.files import write_datapackage  # noqa: PLC0415
     from ..sources.tables import load_datapackage  # noqa: PLC0415
@@ -647,7 +674,7 @@ def q120_datapackage_roundtrip(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
-    base = tempfile.mkdtemp(prefix="srm_q120_")
+    base = scratch_dir("srm_q120")
     write_datapackage(c, base, "customers", fmt="csv")
     return load_datapackage(spark, base)
 
@@ -675,7 +702,7 @@ def q121_geojson_roundtrip(spark, sf_dir):
     parsed with from_json. The oracle recomputes the coordinates/properties
     relationally — a hash match proves the JSON print/parse cycle is
     lossless, which is what makes the sink a safe inter-system boundary."""
-    import tempfile  # noqa: PLC0415
+    from ..session import scratch_dir  # noqa: PLC0415
 
     from ..sinks.files import write_geojson  # noqa: PLC0415
 
@@ -685,7 +712,7 @@ def q121_geojson_roundtrip(spark, sf_dir):
         ((F.col("s_suppkey") % 360) - 180 + F.lit(0.5)).alias("lon"),
         ((F.col("s_suppkey") % 180) - 90 + F.lit(0.25)).alias("lat"),
     )
-    path = tempfile.mkdtemp(prefix="srm_q121_") + "/features"
+    path = scratch_dir("srm_q121") + "/features"
     write_geojson(s, path, props=["s_suppkey", "s_name"])
     schema = (
         "type string, geometry struct<type: string, coordinates: array<double>>, "

@@ -155,9 +155,9 @@ def q64_stream_join(spark, sf_dir):
     # rows: write the (already small, per-user) aggregate to a scratch
     # parquet and hand back the lazy read — driver memory stays O(1) however
     # many distinct users the stream carries
-    import tempfile  # noqa: PLC0415
+    from ..session import scratch_dir  # noqa: PLC0415
 
-    out_path = tempfile.mkdtemp(prefix="srm_q64_agg_") + "/agg"
+    out_path = scratch_dir("srm_q64_agg") + "/agg"
     agg.write.mode("overwrite").parquet(out_path)
     spark.catalog.dropTempView(name)
     return spark.read.parquet(out_path)

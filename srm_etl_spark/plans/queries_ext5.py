@@ -317,10 +317,14 @@ def q73_stream_enrich(spark, sf_dir):
         ),
     )
     run_to_memory(agg, "q73_sink", mode="complete")
-    out_df = spark.table("q73_sink")
-    out = spark.createDataFrame(out_df.collect(), out_df.schema)
+    # materialize the memory sink via a parquet round-trip (the q64 pattern)
+    # so no result frame is ever collect()ed to the driver
+    from ..session import scratch_dir  # noqa: PLC0415
+
+    out_path = scratch_dir("srm_q73_agg") + "/agg"
+    spark.table("q73_sink").write.mode("overwrite").parquet(out_path)
     spark.catalog.dropTempView("q73_sink")
-    return out
+    return spark.read.parquet(out_path)
 
 
 Q73_SQL = """

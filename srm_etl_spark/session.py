@@ -9,9 +9,34 @@ than the 200 default.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+# ---------------------------------------------------------------------------
+# Session-scoped scratch space
+# ---------------------------------------------------------------------------
+
+_SCRATCH_ROOT: list[str] = []
+
+
+def scratch_dir(prefix: str = "srm") -> str:
+    """A fresh scratch directory under one per-process root that is removed
+    at interpreter exit.
+
+    Query plans that round-trip through disk (datapackage/format/bucketed
+    demos, streaming replays) need scratch paths that outlive the call —
+    the returned frames read from them lazily — but must not accumulate
+    across repeated bench/correctness runs. One root, cleaned once, bounds
+    the leak to a single process lifetime."""
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="srm_scratch_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=prefix + "_", dir=_SCRATCH_ROOT[0])
 
 
 def get_spark(

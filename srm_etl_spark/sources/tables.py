@@ -120,8 +120,14 @@ def load_datapackage(spark: SparkSession, path: str, resource: str | None = None
     res = (
         resources[0]
         if resource is None
-        else next(r for r in resources if r["name"] == resource)
+        else next((r for r in resources if r["name"] == resource), None)
     )
+    if res is None:
+        names = [r.get("name") for r in resources]
+        raise ValueError(
+            f"datapackage at {path!r} has no resource named {resource!r}; "
+            f"available: {names}"
+        )
     ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in res["schema"]["fields"])
     rdir = os.path.join(path, res["path"])
     fmt = res.get("format", "csv")

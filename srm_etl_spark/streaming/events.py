@@ -380,10 +380,10 @@ def replay_in_batches(
     import glob as _glob  # noqa: PLC0415
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
+    from ..session import scratch_dir  # noqa: PLC0415
     import time as _time  # noqa: PLC0415
 
-    base = tempfile.mkdtemp(prefix=f"srm_replay_{name}_")
+    base = scratch_dir(f"srm_replay_{name}")
     data = os.path.join(base, "stream")
     os.makedirs(data)
     now = _time.time()

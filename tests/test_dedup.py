@@ -329,3 +329,19 @@ def test_semantic_dedup_prunes_within_clusters(spark):
     # a dropped row shares its cluster with the smaller-id mate that beat it
     assert rows[3].cluster == rows[1].cluster
     assert rows[4].cluster == rows[2].cluster
+
+
+def test_jaccard_unblocked_requires_opt_in(spark):
+    import pytest
+
+    from srm_etl_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="block_cols"):
+        DD.jaccard_near_dup_pairs(df, "text", "doc_id")
+    out = DD.jaccard_near_dup_pairs(
+        df, "text", "doc_id", allow_unblocked=True, threshold=0.3
+    )
+    assert out.count() == 1

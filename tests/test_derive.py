@@ -140,3 +140,22 @@ def test_changed_orgs_between_detects_modifications(spark):
     )
     got = {r.organization for r in changed_orgs_between(old, new).collect()}
     assert got == {"o1", "o2", "o4"}
+
+
+def test_card_search_slot_never_leaks_across_sf_dirs(spark):
+    """The session slot is plan-keyed (sameSemantics), so switching sf_dir
+    must evict rather than serve the other dir's branches — pinned because
+    the memo family is load-bearing for bench and correctness runs."""
+    from srm_etl_spark.pipelines.derive import card_search
+
+    small = card_search(spark, "/root/testdata/sf0.001")
+    big = card_search(spark, "/root/testdata/sf0.01")
+    big_fresh = card_search(spark, "/root/testdata/sf0.01", use_cache=False)
+    assert sorted(r["card_key"] for r in big.collect()) == sorted(
+        r["card_key"] for r in big_fresh.collect()
+    )
+    # and going back re-evicts instead of serving the big-dir slot
+    small_again = card_search(spark, "/root/testdata/sf0.001")
+    assert sorted(r["card_key"] for r in small.collect()) == sorted(
+        r["card_key"] for r in small_again.collect()
+    )

@@ -108,3 +108,20 @@ def test_keep_best_representative_unscored_members_survive(spark):
     assert set(rows) == {1, 2, 3}          # unscored members still emitted
     assert rows[2].kept and not rows[1].kept and not rows[3].kept
     assert rows[1].quality is None
+
+
+def test_duplicate_clusters_use_cache_false_bypasses_and_clears_memo(spark):
+    from srm_etl_spark.operators import graph as G
+
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "left_id long, right_id long")
+    a = G.duplicate_clusters(pairs)
+    assert G._CLUSTER_MEMO, "warm path should memoize"
+    memo_out = G._CLUSTER_MEMO[0][2]
+    assert G.duplicate_clusters(pairs) is memo_out  # same-plan reuse
+    # the escape hatch: bypass AND clear (the in-place-rewrite scenario)
+    b = G.duplicate_clusters(pairs, use_cache=False)
+    assert b is not memo_out
+    assert not G._CLUSTER_MEMO
+    assert sorted((r.node, r.component) for r in a.collect()) == sorted(
+        (r.node, r.component) for r in b.collect()
+    )

@@ -167,7 +167,16 @@ def test_card_search_on_partitioned_write_prunes_partitions(spark, tmp_path):
 
 
 def test_bucketed_join_has_no_join_exchange(spark):
-    plan = _simple(spark, "q119_bucketed_join")
+    # the registry entry materializes + drops its catalog tables; pin the
+    # join plan on the pre-materialization frame the helper exposes
+    from srm_etl_spark.plans.queries_ext12 import q119_bucketed_agg_plan
+
+    agg, to, tc, _ = q119_bucketed_agg_plan(spark, SF)
+    qe = agg._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    plan = qe.explainString(mode)
+    spark.sql(f"DROP TABLE IF EXISTS {to}")
+    spark.sql(f"DROP TABLE IF EXISTS {tc}")
     join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else ""
     assert "SortMergeJoin" in plan, "bucketed layout must keep the sort-merge join"
     assert "Bucketed: true" in plan

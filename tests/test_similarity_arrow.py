@@ -80,3 +80,41 @@ def test_exact_rerank_orders_by_true_cosine(spark):
     out = exact_rerank(shortlist, corpus, queries, k=2).collect()
     got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
     assert got == [(10, 1), (11, 2)]
+
+
+def test_assign_clusters_matrix_path_matches_literal(spark, monkeypatch):
+    """The broadcast-matrix assignment (the k>128 codegen-knee fix) must be
+    value-identical to the literal-inline path: same fold order, same
+    (dist, cid) tie-break."""
+    from srm_etl_spark.operators import similarity as S
+
+    import random
+
+    rnd = random.Random(7)
+    cents = {i: [rnd.uniform(-1, 1) for _ in range(6)] for i in range(9)}
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(6)]) for i in range(300)]
+    # duplicate one centroid to force an exact distance tie -> min-cid break
+    cents[8] = list(cents[0])
+    df = spark.createDataFrame(rows, "vec_id long, _v array<double>")
+    lit = S.assign_clusters(df, cents).select("vec_id", "cluster").collect()
+    monkeypatch.setattr(S, "ASSIGN_LITERAL_MAX_K", 0)
+    mat = S.assign_clusters(df, cents).select("vec_id", "cluster").collect()
+    assert sorted((r.vec_id, r.cluster) for r in lit) == sorted(
+        (r.vec_id, r.cluster) for r in mat
+    )
+
+
+def test_kmeans_use_cache_false_bypasses_memo(spark):
+    from srm_etl_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    a = S.kmeans(df, k=3, iterations=2)
+    assert S._KMEANS_MEMO
+    b = S.kmeans(df, k=3, iterations=2, use_cache=False)
+    assert not S._KMEANS_MEMO
+    assert sorted((r.vec_id, r.cluster) for r in a.collect()) == sorted(
+        (r.vec_id, r.cluster) for r in b.collect()
+    )

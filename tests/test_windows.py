@@ -57,7 +57,7 @@ def test_enumerate_rows_scalable_parity(spark):
     from srm_etl_spark.operators.windows import enumerate_rows, enumerate_rows_scalable
 
     df = spark.range(0, 500, 1, 8).withColumn("v", (F.col("id") * 37) % 101)
-    a = enumerate_rows(df, ["v", "id"], "idx").select("id", "idx").collect()
+    a = enumerate_rows(df, ["v", "id"], "idx", small=True).select("id", "idx").collect()
     b = enumerate_rows_scalable(df, ["v", "id"], "idx", num_partitions=5).select(
         "id", "idx"
     ).collect()

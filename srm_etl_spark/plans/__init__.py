@@ -20,6 +20,7 @@ from .queries_ext10 import EXT10_REGISTRY
 from .queries_ext11 import EXT11_REGISTRY
 from .queries_ext12 import EXT12_REGISTRY
 from .queries_ext13 import EXT13_REGISTRY
+from .queries_ext14 import EXT14_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -34,3 +35,4 @@ REGISTRY.update(EXT10_REGISTRY)
 REGISTRY.update(EXT11_REGISTRY)
 REGISTRY.update(EXT12_REGISTRY)
 REGISTRY.update(EXT13_REGISTRY)
+REGISTRY.update(EXT14_REGISTRY)

@@ -312,7 +312,7 @@ _OLC_D = (
 )
 
 
-def _olc_sql(lat_expr: str, lon_expr: str) -> str:
+def _olc_sql(lat_expr: str, lon_expr: str, code_length: int = 11) -> str:
     latc = f"(least(greatest({lat_expr}, -90.0), 90.0) + 90.0)"
     lonc = f"(((({lon_expr}) + 180.0) % 360.0 + 360.0) % 360.0)"
     lat_i = f"least(floor({latc} * 8000), 1439999)"
@@ -326,6 +326,8 @@ def _olc_sql(lat_expr: str, lon_expr: str) -> str:
     )
     lat_frac = f"({latc} * 8000 - floor({latc} * 8000))"
     lon_frac = f"({lonc} * 8000 - floor({lonc} * 8000))"
+    if code_length <= 10:
+        return code10
     idx = (
         f"(CAST(least(floor({lat_frac} * 5), 4) AS INT) * 4"
         f" + CAST(least(floor({lon_frac} * 4), 3) AS INT))"

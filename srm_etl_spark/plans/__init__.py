@@ -21,6 +21,7 @@ from .queries_ext11 import EXT11_REGISTRY
 from .queries_ext12 import EXT12_REGISTRY
 from .queries_ext13 import EXT13_REGISTRY
 from .queries_ext14 import EXT14_REGISTRY
+from .queries_ext15 import EXT15_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -36,3 +37,4 @@ REGISTRY.update(EXT11_REGISTRY)
 REGISTRY.update(EXT12_REGISTRY)
 REGISTRY.update(EXT13_REGISTRY)
 REGISTRY.update(EXT14_REGISTRY)
+REGISTRY.update(EXT15_REGISTRY)

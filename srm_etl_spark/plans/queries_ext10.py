@@ -247,33 +247,35 @@ EXT10_REGISTRY = {
 # --------------------------------------------------------------------------
 
 def q97_audio_features(spark, sf_dir):
-    """Audio-column plumbing end-to-end (the q54 discipline on the audio
-    path): synthesize a deterministic fake-WAV payload per document
-    (Arrow-batched pandas UDF), sniff the RIFF container from magic bytes
-    (JVM-side hex), decode sample-rate/duration/rms back out through
-    mapInPandas (operators/multimodal.py:decode_audio_features). The oracle
-    recomputes the features in closed form — a hash match proves the binary
-    encode/decode path is lossless."""
+    """Audio-column plumbing end-to-end with a REAL codec (the q54
+    discipline): synthesize an actual RIFF/WAVE PCM16 payload per document
+    (constant amplitude ``amp * 128``), sniff the RIFF container from magic
+    bytes (JVM-side hex), then parse fmt/data chunks back to
+    sample-rate/duration/rms through mapInPandas
+    (operators/multimodal.py:decode_audio_features). The oracle states every
+    feature in closed form, INCLUDING the byte size (44-byte canonical
+    header + 2 bytes per sample) — a hash match proves a real encode→decode
+    round trip."""
     from ..operators.multimodal import (  # noqa: PLC0415
         attach_media_metadata,
         decode_audio_features,
-        fake_wav,
+        make_wav,
     )
 
     @F.pandas_udf("binary")
-    def make_wav(sr: pd.Series, n: pd.Series, amp: pd.Series) -> pd.Series:
+    def encode_wav(sr: pd.Series, n: pd.Series, amp: pd.Series) -> pd.Series:
         return pd.Series(
-            [fake_wav(int(a), int(b), int(c)) for a, b, c in zip(sr, n, amp)]
+            [make_wav(int(a), int(b), int(c)) for a, b, c in zip(sr, n, amp)]
         )
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         ((F.col("doc_id") % 3 + 1) * 8000).cast("int").alias("sr"),
-        ((F.col("n_chars") % 1000 + 1) * 160).cast("int").alias("n"),
+        ((F.col("n_chars") % 500 + 1) * 16).cast("int").alias("n"),
         (F.col("doc_id") % 256).cast("int").alias("amp"),
     )
     media = attach_media_metadata(
-        d.withColumn("media", make_wav("sr", "n", "amp")), "media"
+        d.withColumn("media", encode_wav("sr", "n", "amp")), "media"
     )
     feats = decode_audio_features(
         media, "media", passthrough=["doc_id", "media_size_bytes", "media_format"]
@@ -292,11 +294,11 @@ def q97_audio_features(spark, sf_dir):
 Q97_SQL = """
 SELECT doc_id,
        CAST((doc_id % 3 + 1) * 8000 AS INTEGER) AS sample_rate,
-       CAST((n_chars % 1000 + 1) * 160 AS BIGINT) AS n_samples,
-       round(CAST((n_chars % 1000 + 1) * 160 AS DOUBLE)
+       CAST((n_chars % 500 + 1) * 16 AS BIGINT) AS n_samples,
+       round(CAST((n_chars % 500 + 1) * 16 AS DOUBLE)
              / ((doc_id % 3 + 1) * 8000), 9) AS duration_s,
-       round(CAST(doc_id % 256 AS DOUBLE) / 255.0, 9) AS rms,
-       CAST(17 AS BIGINT) AS media_size_bytes,
+       round(CAST(doc_id % 256 AS DOUBLE) * 128 / 32768.0, 9) AS rms,
+       CAST(44 + 2 * (n_chars % 500 + 1) * 16 AS BIGINT) AS media_size_bytes,
        'riff' AS media_format
 FROM documents
 """

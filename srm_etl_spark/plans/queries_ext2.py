@@ -367,24 +367,26 @@ FROM events GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 def q54_multimodal_decode(spark, sf_dir):
-    """Binary-column plumbing end-to-end: synthesize a deterministic fake-PNG
-    payload per document (Arrow-batched pandas UDF), sniff its format from
-    magic bytes (JVM-side hex), decode features back out through mapInPandas
-    (operators/multimodal.py). The oracle never sees the bytes — it recomputes
-    the features in closed form, so a hash match proves the whole binary
-    encode/decode path is lossless."""
+    """Binary-column plumbing end-to-end with a REAL codec: synthesize an
+    actual PNG per document (stdlib encoder — zlib IDAT, CRC chunks; top
+    half rows at ``lum``, bottom at ``255 - lum``), sniff its format from
+    magic bytes (JVM-side hex), then zlib-inflate + unfilter it back to
+    features through mapInPandas (operators/multimodal.py). The oracle never
+    sees the bytes — it states the closed-form mean luminance of the
+    two-tone image, so a hash match proves a real encode→decode round trip.
+    (The compressed payload size is zlib-dependent, hence not oracled.)"""
     import pandas as pd  # noqa: PLC0415
 
     from ..operators.multimodal import (  # noqa: PLC0415
         attach_media_metadata,
         decode_image_features,
-        fake_png,
+        make_png,
     )
 
     @F.pandas_udf("binary")
-    def make_png(w: pd.Series, h: pd.Series, lum: pd.Series) -> pd.Series:
+    def encode_png(w: pd.Series, h: pd.Series, lum: pd.Series) -> pd.Series:
         return pd.Series(
-            [fake_png(int(a), int(b), int(c)) for a, b, c in zip(w, h, lum)]
+            [make_png(int(a), int(b), int(c)) for a, b, c in zip(w, h, lum)]
         )
 
     d = _t(spark, sf_dir, "documents").select(
@@ -394,29 +396,28 @@ def q54_multimodal_decode(spark, sf_dir):
         (F.col("doc_id") % 256).cast("int").alias("lum"),
     )
     media = attach_media_metadata(
-        d.withColumn("media", make_png("w", "h", "lum")), "media"
+        d.withColumn("media", encode_png("w", "h", "lum")), "media"
     )
     feats = decode_image_features(
-        media, "media", passthrough=["doc_id", "media_size_bytes", "media_format"]
+        media, "media", passthrough=["doc_id", "media_format"]
     )
     return feats.select(
         "doc_id",
         "width",
         "height",
         F.round("mean_luminance", 9).alias("mean_luminance"),
-        "media_size_bytes",
         "media_format",
     )
 
 
-# fake_png layout: 8-byte PNG magic + 'FAKE' + 2B width + 2B height + 1B lum
-# = 17 bytes; luminance decodes to lum/255.0.
+# two-tone image: floor(h/2) rows at lum, the rest at 255-lum
 Q54_SQL = """
 SELECT doc_id,
        CAST(n_chars % 64 + 1 AS INTEGER) AS width,
        CAST(doc_id % 48 + 1 AS INTEGER) AS height,
-       round(CAST(doc_id % 256 AS DOUBLE) / 255.0, 9) AS mean_luminance,
-       CAST(17 AS BIGINT) AS media_size_bytes,
+       round((CAST((doc_id % 48 + 1) // 2 AS DOUBLE) * (doc_id % 256)
+              + ((doc_id % 48 + 1) - (doc_id % 48 + 1) // 2) * (255 - doc_id % 256))
+             / ((doc_id % 48 + 1) * 255.0), 9) AS mean_luminance,
        'png' AS media_format
 FROM documents
 """

@@ -308,7 +308,10 @@ def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
     )
 
 
-ASSIGN_LITERAL_MAX_K = 128
+# k*dim literal nodes re-analyze + recompile EVERY Lloyd iteration; past
+# 64 centroids (4k expression nodes at dim 64) the broadcast-matrix plan is
+# cheaper than the codegen bill — the measured r4 semantic_dedup knee.
+ASSIGN_LITERAL_MAX_K = 64
 
 
 def assign_clusters(
@@ -320,7 +323,7 @@ def assign_clusters(
     sequential-fold distance, same (dist, cid) struct-min tie-break to the
     lowest centroid id):
 
-    - k <= ASSIGN_LITERAL_MAX_K: the centroid matrix inlines into the plan
+    - k <= ASSIGN_LITERAL_MAX_K (64): the centroid matrix inlines into the plan
       as literal arrays — pure whole-stage-codegen array math, zero shuffle,
       zero Python.
     - larger k: inlining k literal expressions makes Catalyst re-analyze and

@@ -360,9 +360,15 @@ def taxonomy_mapping(spark: SparkSession) -> DataFrame:
     merged, reference ``entities/__init__.py:634-657``): tag → response_ids /
     situation_ids; Status REJECTED rows form the rejected set; tags with no
     row are unknown (written back for curators)."""
-    return spark.createDataFrame(
-        TAG_ROWS,
-        "tag string, response_ids array<string>, situation_ids array<string>, status string",
+    from .meser import _session_mapping  # noqa: PLC0415
+
+    return _session_mapping(
+        spark,
+        "entities_taxonomy",
+        lambda: spark.createDataFrame(
+            TAG_ROWS,
+            "tag string, response_ids array<string>, situation_ids array<string>, status string",
+        ),
     )
 
 
@@ -1016,9 +1022,15 @@ def run_entities(
         source_id="entities", manage_status=False,
     )
 
-    # merge 3: branches (current = last-digit perturbation of the fetch)
+    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+
+    # merge 3: branches (current = last-digit perturbation of the fetch).
+    # Slot shared with q127 — one materialization of the unwound union.
     active = enriched.filter(F.col("status") == "ACTIVE")
-    fetched3 = unwind_branches(active, guidestar_branches(spark, sf_dir), gs)
+    fetched3 = keep_persisted(
+        unwind_branches(active, guidestar_branches(spark, sf_dir), gs),
+        "entities_unwound",
+    )
     last = F.substring(F.col("id"), -1, 1)
     cur3 = (
         fetched3.filter(~last.isin("7", "8", "9"))
@@ -1047,6 +1059,8 @@ def run_entities(
         guidestar_branches(spark, sf_dir),
         taxonomy_mapping(spark),
     )
+    # slot shared with q128/q130 (same plan -> warm reuse)
+    fetched4 = keep_persisted(fetched4, "entities_services")
     stale = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_partkey") % 101 == 0)

@@ -142,9 +142,15 @@ MDE_TAG_ROWS = [
 
 
 def mde_categories(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        MDE_TAG_ROWS,
-        "tag string, response_ids array<string>, situation_ids array<string>",
+    from .meser import _session_mapping  # noqa: PLC0415
+
+    return _session_mapping(
+        spark,
+        "mde_categories",
+        lambda: spark.createDataFrame(
+            MDE_TAG_ROWS,
+            "tag string, response_ids array<string>, situation_ids array<string>",
+        ),
     )
 
 

@@ -135,11 +135,35 @@ MESER_TAG_ROWS = [
 ]
 
 
+
+
+# createDataFrame LocalRelations do NOT canonicalize equal across separate
+# calls (sameSemantics returns False even for identical rows), which would
+# defeat every keep_persisted slot downstream of a mapping frame. One frame
+# per session fixes identity at the source.
+_MAPPING_MEMO: dict = {}
+
+
+def _session_mapping(spark, key: str, builder):
+    memo_key = (id(spark), key)
+    if memo_key not in _MAPPING_MEMO:
+        # drop entries of OTHER (stale) sessions only — clearing same-session
+        # siblings would re-break frame identity for their consumers
+        for k in [k for k in _MAPPING_MEMO if k[0] != id(spark)]:
+            del _MAPPING_MEMO[k]
+        _MAPPING_MEMO[memo_key] = builder()
+    return _MAPPING_MEMO[memo_key]
+
+
 def meser_tag_mapping(spark: SparkSession) -> DataFrame:
     """The meser-tagging curator table (reference ``__init__.py:186-201``)."""
-    return spark.createDataFrame(
-        MESER_TAG_ROWS,
-        "tag string, response_ids array<string>, situation_ids array<string>",
+    return _session_mapping(
+        spark,
+        "meser_tags",
+        lambda: spark.createDataFrame(
+            MESER_TAG_ROWS,
+            "tag string, response_ids array<string>, situation_ids array<string>",
+        ),
     )
 
 
@@ -382,9 +406,14 @@ def run_meser(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     from ..operators.upsert import staging_upsert  # noqa: PLC0415
 
+    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+
     cur = current_meser_staging(spark, sf_dir)
-    t = transform_meser(
-        sanitize_meser(meser_raw(spark, sf_dir)), meser_tag_mapping(spark)
+    # same slot as q132 — the three merges and the transform query share one
+    # materialization of the 4-key groupby + ordered tag merge
+    t = keep_persisted(
+        transform_meser(sanitize_meser(meser_raw(spark, sf_dir)), meser_tag_mapping(spark)),
+        "meser_transform",
     )
     feed = F.col("meser_id").try_cast("long")
 

@@ -328,12 +328,17 @@ def q127_entities_branches(spark, sf_dir):
     assembly, OLC location keys, language situations), the two no-branch
     fallbacks (official Guidestar address / cleaned-org-name), and the
     synthesized national: rows with the fixed disclaimer."""
+    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+
     orgs = ENT.org_registry(spark, sf_dir)
     gs = ENT.guidestar_org_details(spark, sf_dir)
     bk = ENT.budgetkey_entities(spark, sf_dir)
     enriched = ENT.enrich_orgs(orgs, gs, bk)
     active = enriched.filter(F.col("status") == "ACTIVE")
-    return ENT.unwind_branches(active, ENT.guidestar_branches(spark, sf_dir), gs)
+    return keep_persisted(
+        ENT.unwind_branches(active, ENT.guidestar_branches(spark, sf_dir), gs),
+        "entities_unwound",
+    )
 
 
 Q127_SQL = f"""
@@ -558,6 +563,11 @@ processed AS (
 
 
 def _entities_service_frames(spark, sf_dir):
+    # session slots: q128/q129/q130 (and repeated searches) all consume the
+    # processed-service pair — the keep_persisted discipline reuses the warm
+    # frames for semantically identical plans and evicts across sf_dirs
+    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+
     orgs = ENT.org_registry(spark, sf_dir)
     gs = ENT.guidestar_org_details(spark, sf_dir)
     bk = ENT.budgetkey_entities(spark, sf_dir)
@@ -567,11 +577,14 @@ def _entities_service_frames(spark, sf_dir):
         .unionByName(orgs.filter(F.col("source") != "entities").select("id", "status"))
         .filter(F.col("status") == "ACTIVE")
     )
-    return ENT.process_services(
+    out, unknown = ENT.process_services(
         orgs_all_active,
         ENT.guidestar_services(spark, sf_dir),
         ENT.guidestar_branches(spark, sf_dir),
         ENT.taxonomy_mapping(spark),
+    )
+    return keep_persisted(out, "entities_services"), keep_persisted(
+        unknown, "entities_unknown_tags"
     )
 
 

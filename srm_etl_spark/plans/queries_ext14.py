@@ -271,8 +271,13 @@ def q132_meser_transform(spark, sf_dir):
     group-first pluscode (10-digit OLC, like the reference's default-length
     encode), tag->responses/situations with the same (tag position, id
     position) ordering, and the org-id length filter."""
-    t = MES.transform_meser(
-        MES.sanitize_meser(MES.meser_raw(spark, sf_dir)), MES.meser_tag_mapping(spark)
+    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+
+    t = keep_persisted(
+        MES.transform_meser(
+            MES.sanitize_meser(MES.meser_raw(spark, sf_dir)), MES.meser_tag_mapping(spark)
+        ),
+        "meser_transform",
     )
     return t.select(
         "service_name", "phone_numbers", "address", "organization_id",

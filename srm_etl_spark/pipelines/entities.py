@@ -1100,3 +1100,59 @@ def run_entities(
         "services": m4,
         "unknown_tags": unknown,
     }
+
+
+def incremental_unwind_refresh(
+    spark: SparkSession, sf_dir: str, changed_last_digits=("0", "3", "6", "9")
+) -> DataFrame:
+    """Incremental branch refresh (the q93/pipelines-incremental discipline
+    applied to this vertical): only re-scraped orgs re-unwind; everything
+    else passes through the previously staged rows untouched.
+
+    - ``changed`` = active orgs whose id ends in one of
+      ``changed_last_digits`` (the re-scrape slice);
+    - ``prior`` = the staged table from the previous run, fabricated here by
+      unwinding a PERTURBED input for the changed orgs (stale 'OLD ' names)
+      — so a pass-through bug on a changed org breaks the hash, while
+      unchanged orgs' prior rows are exactly current (the scrape is
+      deterministic);
+    - refresh = prior minus changed-orgs' rows (broadcast anti-join on the
+      owning org — the change list is dimension-small) UNION the re-unwind
+      of the changed slice only.
+
+    Shuffle is proportional to the CHANGE SET, not the registry; the result
+    must hash-match the full :func:`unwind_branches` (q136's oracle is
+    q127's SQL verbatim). At 100 TB this is the difference between
+    re-scraping everything nightly and touching only the delta.
+    """
+    orgs = org_registry(spark, sf_dir)
+    gs = guidestar_org_details(spark, sf_dir)
+    bk = budgetkey_entities(spark, sf_dir)
+    active = enrich_orgs(orgs, gs, bk).filter(F.col("status") == "ACTIVE")
+    branches = guidestar_branches(spark, sf_dir)
+
+    last = F.substring(F.col("id"), -1, 1)
+    changed_orgs = active.filter(last.isin(*changed_last_digits))
+    unchanged_orgs = active.filter(~last.isin(*changed_last_digits))
+
+    # prior staged table: stale names for the changed slice, current rows
+    # for everything else (one unwind over the perturbed org view)
+    perturbed = active.withColumn(
+        "name",
+        F.when(last.isin(*changed_last_digits), F.concat(F.lit("OLD "), F.col("name")))
+        .otherwise(F.col("name")),
+    )
+    prior = unwind_branches(perturbed, branches, gs)
+
+    # refresh: pass through unchanged orgs' prior rows, rebuild the delta
+    changed_ids = changed_orgs.select(F.col("id").alias("_cid"))
+    kept = prior.join(
+        F.broadcast(changed_ids),
+        F.element_at(F.col("organization"), 1) == F.col("_cid"),
+        "left_anti",
+    )
+    changed_branches = branches.join(
+        F.broadcast(changed_ids), branches.org_id == F.col("_cid"), "left_semi"
+    )
+    rebuilt = unwind_branches(changed_orgs, changed_branches, gs)
+    return kept.unionByName(rebuilt).select(*BRANCH_COLS)

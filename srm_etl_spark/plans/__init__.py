@@ -45,7 +45,7 @@ REGISTRY.update(EXT15_REGISTRY)
 # into that window so the independent gate covers them — the displaced
 # entries keep their local verification.
 _ROTATED = list(EXT13_REGISTRY) + list(EXT14_REGISTRY) + list(EXT15_REGISTRY)
-_head = [n for n in REGISTRY if n not in _ROTATED][:40]
+_head = [n for n in REGISTRY if n not in _ROTATED][: 50 - len(_ROTATED)]
 _ordered = (
     {n: REGISTRY[n] for n in _head}
     | {n: REGISTRY[n] for n in _ROTATED}

@@ -756,3 +756,26 @@ EXT13_REGISTRY["q130_entities_unknown_tags"] = QueryDef(
     Q130_SQL,
     "entities vertical: unknown-tag curator write-back",
 )
+
+
+# ---------------------------------------------------------------------------
+# q136 — incremental branch refresh proven equal to the full unwind
+# ---------------------------------------------------------------------------
+
+
+def q136_entities_incremental(spark, sf_dir):
+    """Incremental re-scrape of the entities vertical (the q93 discipline):
+    only orgs in the changed slice re-unwind; unchanged orgs pass their
+    previously staged rows through a broadcast anti-join. The prior table is
+    deliberately STALE for the changed orgs ('OLD ' names), so the refresh
+    only hash-matches the oracle — q127's full-unwind SQL verbatim — if the
+    delta rebuild actually replaced every stale row. Shuffle tracks the
+    change set, not the registry size."""
+    return ENT.incremental_unwind_refresh(spark, sf_dir)
+
+
+EXT13_REGISTRY["q136_entities_incremental"] = QueryDef(
+    q136_entities_incremental,
+    Q127_SQL,
+    "entities vertical: incremental branch refresh == full recompute",
+)

@@ -129,3 +129,17 @@ def test_run_entities_merge_outcomes(spark):
     assert all(r["_changed"] for r in br)
     skipped = {r["id"][-1] for r in br}
     assert "0" in {c for c in "0123456789"} - skipped or len(skipped) < 10
+
+
+def test_incremental_refresh_equals_full_unwind(spark):
+    from pyspark.sql import functions as F
+
+    full = ENT.unwind_branches(
+        _enriched(spark).filter(F.col("status") == "ACTIVE"),
+        ENT.guidestar_branches(spark, SF),
+        ENT.guidestar_org_details(spark, SF),
+    )
+    inc = ENT.incremental_unwind_refresh(spark, SF)
+    a = sorted(map(str, full.collect()))
+    b = sorted(map(str, inc.collect()))
+    assert a == b

@@ -458,3 +458,94 @@ EXT14_REGISTRY["q133_meser_staged"] = QueryDef(
     q133_meser_staged, Q133_SQL,
     "meser vertical: 3-way staged upserts + soft-delete sweeps + FK remaps",
 )
+
+
+# ---------------------------------------------------------------------------
+# q137 — streaming ingestion twin: micro-batched org feed -> versioned staging
+# ---------------------------------------------------------------------------
+
+
+def q137_meser_streaming_staging(spark, sf_dir):
+    """The meser org merge as a STREAMING deployment: the fetched org ids
+    arrive as three partial micro-batches plus a reconciliation snapshot
+    (file source, mtime-ordered, maxFilesPerTrigger=1, availableNow); each
+    batch runs the same staging_upsert through foreachBatch and publishes a
+    new version (streaming/events.py:stream_upsert_to_staging —
+    write-new-then-repoint, never overwriting a version being read). The
+    final version must equal the closed-form batch merge: ACTIVE iff the org
+    is in the fetch, soft-deleted meser rows INACTIVE — one upsert
+    implementation, two drivers (SURVEY §2.10)."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import time as _time  # noqa: PLC0415
+
+    from ..pipelines.meser import current_meser_staging  # noqa: PLC0415
+    from ..session import scratch_dir  # noqa: PLC0415
+    from ..streaming.events import (  # noqa: PLC0415
+        latest_staging_version,
+        stream_upsert_to_staging,
+    )
+
+    t = MES.transform_meser(
+        MES.sanitize_meser(MES.meser_raw(spark, sf_dir)), MES.meser_tag_mapping(spark)
+    )
+    fetched = t.select(F.col("organization_id").alias("id")).distinct()
+    last = F.substring(F.col("id"), -1, 1)
+    batches = [
+        fetched.filter(last.isin("0", "1", "2", "3")),
+        fetched.filter(last.isin("4", "5", "6")),
+        fetched.filter(last.isin("7", "8", "9")),
+        fetched,  # reconciliation snapshot — restores partial-feed statuses
+    ]
+    base = scratch_dir("srm_q137")
+    data = os.path.join(base, "stream")
+    os.makedirs(data)
+    now = _time.time()
+    for i, b in enumerate(batches):
+        d = os.path.join(base, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        (src,) = glob.glob(os.path.join(d, "*.parquet"))
+        dst = os.path.join(data, f"batch{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (now - 100 * (len(batches) - i),) * 2)
+    root = os.path.join(base, "staging")
+    # bootstrap: the current staging table is version -1
+    current_meser_staging(spark, sf_dir)["organizations"].write.parquet(
+        os.path.join(root, "v=-1")
+    )
+    stream = (
+        spark.readStream.schema("id string").option("maxFilesPerTrigger", 1).parquet(data)
+    )
+    stream_upsert_to_staging(
+        stream, root, key="id", source_id="meser",
+        checkpoint=os.path.join(base, "ckpt"),
+    )
+    final = latest_staging_version(root)
+    assert final is not None and not final.endswith("v=-1")
+    return spark.read.parquet(final).select("id", "source", "status")
+
+
+Q137_SQL = f"""
+WITH {RAW_CTE.strip()},
+{SAN_CTE.strip()},
+{_meser_tags_sql()},
+{TRANSFORM_CTES.strip()},
+cur_orgs AS (
+  SELECT '5001' || lpad(CAST((s_suppkey * 7) % 1000 AS VARCHAR), 5, '0') AS id,
+         CASE WHEN s_suppkey % 4 = 0 THEN 'INACTIVE' ELSE 'ACTIVE' END AS status,
+         CASE WHEN s_suppkey % 9 = 0 THEN 'entities' ELSE 'meser' END AS source
+  FROM supplier
+),
+fetched AS (SELECT DISTINCT organization_id AS id FROM transformed)
+SELECT coalesce(f.id, c.id) AS id,
+       'meser' AS source,
+       CASE WHEN f.id IS NOT NULL THEN 'ACTIVE' ELSE 'INACTIVE' END AS status
+FROM fetched f
+FULL OUTER JOIN (SELECT id FROM cur_orgs WHERE source = 'meser') c ON f.id = c.id
+"""
+
+EXT14_REGISTRY["q137_meser_streaming_staging"] = QueryDef(
+    q137_meser_streaming_staging, Q137_SQL,
+    "meser vertical: streaming micro-batched staging merge (versioned swap)",
+)

@@ -117,12 +117,14 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
         prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
         if ftype == 0:
             out[y] = line
-        elif ftype == 1:  # Sub
-            for x in range(stride):
-                left = out[y, x - bpp] if x >= bpp else 0
-                out[y, x] = (int(line[x]) + int(left)) & 0xFF
+        elif ftype == 1:  # Sub: out[x] = line[x] + out[x-bpp] -> per-lane cumsum
+            lanes = line.reshape(-1, bpp)
+            out[y] = np.cumsum(lanes.astype(np.uint64), axis=0).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up
             out[y] = (line.astype(np.int16) + prev.astype(np.int16)).astype(np.uint8)
+        # Average/Paeth depend on the just-reconstructed left neighbor, an
+        # inherently sequential scan along x (real codecs do this in C);
+        # rows using them decode via the per-byte loop below.
         elif ftype == 3:  # Average
             for x in range(stride):
                 left = int(out[y, x - bpp]) if x >= bpp else 0
@@ -145,33 +147,18 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _decode_image_bytes(data: bytes) -> tuple[int, int, float]:
-    """REAL image decode → (width, height, mean luminance in [0, 1]).
+def _png_parse(data: bytes):
+    """Parse a PNG container → (w, h, ctype, (h, w, bpp) uint8 pixel array).
 
-    PIL handles any format when importable; otherwise the stdlib PNG path
-    decodes 8-bit gray/RGB/gray+alpha/RGBA PNGs (zlib inflate + full
-    unfiltering). Non-PNG bytes without PIL report through the per-row
-    ``decode_error`` channel, not a stage failure."""
-    try:  # optional upgrade
-        import io  # noqa: PLC0415
-
-        from PIL import Image  # noqa: PLC0415
-
-        img = Image.open(io.BytesIO(data))
-        gray = img.convert("L")
-        import numpy as np  # noqa: PLC0415
-
-        px = np.asarray(gray, dtype=np.float64)
-        return img.width, img.height, float(px.mean() / 255.0)
-    except ImportError:
-        pass
+    The ONE parser behind both :func:`decode_image_features` and
+    :func:`resize_images` — chunk walk, IHDR unpack, zlib inflate,
+    unfiltering, shape validation all live here so the two stages can never
+    drift apart."""
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
 
-    import numpy as np  # noqa: PLC0415
-
     if data[:8] != _PNG_SIG:
-        raise ValueError("unsupported image format (stdlib path decodes PNG)")
+        raise ValueError("unsupported image format (PNG expected)")
     pos, ihdr, idat = 8, None, b""
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -191,14 +178,48 @@ def _decode_image_bytes(data: bytes) -> tuple[int, int, float]:
         raise ValueError(f"unsupported PNG shape (depth={depth}, color={ctype})")
     bpp = _PNG_CHANNELS[ctype]
     raw = zlib.decompress(idat)
-    px = _png_unfilter(raw, w, h, bpp).reshape(h, w, bpp).astype(np.float64)
-    if ctype == 0:
-        lum = px[:, :, 0]
-    elif ctype == 4:
-        lum = px[:, :, 0]  # gray + alpha
-    else:  # RGB / RGBA (alpha ignored, like a white-less composite)
-        lum = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
-    return w, h, float(lum.mean() / 255.0)
+    return w, h, ctype, _png_unfilter(raw, w, h, bpp).reshape(h, w, bpp)
+
+
+def _png_luminance(ctype: int, px):
+    """Luminance plane (float64) from parsed pixels: gray channel for
+    gray/gray+alpha, the float ITU-601 weights for RGB/RGBA (alpha
+    ignored). Deterministic — no library-dependent integer rounding."""
+    fpx = px.astype("float64")
+    if ctype in (0, 4):
+        return fpx[:, :, 0]
+    return 0.299 * fpx[:, :, 0] + 0.587 * fpx[:, :, 1] + 0.114 * fpx[:, :, 2]
+
+
+def _decode_image_bytes(data: bytes) -> tuple[int, int, float]:
+    """REAL image decode → (width, height, mean luminance in [0, 1]).
+
+    PNGs ALWAYS go through the stdlib parser — same bytes, same numbers, on
+    every host, with or without Pillow (PIL's convert('L') uses per-pixel
+    integer rounding, which would make outputs environment-dependent). PIL
+    is the optional upgrade for OTHER formats (JPEG, ...); any failure
+    surfaces as ValueError so the per-row ``decode_error`` channel is
+    uniform across environments."""
+    if data[:8] == _PNG_SIG:
+        w, h, ctype, px = _png_parse(data)
+        return w, h, float(_png_luminance(ctype, px).mean() / 255.0)
+    try:
+        import io  # noqa: PLC0415
+
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        raise ValueError(
+            "unsupported image format (stdlib path decodes PNG; install PIL "
+            "for other formats)"
+        ) from None
+    try:
+        import numpy as np  # noqa: PLC0415
+
+        img = Image.open(io.BytesIO(data))
+        px = np.asarray(img.convert("L"), dtype="float64")
+        return img.width, img.height, float(px.mean() / 255.0)
+    except Exception as ex:
+        raise ValueError(f"image decode failed: {type(ex).__name__}") from ex
 
 
 IMAGE_FEATURES_SCHEMA = (
@@ -294,40 +315,12 @@ RESIZE_SCHEMA = "media_content_id string, media binary, width int, height int, r
 
 
 def _resize_gray_bytes(data: bytes, target_w: int, target_h: int) -> bytes:
-    """REAL resize: stdlib PNG decode → grayscale luminance plane →
+    """REAL resize: shared PNG parse (:func:`_png_parse`) → luminance plane →
     nearest-neighbor resample (numpy index grid) → stdlib PNG re-encode."""
     import numpy as np  # noqa: PLC0415
 
-    import struct  # noqa: PLC0415
-    import zlib  # noqa: PLC0415
-
-    if data[:8] != _PNG_SIG:
-        raise ValueError("unsupported image format (stdlib path decodes PNG)")
-    pos, ihdr, idat = 8, None, b""
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", payload)
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, ctype, _c, _f, interlace = ihdr
-    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported PNG shape (depth={depth}, color={ctype})")
-    bpp = _PNG_CHANNELS[ctype]
-    px = _png_unfilter(zlib.decompress(idat), w, h, bpp).reshape(h, w, bpp)
-    if ctype in (0, 4):
-        lum = px[:, :, 0].astype(np.float64)
-    else:
-        lum = (
-            0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
-        )
+    w, h, ctype, px = _png_parse(data)
+    lum = _png_luminance(ctype, px)
     ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
     xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
     resized = lum[np.ix_(ys, xs)].round().clip(0, 255).astype(np.uint8)

@@ -145,14 +145,18 @@ _MAPPING_MEMO: dict = {}
 
 
 def _session_mapping(spark, key: str, builder):
-    memo_key = (id(spark), key)
-    if memo_key not in _MAPPING_MEMO:
-        # drop entries of OTHER (stale) sessions only — clearing same-session
-        # siblings would re-break frame identity for their consumers
-        for k in [k for k in _MAPPING_MEMO if k[0] != id(spark)]:
-            del _MAPPING_MEMO[k]
-        _MAPPING_MEMO[memo_key] = builder()
-    return _MAPPING_MEMO[memo_key]
+    # hold the session OBJECT in the entry and compare identity — id(spark)
+    # alone can be recycled by the allocator after a session is GC'd, which
+    # would serve a dead session's frame to its successor
+    entry = _MAPPING_MEMO.get(key)
+    if entry is None or entry[0] is not spark:
+        if entry is not None or any(e[0] is not spark for e in _MAPPING_MEMO.values()):
+            # a new session replaces ALL stale entries at once (their frames
+            # are bound to the old context)
+            for k in [k for k, e in _MAPPING_MEMO.items() if e[0] is not spark]:
+                del _MAPPING_MEMO[k]
+        _MAPPING_MEMO[key] = (spark, builder())
+    return _MAPPING_MEMO[key][1]
 
 
 def meser_tag_mapping(spark: SparkSession) -> DataFrame:

@@ -473,7 +473,8 @@ def q137_meser_streaming_staging(spark, sf_dir):
     new version (streaming/events.py:stream_upsert_to_staging —
     write-new-then-repoint, never overwriting a version being read). The
     final version must equal the closed-form batch merge: ACTIVE iff the org
-    is in the fetch, soft-deleted meser rows INACTIVE — one upsert
+    is in the fetch, soft-deleted meser rows INACTIVE, rows of OTHER staging
+    sources preserved untouched across every version — one upsert
     implementation, two drivers (SURVEY §2.10)."""
     import glob  # noqa: PLC0415
     import os  # noqa: PLC0415
@@ -522,7 +523,10 @@ def q137_meser_streaming_staging(spark, sf_dir):
         checkpoint=os.path.join(base, "ckpt"),
     )
     final = latest_staging_version(root)
-    assert final is not None and not final.endswith("v=-1")
+    if final is None or final.endswith("v=-1"):
+        raise RuntimeError(
+            f"q137: streaming merge published no new staging version under {root}"
+        )
     return spark.read.parquet(final).select("id", "source", "status")
 
 
@@ -543,6 +547,9 @@ SELECT coalesce(f.id, c.id) AS id,
        CASE WHEN f.id IS NOT NULL THEN 'ACTIVE' ELSE 'INACTIVE' END AS status
 FROM fetched f
 FULL OUTER JOIN (SELECT id FROM cur_orgs WHERE source = 'meser') c ON f.id = c.id
+UNION ALL
+-- rows of OTHER sources ride through every version untouched
+SELECT id, source, status FROM cur_orgs WHERE source <> 'meser'
 """
 
 EXT14_REGISTRY["q137_meser_streaming_staging"] = QueryDef(

@@ -280,10 +280,16 @@ def stream_upsert_to_staging(
             )
         merged = staging_upsert(
             current, batch_df, key=key, source_id=source_id, only_changed=False
-        )
-        merged.drop("_changed").write.mode("overwrite").parquet(
-            f"{staging_root}/v={batch_id}"
-        )
+        ).drop("_changed")
+        # staging_upsert merges only the rows of `source_id` — but each
+        # version is the COMPLETE table, so rows belonging to OTHER sources
+        # must ride along untouched or the first batch silently deletes them
+        if source_id is not None and "source" in current.columns:
+            others = current.filter(
+                F.col("source").isNotNull() & ~F.col("source").isin(source_id, "dummy")
+            )
+            merged = merged.unionByName(others.select(*merged.columns))
+        merged.write.mode("overwrite").parquet(f"{staging_root}/v={batch_id}")
 
     writer = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True)
     if checkpoint:

@@ -104,3 +104,51 @@ def es_bulk_lines(df: DataFrame, index: str, id_col: str) -> DataFrame:
     )
     source = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     return df.select(F.concat_ws("\n", action, source).alias("bulk"))
+
+
+def mapbox_upload_tileset(
+    fetch: Callable[[str, dict], dict],
+    put_object: Callable[[dict, str], None],
+    filename: str,
+    tileset: str,
+    name: str,
+    access_token: str = "TOKEN",
+    max_polls: int = 60,
+    sleep: Callable[[float], None] | None = None,
+) -> dict:
+    """K7: the Mapbox tileset-upload PROTOCOL
+    (reference operators/derive/to_mapbox.py:23-66) with transport injected:
+
+    1. GET temporary S3 credentials (``uploads/v1/.../credentials``);
+    2. stage the tile file to the returned bucket/key;
+    3. POST ``uploads/v1`` with {tileset, url, name} — any ``error`` in the
+       response is fatal (the reference's assert);
+    4. poll the upload status until ``complete`` (again failing on any
+       ``error``), bounded here by ``max_polls`` instead of the reference's
+       unbounded loop.
+
+    The tippecanoe mbtiles build stays out of engine scope (an external C
+    binary; its INPUT — the GeoJSON feature file — is produced by
+    sinks/files.py:write_geojson, q42/q121). Returns the completed status
+    payload. ``fetch(url, params_or_json)`` and ``put_object(creds, path)``
+    are the injected transports, same seam as the ingest pagers."""
+    auth = {"access_token": access_token}
+    creds = fetch("uploads/v1/credentials", auth)
+    for k in ("accessKeyId", "secretAccessKey", "sessionToken", "bucket", "key", "url"):
+        if k not in creds:
+            raise ValueError(f"mapbox credentials response missing {k!r}")
+    put_object(creds, filename)
+    upload = fetch(
+        "uploads/v1", {**auth, "json": {"tileset": tileset, "url": creds["url"], "name": name}}
+    )
+    if upload.get("error"):
+        raise RuntimeError(f"mapbox upload create failed: {upload['error']}")
+    for _ in range(max_polls):
+        status = fetch(f"uploads/v1/{upload['id']}", auth)
+        if status.get("error"):
+            raise RuntimeError(f"mapbox upload failed: {status['error']}")
+        if status.get("complete"):
+            return status
+        if sleep is not None:
+            sleep(10)
+    raise RuntimeError(f"mapbox upload {upload['id']} not complete after {max_polls} polls")

@@ -150,3 +150,49 @@ def test_compact_parquet(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == before
     assert sorted(after.columns) == sorted(src.columns)
+
+
+def test_mapbox_upload_protocol_contract():
+    """K7 (reference operators/derive/to_mapbox.py:23-66): credentials ->
+    S3 stage -> create-upload -> poll-to-complete, with the error asserts
+    and a bounded poll loop."""
+    from srm_etl_spark.sinks.rest import mapbox_upload_tileset
+
+    calls, staged, slept = [], [], []
+    creds = {
+        "accessKeyId": "AK", "secretAccessKey": "SK", "sessionToken": "ST",
+        "bucket": "b", "key": "k", "url": "s3://b/k",
+    }
+    polls = iter([{"id": "u1", "complete": False, "progress": 0.5},
+                  {"id": "u1", "complete": True, "progress": 1.0}])
+
+    def fetch(url, params):
+        calls.append((url, params))
+        if url == "uploads/v1/credentials":
+            return dict(creds)
+        if url == "uploads/v1":
+            assert params["json"] == {"tileset": "me.cards", "url": "s3://b/k", "name": "cards"}
+            return {"id": "u1"}
+        assert url == "uploads/v1/u1"
+        return next(polls)
+
+    def put_object(c, path):
+        staged.append((c["bucket"], c["key"], path))
+
+    out = mapbox_upload_tileset(
+        fetch, put_object, "/tmp/cards.mbtiles", "me.cards", "cards",
+        sleep=slept.append,
+    )
+    assert out["complete"] and staged == [("b", "k", "/tmp/cards.mbtiles")]
+    assert slept == [10]  # slept once between the two polls
+
+    # error surfaces fail loudly (the reference's asserts)
+    import pytest
+
+    def fetch_err(url, params):
+        if url == "uploads/v1/credentials":
+            return dict(creds)
+        return {"error": "boom", "id": "u2"}
+
+    with pytest.raises(RuntimeError, match="create failed"):
+        mapbox_upload_tileset(fetch_err, put_object, "f", "t", "n")

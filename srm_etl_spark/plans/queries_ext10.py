@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.text import token_count
 from ..operators.chunking import chunk_documents
 from ..operators.similarity import brute_force_topk
+from ._scalar import scalarized_sql, stringify_arrays
 from .queries import _NORM, QueryDef, _t
 
 _NORM_Q100 = _NORM.format(c='text')
@@ -634,7 +635,7 @@ def q102_taxonomy_flatten(spark, sf_dir):
         }
         for r in regions
     ]
-    return taxonomy_to_df(spark, tree)
+    return stringify_arrays(taxonomy_to_df(spark, tree))
 
 
 Q102_SQL = """
@@ -647,6 +648,8 @@ SELECT trim(lower(r_name)) || ':' || trim(lower(n_name)) AS id,
        [trim(n_name)] AS synonyms, trim(r_name) AS breadcrumbs
 FROM nation JOIN region ON n_regionkey = r_regionkey
 """
+
+Q102_SQL = scalarized_sql(Q102_SQL, ["synonyms"])
 
 EXT10_REGISTRY["q102_taxonomy_flatten"] = QueryDef(
     q102_taxonomy_flatten, Q102_SQL, "S13 taxonomy YAML flatten parity"

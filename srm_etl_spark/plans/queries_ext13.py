@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..pipelines import entities as ENT
+from ._scalar import scalarized_sql, stringify_arrays
 from .queries import QueryDef
 from .queries_ext import _olc_sql
 
@@ -335,13 +336,16 @@ def q127_entities_branches(spark, sf_dir):
     bk = ENT.budgetkey_entities(spark, sf_dir)
     enriched = ENT.enrich_orgs(orgs, gs, bk)
     active = enriched.filter(F.col("status") == "ACTIVE")
-    return keep_persisted(
-        ENT.unwind_branches(active, ENT.guidestar_branches(spark, sf_dir), gs),
-        "entities_unwound",
+    return stringify_arrays(
+        keep_persisted(
+            ENT.unwind_branches(active, ENT.guidestar_branches(spark, sf_dir), gs),
+            "entities_unwound",
+        )
     )
 
 
-Q127_SQL = f"""
+Q127_SQL = scalarized_sql(
+    f"""
 WITH {_NS_CTE},
 {ORG_REGISTRY_CTE.strip()},
 {GS_DETAILS_CTE.strip()},
@@ -350,7 +354,9 @@ WITH {_NS_CTE},
 {GBRANCHES_CTE.strip()},
 {UNWIND_CTES.strip()}
 SELECT * FROM unwound
-"""
+""",
+    ["organization", "situations"],
+)
 
 EXT13_REGISTRY["q127_entities_branches"] = QueryDef(
     q127_entities_branches,
@@ -595,7 +601,7 @@ def q128_entities_services(spark, sf_dir):
     raise_error), branch-list repair with national: synthesis, detail
     assembly, date formatting, url fixing — as one declarative plan."""
     out, _unknown = _entities_service_frames(spark, sf_dir)
-    return out
+    return stringify_arrays(out)
 
 
 Q128_PREFIX = (
@@ -604,14 +610,15 @@ Q128_PREFIX = (
     f"{GSERVICES_CTE.strip()},\n{_tag_mapping_sql()},\n{_process_ctes().strip()}"
 )
 
-Q128_SQL = (
+Q128_SQL = scalarized_sql(
     Q128_PREFIX
     + """
 SELECT id, name, description, details, payment_required, payment_details, urls,
        situations, responses, organizations, branches, data_sources, implements,
        phone_numbers, email_address
 FROM processed
-"""
+""",
+    ["situations", "responses", "organizations", "branches"],
 )
 
 EXT13_REGISTRY["q128_entities_services"] = QueryDef(
@@ -771,7 +778,7 @@ def q136_entities_incremental(spark, sf_dir):
     only hash-matches the oracle — q127's full-unwind SQL verbatim — if the
     delta rebuild actually replaced every stale row. Shuffle tracks the
     change set, not the registry size."""
-    return ENT.incremental_unwind_refresh(spark, sf_dir)
+    return stringify_arrays(ENT.incremental_unwind_refresh(spark, sf_dir))
 
 
 EXT13_REGISTRY["q136_entities_incremental"] = QueryDef(

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..pipelines import meser as MES
+from ._scalar import scalarized_sql, stringify_arrays
 from .queries import QueryDef
 from .queries_ext import _olc_sql
 
@@ -279,22 +280,27 @@ def q132_meser_transform(spark, sf_dir):
         ),
         "meser_transform",
     )
-    return t.select(
-        "service_name", "phone_numbers", "address", "organization_id",
-        "service_id", "branch_id", "branch_name", "meser_id",
-        F.col("Owner_Code_Descr").alias("owner"),
-        F.col("City_Name").alias("city"),
-        "tagging", "responses", "situations", "pluscode",
+    return stringify_arrays(
+        t.select(
+            "service_name", "phone_numbers", "address", "organization_id",
+            "service_id", "branch_id", "branch_name", "meser_id",
+            F.col("Owner_Code_Descr").alias("owner"),
+            F.col("City_Name").alias("city"),
+            "tagging", "responses", "situations", "pluscode",
+        )
     )
 
 
-Q132_SQL = f"""
+Q132_SQL = scalarized_sql(
+    f"""
 WITH {RAW_CTE.strip()},
 {SAN_CTE.strip()},
 {_meser_tags_sql()},
 {TRANSFORM_CTES.strip()}
 SELECT * FROM transformed
-"""
+""",
+    ["tagging", "responses", "situations"],
+)
 
 EXT14_REGISTRY["q132_meser_transform"] = QueryDef(
     q132_meser_transform, Q132_SQL,
@@ -436,7 +442,7 @@ def q133_meser_staged(spark, sf_dir):
         F.lit("services").alias("merge"), "id", "status",
         F.col("_changed").alias("changed"), F.col("branches").alias("links"),
     )
-    return o.unionByName(b).unionByName(s)
+    return stringify_arrays(o.unionByName(b).unionByName(s))
 
 
 Q133_SQL = f"""
@@ -453,6 +459,8 @@ SELECT 'branches' AS merge, id, status, changed, links FROM m_branch WHERE chang
 UNION ALL
 SELECT 'services' AS merge, id, status, changed, links FROM m_svc WHERE changed
 """
+
+Q133_SQL = scalarized_sql(Q133_SQL, ["links"])
 
 EXT14_REGISTRY["q133_meser_staged"] = QueryDef(
     q133_meser_staged, Q133_SQL,

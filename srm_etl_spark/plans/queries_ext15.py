@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..pipelines import mde as MDE
+from ._scalar import scalarized_sql, stringify_arrays
 from .queries import QueryDef
 
 # ---------------------------------------------------------------------------
@@ -147,12 +148,14 @@ def q134_external_mde(spark, sf_dir):
         MDE.mde_sheet_rows(spark, sf_dir),
         MDE.mde_categories(spark),
     )
-    return out.select(
-        "_row_id", "branch_address", "service_name", "service_description",
-        "service_conditions", "service_phone", "service_website", "service_email",
-        "org_name", "org_short_name", "org_id", "org_phone", "org_email",
-        "org_website", "data_source", "target_audiences", "notes",
-        "responses_ids", "situations_ids",
+    return stringify_arrays(
+        out.select(
+            "_row_id", "branch_address", "service_name", "service_description",
+            "service_conditions", "service_phone", "service_website", "service_email",
+            "org_name", "org_short_name", "org_id", "org_phone", "org_email",
+            "org_website", "data_source", "target_audiences", "notes",
+            "responses_ids", "situations_ids",
+        )
     )
 
 
@@ -169,6 +172,8 @@ SELECT b._row_id, branch_address, service_name, service_description,
        coalesce(t.situations_ids, CAST([] AS VARCHAR[])) AS situations_ids
 FROM mde_base b LEFT JOIN mde_tagged t USING (_row_id)
 """
+
+Q134_SQL = scalarized_sql(Q134_SQL, ["responses_ids", "situations_ids"])
 
 EXT15_REGISTRY = {
     "q134_external_mde": QueryDef(
@@ -283,7 +288,7 @@ def q135_curation_import(spark, sf_dir):
         F.lit("services").alias("stage"), "id", "name", "decision",
         F.concat(F.col("organizations"), F.col("branches")).alias("links"),
     )
-    return wb.unionByName(orgs).unionByName(br).unionByName(sv)
+    return stringify_arrays(wb.unionByName(orgs).unionByName(br).unionByName(sv))
 
 
 Q135_SQL = f"""
@@ -298,6 +303,8 @@ SELECT 'branches', id, name, decision, org_links || location_arr FROM imp_branch
 UNION ALL
 SELECT 'services', id, name, decision, org_links || br_links FROM imp_services
 """
+
+Q135_SQL = scalarized_sql(Q135_SQL, ["links"])
 
 EXT15_REGISTRY["q135_curation_import"] = QueryDef(
     q135_curation_import, Q135_SQL,

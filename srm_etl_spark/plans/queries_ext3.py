@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.fuzzy import address_parts
 from ..functions.html import base64_or_passthrough, sanitize_html, select_text_fields
 from ..operators.relational import implements_merge
+from ._scalar import scalarized_sql, stringify_arrays
 from .queries import QueryDef, _t
 
 # --------------------------------------------------------------------------
@@ -51,11 +52,13 @@ def q57_html_text_clean(spark, sf_dir):
         sanitize_html(html).alias("clean_text"),
         base64_or_passthrough(b64raw).alias("decoded"),
     )
-    return cleaned.select(
-        "doc_id",
-        "clean_text",
-        "decoded",
-        select_text_fields(cleaned, ["clean_text"]).alias("heb_tokens"),
+    return stringify_arrays(
+        cleaned.select(
+            "doc_id",
+            "clean_text",
+            "decoded",
+            select_text_fields(cleaned, ["clean_text"]).alias("heb_tokens"),
+        )
     )
 
 
@@ -71,6 +74,8 @@ SELECT doc_id,
              ELSE 'עזרה' END] AS heb_tokens
 FROM documents
 """
+
+Q57_SQL = scalarized_sql(Q57_SQL, ["heb_tokens"])
 
 
 # --------------------------------------------------------------------------

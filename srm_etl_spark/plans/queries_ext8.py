@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions.text import token_count
 from ..operators.cms import build_cms, cms_estimate
 from ..operators.similarity import quantize_embeddings
+from ._scalar import scalarized_sql, stringify_arrays
 from .queries import QueryDef, _t
 
 _SINK_IDS = itertools.count()
@@ -39,11 +40,13 @@ def q85_quantize(spark, sf_dir):
     RAM. Property-tested error bound |x - q/s| <= 0.5/s per component."""
     emb = _t(spark, sf_dir, "embeddings")
     out = quantize_embeddings(emb, "embedding", "vec_id")
-    return out.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.round(F.col("scale"), 6).alias("scale"),
-        "qvec",
-        F.round(F.col("mse"), 10).alias("mse"),
+    return stringify_arrays(
+        out.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round(F.col("scale"), 6).alias("scale"),
+            "qvec",
+            F.round(F.col("mse"), 10).alias("mse"),
+        )
     )
 
 
@@ -65,6 +68,8 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
              / len(v), 10) AS mse
 FROM q
 """
+
+Q85_SQL = scalarized_sql(Q85_SQL, ["qvec"])
 
 
 # --------------------------------------------------------------------------

@@ -214,7 +214,8 @@ def test_quantize_roundtrip_error_bounded(spark):
 
     out = q85_quantize(spark, "/root/testdata/sf0.001").collect()
     for r in out:
-        assert all(-127 <= q <= 127 for q in r.qvec)
+        # qvec is '|'-joined in the registry projection (driver-gate contract)
+        assert all(-127 <= int(q) <= 127 for q in r.qvec.split("|"))
         # reconstruction error per dim is bounded by (0.5/scale)^2
         if r.scale > 0:
             assert r.mse <= (0.5 / r.scale) ** 2 + 1e-12

@@ -35,9 +35,17 @@ def _norm_cell(v) -> str:
         return f"{v:.12g}"
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict)):
+        # The DRIVER's canonicalizer (pandas.sort_values) cannot hash list
+        # cells — a complex-typed output errs at the external gate even when
+        # values match. Mirror that here instead of stringifying, so local
+        # green implies driver green.
+        raise ComplexCellError(type(v).__name__)
     return str(v)
+
+
+class ComplexCellError(TypeError):
+    """A result cell is list/map/struct-typed — un-checkable at the driver gate."""
 
 
 def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
@@ -71,6 +79,18 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                print(
+                    f"{name}: COMPLEX-TYPE cols={complex_cols} "
+                    "(driver canonicalizer cannot hash these — stringify in the projection)"
+                )
+                failures += 1
+                continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:  # noqa: BLE001
@@ -94,7 +114,12 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if not problems:
-            sh, oh = _hash_rows(scols, srows), _hash_rows(ocols, orows)
+            try:
+                sh, oh = _hash_rows(scols, srows), _hash_rows(ocols, orows)
+            except ComplexCellError as ex:
+                print(f"{name}: COMPLEX-TYPE oracle cells ({ex}) — scalarize the oracle SQL too")
+                failures += 1
+                continue
             if sh != oh:
                 problems.append(f"valuehash spark={sh} oracle={oh}")
                 # show a few differing rows for debugging

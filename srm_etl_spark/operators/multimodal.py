@@ -55,6 +55,7 @@ def attach_media_metadata(df: DataFrame, bin_col: str = "media") -> DataFrame:
 # --- image codec: real stdlib PNG (PIL is the optional upgrade) --------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
 
 
 def _png_chunk(tag: bytes, payload: bytes) -> bytes:
@@ -69,9 +70,10 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_encode_gray(pixels) -> bytes:
-    """Encode a (h, w) uint8 array as a REAL 8-bit grayscale PNG (IHDR +
-    zlib IDAT with filter-0 scanlines + IEND, CRCs included). Any standard
+def png_encode(pixels, ctype: int = 0) -> bytes:
+    """Encode a (h, w) or (h, w, channels) uint8 array as a REAL 8-bit PNG
+    of the given color type (0 gray, 2 RGB, 4 gray+alpha, 6 RGBA): IHDR +
+    zlib IDAT with filter-0 scanlines + IEND, CRCs included. Any standard
     viewer/decoder opens the output."""
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
@@ -79,8 +81,12 @@ def png_encode_gray(pixels) -> bytes:
     import numpy as np  # noqa: PLC0415
 
     px = np.asarray(pixels, dtype=np.uint8)
-    h, w = px.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, channels = px.shape
+    if channels != _PNG_CHANNELS[ctype]:
+        raise ValueError(f"color type {ctype} needs {_PNG_CHANNELS[ctype]} channels, got {channels}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
     return (
         _PNG_SIG
@@ -88,6 +94,11 @@ def png_encode_gray(pixels) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(raw, 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def png_encode_gray(pixels) -> bytes:
+    """Encode a (h, w) uint8 array as an 8-bit grayscale PNG."""
+    return png_encode(pixels, ctype=0)
 
 
 def make_png(width: int, height: int, lum_byte: int = 128) -> bytes:
@@ -141,10 +152,6 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
     return out
-
-
-# color type -> samples per pixel (8-bit depth only)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def _png_parse(data: bytes):
@@ -314,17 +321,17 @@ def sample_video_frames(df: DataFrame, bin_col: str = "media", n_frames: int = 4
 RESIZE_SCHEMA = "media_content_id string, media binary, width int, height int, resize_error string"
 
 
-def _resize_gray_bytes(data: bytes, target_w: int, target_h: int) -> bytes:
-    """REAL resize: shared PNG parse (:func:`_png_parse`) → luminance plane →
-    nearest-neighbor resample (numpy index grid) → stdlib PNG re-encode."""
+def _resize_png_bytes(data: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL resize: shared PNG parse (:func:`_png_parse`) → nearest-neighbor
+    resample of EVERY channel (numpy index grid) → stdlib re-encode with the
+    INPUT color type, so RGB/RGBA inputs stay RGB/RGBA (the reference kernel,
+    PIL ``Image.resize``, preserves the image mode)."""
     import numpy as np  # noqa: PLC0415
 
     w, h, ctype, px = _png_parse(data)
-    lum = _png_luminance(ctype, px)
     ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
     xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
-    resized = lum[np.ix_(ys, xs)].round().clip(0, 255).astype(np.uint8)
-    return png_encode_gray(resized)
+    return png_encode(px[np.ix_(ys, xs)], ctype)
 
 
 def resize_images(
@@ -354,7 +361,7 @@ def resize_images(
             for cid, data in zip(pdf["media_content_id"], pdf[bin_col]):
                 out["media_content_id"].append(cid)
                 try:
-                    out["media"].append(_resize_gray_bytes(bytes(data), target_w, target_h))
+                    out["media"].append(_resize_png_bytes(bytes(data), target_w, target_h))
                     out["width"].append(target_w)
                     out["height"].append(target_h)
                     out["resize_error"].append(None)

@@ -170,8 +170,17 @@ def external_mde(
         (F.col("service_name") != "") & (F.col("row_status") == READY_ROW)
     )
     has_op = F.col("operator_name").isNotNull()
-    # '' org id on an operator row -> row dropped (external.py:55-56)
-    j = j.filter(~(has_op & (F.col("operator_id") == "")))
+    # The reference enumerates BEFORE the org-id drop (external.py:35
+    # `enumerate` vs :55-56 `continue`), so a dropped row still consumes an
+    # index and later _row_ids in the sheet keep their positions. Falsy Org
+    # Id — None or '' — drops the row.
+    w_enum = Window.partitionBy("sheet_url").orderBy("pos")
+    j = j.withColumn(
+        "_row_id",
+        F.concat(
+            F.col("sheet_url"), F.lit("#"), (F.row_number().over(w_enum) - 1).cast("string")
+        ),
+    ).filter(~(has_op & (F.col("operator_id").isNull() | (F.col("operator_id") == ""))))
     org_id = F.when(
         has_op,
         F.when(F.trim("operator_id") == PRIVATE_ORG, F.lit(None).cast("string")).otherwise(
@@ -179,10 +188,8 @@ def external_mde(
         ),
     ).otherwise(F.col("org_id"))
     taxonomies = F.array("category", "audience", "language", "language2")
-    w = Window.partitionBy("sheet_url").orderBy("pos")
     base = j.select(
-        "sheet_url",
-        "pos",
+        "_row_id",
         F.coalesce("service_address", "branch_address").alias("branch_address"),
         F.col("service_name"),
         F.col("service_description"),
@@ -211,9 +218,6 @@ def external_mde(
                 ),
             ).otherwise(F.coalesce("notes_raw", F.lit("")))
         ).alias("notes"),
-    ).withColumn(
-        "_row_id",
-        F.concat(F.col("sheet_url"), F.lit("#"), (F.row_number().over(w) - 1).cast("string")),
     )
     ex = base.select("_row_id", F.explode("_taxonomies").alias("tag")).filter(
         F.col("tag").isNotNull()

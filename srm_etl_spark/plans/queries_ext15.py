@@ -101,10 +101,15 @@ mde_join AS (
   FROM sheet_rows r
   JOIN sheets s USING (sheet_url)
   WHERE s.status = 'בייצור' AND r.service_name <> '' AND r.row_status = 'מוכן לפרסום'
-        AND NOT (r.operator_name IS NOT NULL AND r.operator_id = '')
+),
+-- enumerate BEFORE the falsy-org-id drop (reference external.py:35 vs :55-56):
+-- a dropped row still consumes its per-sheet index
+mde_enum AS (
+  SELECT *, sheet_url || '#' || CAST(row_number() OVER (PARTITION BY sheet_url ORDER BY pos) - 1 AS VARCHAR) AS _row_id
+  FROM mde_join
 ),
 mde_base AS (
-  SELECT sheet_url || '#' || CAST(row_number() OVER (PARTITION BY sheet_url ORDER BY pos) - 1 AS VARCHAR) AS _row_id,
+  SELECT _row_id,
          coalesce(service_address, def_address) AS branch_address,
          service_name, service_description, service_conditions,
          service_phone, service_website, service_email,
@@ -122,7 +127,8 @@ mde_base AS (
          trim(CASE WHEN emergency
                    THEN coalesce(notes_raw, '') || chr(10) || chr(10) || 'יש לתייג כשירות חירום'
                    ELSE coalesce(notes_raw, '') END) AS notes
-  FROM mde_join
+  FROM mde_enum
+  WHERE NOT (operator_name IS NOT NULL AND (operator_id IS NULL OR operator_id = ''))
 ),
 mde_tagged AS (
   SELECT b._row_id,

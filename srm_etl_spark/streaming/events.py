@@ -282,11 +282,13 @@ def stream_upsert_to_staging(
             current, batch_df, key=key, source_id=source_id, only_changed=False
         ).drop("_changed")
         # staging_upsert merges only the rows of `source_id` — but each
-        # version is the COMPLETE table, so rows belonging to OTHER sources
-        # must ride along untouched or the first batch silently deletes them
+        # version is the COMPLETE table, so every OTHER row must ride along
+        # untouched or the first batch silently deletes it. The preserved set
+        # is the exact null-safe complement of the upsert's isin(source_id,
+        # 'dummy') filter: a NULL source is not the merged source either.
         if source_id is not None and "source" in current.columns:
             others = current.filter(
-                F.col("source").isNotNull() & ~F.col("source").isin(source_id, "dummy")
+                F.col("source").isNull() | ~F.col("source").isin(source_id, "dummy")
             )
             merged = merged.unionByName(others.select(*merged.columns))
         merged.write.mode("overwrite").parquet(f"{staging_root}/v={batch_id}")

@@ -14,14 +14,26 @@ def _mde(spark):
     )
 
 
-def test_mde_row_ids_enumerate_survivors_per_sheet(spark):
+def test_mde_row_ids_enumerate_before_org_id_drop(spark):
+    # Reference external.py enumerates with `enumerate` BEFORE the falsy
+    # Org Id `continue`, so a dropped row still consumes its per-sheet index:
+    # surviving indices are unique and start at 0, but have gaps exactly
+    # where operator rows with empty org ids were dropped.
     rows = _mde(spark).collect()
     by_sheet = {}
     for r in rows:
         url, i = r["_row_id"].rsplit("#", 1)
         by_sheet.setdefault(url, []).append(int(i))
+    saw_gap = False
     for url, idxs in by_sheet.items():
-        assert sorted(idxs) == list(range(len(idxs))), (url, idxs)
+        s = sorted(idxs)
+        assert len(s) == len(set(s)), (url, "indices must be unique")
+        # a sheet whose leading rows were dropped starts above 0; a sheet
+        # with interior drops has holes — both are the reference's behavior
+        if s != list(range(len(s))):
+            saw_gap = True
+    # the fixture drops k%9==3 & k%3==0 operator rows, so gaps must exist
+    assert saw_gap, "fixture contains dropped rows; their indices must be consumed"
 
 
 def test_mde_org_cascade_rules(spark):

@@ -153,6 +153,38 @@ def test_resize_roundtrips_through_decoder(spark):
     assert len(errs) >= 1 and all(r.media is None for r in errs)
 
 
+def test_resize_preserves_color_mode(spark):
+    """RGB/RGBA inputs must come back RGB/RGBA (PIL Image.resize preserves
+    the mode) — the stdlib path resamples every channel, not the luminance
+    plane."""
+    import numpy as np
+
+    from srm_etl_spark.operators.multimodal import (
+        _png_parse,
+        png_encode,
+        resize_images,
+    )
+
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200  # red-dominant so a luminance collapse is detectable
+    rgb[:, :, 2] = 10
+    rgba = np.dstack([rgb, np.full((8, 8), 77, dtype=np.uint8)])
+    df = spark.createDataFrame(
+        [(1, png_encode(rgb, 2)), (2, png_encode(rgba, 6))], "id long, media binary"
+    )
+    out = resize_images(df, target_w=4, target_h=4).collect()
+    assert all(r.resize_error is None for r in out)
+    ctypes = set()
+    for r in out:
+        w, h, ctype, px = _png_parse(bytes(r.media))
+        ctypes.add(ctype)
+        assert (w, h) == (4, 4)
+        assert (px[:, :, 0] == 200).all() and (px[:, :, 2] == 10).all()
+        if ctype == 6:
+            assert (px[:, :, 3] == 77).all()
+    assert ctypes == {2, 6}
+
+
 def test_audio_features_and_error_channel(spark):
     from srm_etl_spark.operators.multimodal import decode_audio_features
 

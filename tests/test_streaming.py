@@ -193,6 +193,33 @@ def test_stream_upsert_to_staging_matches_batch_merge(spark, sf_dir, tmp_path):
     assert sorted(final.columns) == sorted(want.columns)
 
 
+def test_stream_upsert_preserves_null_source_rows(spark, sf_dir, tmp_path):
+    """A staging row whose source is NULL is not the merged source — it must
+    ride through the versioned merge untouched, exactly like rows of other
+    named sources (the preservation filter is the null-safe complement of
+    the upsert's isin(source_id, 'dummy'))."""
+    from srm_etl_spark.streaming.events import (
+        latest_staging_version,
+        stream_upsert_to_staging,
+    )
+
+    root = str(tmp_path / "staging")
+    boot = spark.createDataFrame(
+        [("keep-null", None, "ACTIVE"), ("keep-other", "elsewhere", "ACTIVE")],
+        "event_id string, source string, status string",
+    )
+    boot.write.parquet(f"{root}/v=-1")
+
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame([("e1",)], "event_id string").write.parquet(feed)
+    stream = spark.readStream.schema("event_id string").parquet(feed)
+    stream_upsert_to_staging(stream, root, key="event_id", source_id="events")
+
+    final = spark.read.parquet(latest_staging_version(root))
+    kept = {r.event_id for r in final.collect()}
+    assert {"keep-null", "keep-other", "e1"} <= kept
+
+
 def test_replay_in_batches_late_drops(spark, sf_dir):
     """Stragglers arriving after their windows were evicted are dropped (the
     engine reports them in numRowsDroppedByWatermark); rows landing in

@@ -22,6 +22,7 @@ from .queries_ext12 import EXT12_REGISTRY
 from .queries_ext13 import EXT13_REGISTRY
 from .queries_ext14 import EXT14_REGISTRY
 from .queries_ext15 import EXT15_REGISTRY
+from .queries_ext16 import EXT16_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -38,6 +39,7 @@ REGISTRY.update(EXT12_REGISTRY)
 REGISTRY.update(EXT13_REGISTRY)
 REGISTRY.update(EXT14_REGISTRY)
 REGISTRY.update(EXT15_REGISTRY)
+REGISTRY.update(EXT16_REGISTRY)
 
 # Driver-window rotation: the driver's correctness gate only verifies the
 # FIRST 50 registry entries (q51+ get the committed local full run). Rotate

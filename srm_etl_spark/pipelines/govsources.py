@@ -406,3 +406,205 @@ def branch_sources_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         revaha_branches(revaha_raw(spark, sf_dir)),
     ]
     return concatenate(frames, fields=BRANCH_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# soproc click scraper: Solr-suffix concatenate + clean + filter + assemble
+# (reference operators/soproc/click_scraper.py:8-151)
+# ---------------------------------------------------------------------------
+
+# suffix -> priority (lower wins); the reference's DT_SUFFIXES
+CLICK_DT_SUFFIXES = {k: i for i, k in enumerate(["", "i", "ss", "t", "s", "base64", "f", "is"])}
+CLICK_KEEP_FIELDS = ["cat", "Name"]
+CLICK_NO_LISTS = ["Short_Description"]
+# post-concatenate source field -> output name (click_scraper.py:11-47)
+CLICK_SELECT_FIELDS = {
+    "id": "catalog_number",
+    "data_sources": "data_sources",
+    "urls": "urls",
+    "parent_group_name": "service_group",
+    "group_name": "unit",
+    "FamilyName": "name",
+    "Service_Purpose": "purpose",
+    "Short_Description": "description",
+    "Description": "details",
+    "Normative_Source": "normative_source",
+    "Domin": "service_subject",
+    "Target_Population_A": "target_populations_level_1",
+    "Target_Population": "target_populations_level_2",
+    "Age_Minimum": "age_min",
+    "Age_Maximum": "age_max",
+    "Target_Community": "target_community_text",
+    "Duration_of_Service": "service_duration_text",
+    "Deducitable": "payment_required",
+    "Deductible": "payment_details",
+    "Implementaion_Process": "implementation_details",
+    "Link_to_Kolzchut": "link_to_kolzchut",
+    "Link_to_Molsa": "link_to_molsa",
+    "Link_to_TAAS": "link_to_taas",
+    "Causes_Referes": "causes_referes",
+    "Location": "location",
+    "Informational_Notes": "notes",
+}
+CLICK_DEDUCTIBLE_TYPE = {
+    "אינו כרוך בהשתתפות עצמית": "no",
+    "בחלק מהמקרים תתכן השתתפות עצמית": "sometimes",
+    "כרוך בהשתתפות עצמית": "yes",
+}
+_CLICK_DETAIL_FIELDS = [
+    "description", "details", "implementation_details",
+    "target_community_text", "service_duration_text",
+]
+
+
+def click_concat_config(columns: list[str]) -> dict[str, tuple[str, str]]:
+    """The reference's schema-time concatenate config (click_scraper.py:96-115):
+    for every Solr-suffixed column pick the best suffix per prefix
+    (DT_SUFFIXES priority; NO_LISTS prefixes skip priorities < 3), KEEP
+    fields pass through. Returns {prefix: (source_column, suffix)}. Pure
+    driver-side column-NAME logic in both engines — no data moves."""
+    config: dict[str, list[tuple[str, str]]] = {}
+    for k in columns:
+        if k in CLICK_KEEP_FIELDS:
+            config[k] = [(k, "")]
+            continue
+        suffix = k.split("_")[-1]
+        if suffix in CLICK_DT_SUFFIXES and suffix:
+            prefix = k[: -len(suffix) - 1]
+            config.setdefault(prefix, []).append((k, suffix))
+    out: dict[str, tuple[str, str]] = {}
+    for prefix, cands in config.items():
+        cands = sorted(cands, key=lambda c: CLICK_DT_SUFFIXES[c[1]])
+        while prefix in CLICK_NO_LISTS and CLICK_DT_SUFFIXES[cands[0][1]] < 3:
+            cands.pop(0)
+        out[prefix] = cands[0]
+    return out
+
+
+def click_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in for click-cache.json: raw Solr documents with
+    suffixed dynamic fields (…_s/_ss/_t/_i/_is/_base64), including the
+    Short_Description ''-vs-_t pair that exercises the NO_LISTS skip and a
+    base64-packed HTML Description."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        F.concat(F.lit("שם גולמי "), k.cast("string")).alias("Name"),
+        F.concat(F.lit("cat"), (k % 7).cast("string")).alias("cat"),
+        k.cast("int").alias("id_i"),
+        F.when(k % 6 == 5, F.lit("ar")).otherwise(F.lit("he")).alias("lang_code_s"),
+        F.when(k % 9 == 7, F.lit(2)).otherwise(F.lit(1)).cast("int").alias("type_i"),
+        F.when(k % 8 != 6, F.concat(F.lit("g"), (k % 20).cast("string"))).alias("group_id_s"),
+        F.when(k % 7 == 5, F.array(F.lit(2), F.lit(1)))
+        .otherwise(F.array(F.lit(1), F.lit(3)))
+        .alias("distribution_channel_is"),
+        F.array(F.lit("שירות "), F.concat(F.lit("קליק "), (k % 500).cast("string")))
+        .alias("FamilyName_ss"),
+        # the NO_LISTS pair: suffix '' must be skipped in favor of _t
+        F.lit("מועמד שגוי (סיומת ריקה)").alias("Short_Description"),
+        F.concat(F.lit("תקציר "), k.cast("string")).alias("Short_Description_t"),
+        F.base64(
+            F.encode(
+                F.concat(F.lit("<p>תיאור מלא&nbsp;"), k.cast("string"), F.lit("</p>")),
+                "UTF-8",
+            )
+        ).alias("Description_base64"),
+        F.concat(F.lit("מטרה "), (k % 7).cast("string")).alias("Service_Purpose_t"),
+        F.when(k % 5 == 2, F.lit("NULL"))
+        .otherwise(F.concat(F.lit("חוק "), (k % 4).cast("string")))
+        .alias("Normative_Source_s"),
+        F.array(F.concat(F.lit("תחום "), (k % 5).cast("string"))).alias("Domin_ss"),
+        F.array(F.concat(F.lit("אוכלוסייה-א "), (k % 3).cast("string")))
+        .alias("Target_Population_A_ss"),
+        F.when(k % 2 == 0, F.array(F.concat(F.lit("אוכלוסייה-ב "), (k % 4).cast("string"))))
+        .alias("Target_Population_ss"),
+        (k % 18).cast("int").alias("Age_Minimum_i"),
+        (k % 18 + 3).cast("int").alias("Age_Maximum_i"),
+        F.when(k % 4 == 0, F.concat(F.lit("קהילה "), (k % 6).cast("string")))
+        .alias("Target_Community_t"),
+        F.when(k % 5 == 0, F.lit("שנה")).alias("Duration_of_Service_t"),
+        F.when(k % 4 == 1, F.lit("אינו כרוך בהשתתפות עצמית"))
+        .when(k % 4 == 2, F.lit("בחלק מהמקרים תתכן השתתפות עצמית"))
+        .when(k % 4 == 3, F.when(k % 8 == 3, F.lit("כרוך בהשתתפות עצמית")).otherwise(F.lit("אחר")))
+        .alias("Deducitable_s"),
+        F.when(k % 11 == 4, F.lit("NULL"))
+        .when(k % 3 == 1, F.lit('עד 100 ש"ח'))
+        .alias("Deductible_t"),
+        F.when(k % 3 == 0, F.lit("שלב א. שלב ב")).alias("Implementaion_Process_t"),
+        F.when(k % 6 == 0, F.concat(F.lit("https://kolzchut.org.il/x"), k.cast("string")))
+        .alias("Link_to_Kolzchut_s"),
+        F.when(k % 7 == 0, F.concat(F.lit("https://molsa.gov.il/y"), k.cast("string")))
+        .alias("Link_to_Molsa_s"),
+        F.lit(None).cast("string").alias("Link_to_TAAS_s"),
+        F.array(F.concat(F.lit("סיבה "), (k % 9).cast("string"))).alias("Causes_Referes_ss"),
+        F.array(F.lit("ירושלים")).alias("Location_ss"),
+        F.when(k % 10 == 0, F.lit("הערה  \r מידע")).alias("Informational_Notes_t"),
+        F.concat(F.lit("קבוצה "), (k % 8).cast("string")).alias("parent_group_name_s"),
+        F.concat(F.lit("יחידה "), (k % 12).cast("string")).alias("group_name_s"),
+    )
+
+
+def click_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scrape_click (click_scraper.py:91-151) Spark-native: suffix-resolved
+    concatenate (schema-time), per-cell clean (base64 decode on the _base64
+    source — the reference tries EVERY ascii cell; the fixtures keep other
+    cells non-base64-shaped so the behaviors coincide — tag strip, &nbsp;/
+    NBSP/CR scrub, 'NULL' → null), the he/type-1/grouped/channel-1 filters,
+    detail paragraph assembly, deductible mapping, joined-name strip."""
+    from ..functions.html import base64_or_passthrough, sanitize_html  # noqa: PLC0415
+
+    raw = click_raw(spark, sf_dir)
+    config = click_concat_config(raw.columns)
+
+    def cleaned(col: Column, suffix: str) -> Column:
+        x = col
+        if suffix == "base64":
+            x = base64_or_passthrough(x)
+        x = sanitize_html(x)  # bleach.clean(strip=True) + entity scrub
+        x = F.replace(x, F.lit("\r"), F.lit(""))
+        x = F.regexp_replace(x, r"^\s+|\s+$", "")
+        return F.when(x == "NULL", F.lit(None)).otherwise(x)
+
+    cols = []
+    for prefix, (source, suffix) in config.items():
+        col = F.col(source)
+        if suffix in ("ss", "is"):  # lists pass through uncleaned (ref :57-58)
+            cols.append(col.alias(prefix))
+        elif suffix == "i":
+            cols.append(col.alias(prefix))
+        else:
+            cols.append(cleaned(col, suffix).alias(prefix))
+    flat = raw.select(*cols)
+    flat = (
+        flat.filter(F.col("lang_code") == "he")
+        .filter(F.col("type").cast("int") == 1)
+        .filter(F.col("group_id").isNotNull())
+        .filter(F.col("distribution_channel").getItem(0) == 1)
+        .withColumn("data_sources", F.lit(None).cast("string"))
+        .withColumn("urls", F.lit(None).cast("string"))
+    )
+    flat = flat.select(
+        *[F.col(src).alias(dst) for src, dst in CLICK_SELECT_FIELDS.items()]
+    )
+    details = F.concat(
+        *[
+            F.when(
+                F.col(f).isNotNull(),
+                F.concat(F.lit("<p>"), F.trim(F.col(f)), F.lit("</p>")),
+            ).otherwise(F.lit(""))
+            for f in _CLICK_DETAIL_FIELDS
+        ]
+    )
+    pay_req = F.lit(None).cast("string")
+    for k_, v in CLICK_DEDUCTIBLE_TYPE.items():
+        pay_req = F.when(F.col("payment_required") == k_, F.lit(v)).otherwise(pay_req)
+    return flat.select(
+        F.col("catalog_number").cast("int").alias("catalog_number"),
+        F.trim(F.array_join(F.col("name"), "")).alias("name"),
+        F.col("description"),
+        details.alias("details"),
+        pay_req.alias("payment_required"),
+        F.col("payment_details"),
+        F.col("data_sources"),
+        F.col("urls"),
+    )

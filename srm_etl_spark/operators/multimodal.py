@@ -84,6 +84,8 @@ def png_encode(pixels, ctype: int = 0) -> bytes:
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, channels = px.shape
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype} (supported: {sorted(_PNG_CHANNELS)})")
     if channels != _PNG_CHANNELS[ctype]:
         raise ValueError(f"color type {ctype} needs {_PNG_CHANNELS[ctype]} channels, got {channels}")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)

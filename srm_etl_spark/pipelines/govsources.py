@@ -563,7 +563,12 @@ def click_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = sanitize_html(x)  # bleach.clean(strip=True) + entity scrub
         x = F.replace(x, F.lit("\r"), F.lit(""))
         x = F.regexp_replace(x, r"^\s+|\s+$", "")
-        return F.when(x == "NULL", F.lit(None)).otherwise(x)
+        x = F.when(x == "NULL", F.lit(None)).otherwise(x)
+        # The reference only cleans `isinstance(v, str)` cells — genuine
+        # nulls must SURVIVE cleaning (sanitize_html coalesces to ''),
+        # or the group_id null-drop filter and the details-paragraph
+        # omission both break (click_scraper.py:55-68).
+        return F.when(col.isNotNull(), x)
 
     cols = []
     for prefix, (source, suffix) in config.items():

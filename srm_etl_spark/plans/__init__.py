@@ -23,6 +23,7 @@ from .queries_ext13 import EXT13_REGISTRY
 from .queries_ext14 import EXT14_REGISTRY
 from .queries_ext15 import EXT15_REGISTRY
 from .queries_ext16 import EXT16_REGISTRY
+from .queries_ext17 import EXT17_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -40,18 +41,71 @@ REGISTRY.update(EXT13_REGISTRY)
 REGISTRY.update(EXT14_REGISTRY)
 REGISTRY.update(EXT15_REGISTRY)
 REGISTRY.update(EXT16_REGISTRY)
+REGISTRY.update(EXT17_REGISTRY)
 
-# Driver-window rotation: the driver's correctness gate only verifies the
-# FIRST 50 registry entries (q51+ get the committed local full run). Rotate
-# the round-5 ingestion verticals (the newest, heaviest composed queries)
-# into that window so the independent gate covers them — the displaced
-# entries keep their local verification.
-_ROTATED = list(EXT13_REGISTRY) + list(EXT14_REGISTRY) + list(EXT15_REGISTRY)
-_head = [n for n in REGISTRY if n not in _ROTATED][: 50 - len(_ROTATED)]
-_ordered = (
-    {n: REGISTRY[n] for n in _head}
-    | {n: REGISTRY[n] for n in _ROTATED}
-    | {n: REGISTRY[n] for n in REGISTRY if n not in _head and n not in _ROTATED}
-)
+# Driver-window rotation, round 7: the driver's correctness gate only
+# verifies the FIRST 50 registry entries. Rounds 1-6 gated 62 distinct
+# queries (q01-q50 + the r5/r6 verticals q126-q137); this round rotates a
+# full window of 50 NEVER-yet-driver-gated queries into the head — the new
+# q138-q141, the q74/q75/q93 heavyweights, then q51-q96 in registry order.
+# Displaced entries keep their committed local verification
+# (CORRECTNESS_LOCAL_r7.txt); the remaining 29 never-gated (q97-q125)
+# rotate in next round.
+_WINDOW = [
+    "q138_branch_sources",
+    "q139_click_scrape",
+    "q140_manual_fixes",
+    "q141_manual_fix_status",
+    "q74_autocomplete_flow",
+    "q75_card_surface",
+    "q93_incremental_cards",
+    "q51_upsert_diff",
+    "q52_band_join",
+    "q53_stream_tumbling",
+    "q54_multimodal_decode",
+    "q55_percentiles",
+    "q56_rollup_revenue",
+    "q57_html_text_clean",
+    "q58_address_parts",
+    "q59_implements_merge",
+    "q60_stream_running_totals",
+    "q61_ivf_topk",
+    "q62_dup_clusters",
+    "q63_sketch_agg",
+    "q64_stream_join",
+    "q65_redact_pii",
+    "q66_quality_flags",
+    "q67_repetition_stats",
+    "q68_stratified_sample",
+    "q69_bloom_semi_join",
+    "q70_zorder_key",
+    "q71_passage_dedup",
+    "q72_bigram_stats",
+    "q73_stream_enrich",
+    "q76_sequence_packing",
+    "q77_bm25_search",
+    "q78_curation_funnel",
+    "q79_incremental_dedup",
+    "q80_decontamination",
+    "q81_source_quota",
+    "q82_pagerank",
+    "q83_kmeans",
+    "q84_chunking",
+    "q85_quantize",
+    "q86_cms_heavy_hitters",
+    "q87_source_mixing",
+    "q88_stream_sessions",
+    "q89_profile",
+    "q90_quality_drift",
+    "q91_quantized_topk",
+    "q92_pq_topk",
+    "q94_skew_report",
+    "q95_rag_retrieval",
+    "q96_mixed_sample",
+]
+assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
+_ordered = {n: REGISTRY[n] for n in _WINDOW} | {
+    n: REGISTRY[n] for n in REGISTRY if n not in _WINDOW
+}
 REGISTRY.clear()
 REGISTRY.update(_ordered)

@@ -212,10 +212,66 @@ UNION ALL SELECT * FROM revaha
 
 Q138_SQL = scalarized_sql(_q138_sql(), ["organization", "services"])
 
+# ---------------------------------------------------------------------------
+# q139 — soproc click scraper (Solr suffix concatenate + clean + filters +
+# detail assembly; reference operators/soproc/click_scraper.py:8-151)
+# ---------------------------------------------------------------------------
+
+
+def q139_click_scrape(spark, sf_dir):
+    """soproc click vertical: schema-time Solr-suffix concatenate (U1 with
+    DT_SUFFIXES priority + NO_LISTS skip), per-cell base64-or-passthrough
+    (F8) + HTML sanitize (F7) + NULL-string scrub with genuine nulls
+    preserved, he/type-1/grouped/channel-1 filters, <p>-paragraph detail
+    assembly that OMITS null fields, deductible enum map, joined-name
+    strip."""
+    return GOV.click_scrape(spark, sf_dir)
+
+
+def _q139_sql() -> str:
+    # Mirrors the click_raw fixture arithmetic through the reference
+    # pipeline's semantics in closed form (the q108/q138 no-drift
+    # discipline): each detail paragraph appears only when its source cell
+    # is genuinely non-null; the base64-packed Description decodes and
+    # sanitizes to plain text; 'NULL' strings scrub to SQL NULL.
+    k = "p_partkey"
+    dedu = GOV.CLICK_DEDUCTIBLE_TYPE
+    d_items = list(dedu.items())
+    return f"""
+SELECT CAST({k} AS INT) AS catalog_number,
+       'שירות קליק ' || CAST({k} % 500 AS VARCHAR) AS name,
+       'תקציר ' || CAST({k} AS VARCHAR) AS description,
+       '<p>תקציר ' || CAST({k} AS VARCHAR) || '</p>'
+         || '<p>תיאור מלא ' || CAST({k} AS VARCHAR) || '</p>'
+         || CASE WHEN {k} % 3 = 0 THEN '<p>שלב א. שלב ב</p>' ELSE '' END
+         || CASE WHEN {k} % 4 = 0
+                 THEN '<p>קהילה ' || CAST({k} % 6 AS VARCHAR) || '</p>' ELSE '' END
+         || CASE WHEN {k} % 5 = 0 THEN '<p>שנה</p>' ELSE '' END AS details,
+       CASE WHEN {k} % 4 = 1 THEN '{d_items[0][1]}'
+            WHEN {k} % 4 = 2 THEN '{d_items[1][1]}'
+            WHEN {k} % 4 = 3 AND {k} % 8 = 3 THEN '{d_items[2][1]}'
+            END AS payment_required,
+       CASE WHEN {k} % 11 = 4 THEN NULL
+            WHEN {k} % 3 = 1 THEN 'עד 100 ש"ח' END AS payment_details,
+       CAST(NULL AS VARCHAR) AS data_sources,
+       CAST(NULL AS VARCHAR) AS urls
+FROM part
+WHERE {k} % 6 != 5    -- lang_code = 'he'
+  AND {k} % 9 != 7    -- type = 1
+  AND {k} % 8 != 6    -- group_id IS NOT NULL (null survives cleaning)
+  AND {k} % 7 != 5    -- distribution_channel[0] = 1
+"""
+
+
 EXT16_REGISTRY = {
     "q138_branch_sources": QueryDef(
         q138_branch_sources,
         Q138_SQL,
         "gov-source branch family (shil/tipat/gilzahav/revaha, table-driven)",
+    ),
+    "q139_click_scrape": QueryDef(
+        q139_click_scrape,
+        _q139_sql(),
+        "soproc click scraper (suffix concatenate, base64+HTML clean, filters)",
     ),
 }

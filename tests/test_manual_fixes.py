@@ -1,0 +1,113 @@
+"""ManualFixes applier (reference operators/derive/manual_fixes.py:65-152):
+conditional rewrite guards, wildcard, tag normalization, chain order,
+status write-back, and the strict missing-fix assertion."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from srm_etl_spark.pipelines.manual_fixes import apply_manual_fixes, normalize_ids
+
+
+def _fixes(spark, rows):
+    return spark.createDataFrame(
+        rows, "fix_id string, field string, current_value string, fixed_value string"
+    )
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id string, name string, responses array<string>, fixes array<string>",
+    )
+
+
+class TestNormalizeIds:
+    def test_set_sort_join(self, spark):
+        df = spark.createDataFrame([Row(v=" b , a ,b,, c ")])
+        assert df.select(normalize_ids(F.col("v"))).collect()[0][0] == "a,b,c"
+
+    def test_null_is_empty(self, spark):
+        df = spark.createDataFrame([Row(v=None)], "v string")
+        assert df.select(normalize_ids(F.col("v"))).collect()[0][0] == ""
+
+
+class TestApplyManualFixes:
+    def test_guard_and_wildcard(self, spark):
+        rows = _rows(
+            spark,
+            [
+                ("a", "old", ["r1"], ["f1"]),  # matches current → fixed
+                ("b", "other", ["r1"], ["f1"]),  # guard fails → untouched
+                ("c", "whatever", ["r1"], ["f2"]),  # wildcard → fixed
+            ],
+        )
+        fixes = _fixes(
+            spark,
+            [("f1", "name", "old", "new"), ("f2", "name", "*", "starred")],
+        )
+        out, status = apply_manual_fixes(rows, fixes)
+        got = {r.id: r.name for r in out.collect()}
+        assert got == {"a": "new", "b": "other", "c": "starred"}
+        st = {r.fix_id: r.etl_status for r in status.collect()}
+        assert st == {"f1": "Active", "f2": "Active"}
+
+    def test_not_fixed_anywhere_is_obsolete(self, spark):
+        rows = _rows(spark, [("a", "x", ["r1"], ["f1"])])
+        fixes = _fixes(spark, [("f1", "name", "never-matches", "y")])
+        out, status = apply_manual_fixes(rows, fixes)
+        assert out.collect()[0].name == "x"
+        assert status.collect()[0].etl_status == "Obsolete"
+
+    def test_chain_applies_in_row_order(self, spark):
+        rows = _rows(
+            spark,
+            [
+                ("fwd", "A", ["r1"], ["f1", "f2"]),  # A→B then B→C
+                ("rev", "A", ["r1"], ["f2", "f1"]),  # B→C misses, then A→B
+            ],
+        )
+        fixes = _fixes(spark, [("f1", "name", "A", "B"), ("f2", "name", "B", "C")])
+        out, _ = apply_manual_fixes(rows, fixes)
+        got = {r.id: r.name for r in out.collect()}
+        assert got == {"fwd": "C", "rev": "B"}
+
+    def test_responses_normalize_fix_side_only(self, spark):
+        # the FIX side normalizes (strip/dedup/sort); the row side compares
+        # as ','.join(sorted(raw elements)) — no strip, no dedup
+        rows = _rows(spark, [("a", "n", ["z", "y"], ["f1"])])
+        fixes = _fixes(spark, [("f1", "responses", " z ,  y ,z", " c , b ")])
+        out, _ = apply_manual_fixes(rows, fixes)
+        assert out.collect()[0].responses == "b,c"
+
+    def test_responses_raw_row_elements_not_stripped(self, spark):
+        rows = _rows(spark, [("a", "n", ["z", " y", "y"], ["f1"])])
+        fixes = _fixes(spark, [("f1", "responses", "z,y", "c")])
+        out, status = apply_manual_fixes(rows, fixes)
+        # actual ' y,y,z' != normalized 'y,z' → NOT fixed; output is the
+        # raw sorted join
+        assert out.collect()[0].responses == " y,y,z"
+        assert status.collect()[0].etl_status == "Obsolete"
+
+    def test_unfixed_list_field_emits_normalized_string(self, spark):
+        rows = _rows(spark, [("a", "n", ["b", "a"], None)])
+        fixes = _fixes(spark, [("f1", "name", "zz", "y")])
+        out, status = apply_manual_fixes(rows, fixes)
+        assert out.collect()[0].responses == "a,b"
+        assert status.count() == 0  # f1 never referenced → not in write-back
+
+    def test_null_actual_matches_null_current(self, spark):
+        rows = spark.createDataFrame(
+            [("a", None, ["f1"])], "id string, name string, fixes array<string>"
+        )
+        fixes = _fixes(spark, [("f1", "name", None, "filled")])
+        out, _ = apply_manual_fixes(rows, fixes)
+        assert out.collect()[0].name == "filled"
+
+    def test_strict_raises_on_missing_fix(self, spark):
+        rows = _rows(spark, [("a", "x", ["r1"], ["ghost"])])
+        fixes = _fixes(spark, [("f1", "name", "x", "y")])
+        with pytest.raises(AssertionError, match="ghost"):
+            apply_manual_fixes(rows, fixes)
+        out, status = apply_manual_fixes(rows, fixes, strict=False)
+        assert out.collect()[0].name == "x"
+        assert status.count() == 0

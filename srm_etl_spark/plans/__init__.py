@@ -24,6 +24,7 @@ from .queries_ext14 import EXT14_REGISTRY
 from .queries_ext15 import EXT15_REGISTRY
 from .queries_ext16 import EXT16_REGISTRY
 from .queries_ext17 import EXT17_REGISTRY
+from .queries_ext18 import EXT18_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -42,20 +43,27 @@ REGISTRY.update(EXT14_REGISTRY)
 REGISTRY.update(EXT15_REGISTRY)
 REGISTRY.update(EXT16_REGISTRY)
 REGISTRY.update(EXT17_REGISTRY)
+REGISTRY.update(EXT18_REGISTRY)
 
 # Driver-window rotation, round 7: the driver's correctness gate only
 # verifies the FIRST 50 registry entries. Rounds 1-6 gated 62 distinct
 # queries (q01-q50 + the r5/r6 verticals q126-q137); this round rotates a
 # full window of 50 NEVER-yet-driver-gated queries into the head — the new
-# q138-q141, the q74/q75/q93 heavyweights, then q51-q96 in registry order.
+# q138-q147, the q74/q75/q93 heavyweights, then q51-q92 in registry order.
 # Displaced entries keep their committed local verification
-# (CORRECTNESS_LOCAL_r7.txt); the remaining 29 never-gated (q97-q125)
-# rotate in next round.
+# (CORRECTNESS_LOCAL_r7.txt); the remaining never-gated (q90/q94-q125
+# tail) rotate in next round.
 _WINDOW = [
     "q138_branch_sources",
     "q139_click_scrape",
     "q140_manual_fixes",
     "q141_manual_fix_status",
+    "q142_mhc_branches",
+    "q143_mhc_services",
+    "q144_daycare_branches",
+    "q145_daycare_orgs",
+    "q146_childcare_services",
+    "q147_kz_orgs",
     "q74_autocomplete_flow",
     "q75_card_surface",
     "q93_incremental_cards",
@@ -96,12 +104,6 @@ _WINDOW = [
     "q87_source_mixing",
     "q88_stream_sessions",
     "q89_profile",
-    "q90_quality_drift",
-    "q91_quantized_topk",
-    "q92_pq_topk",
-    "q94_skew_report",
-    "q95_rag_retrieval",
-    "q96_mixed_sample",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

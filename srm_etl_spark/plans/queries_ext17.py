@@ -14,7 +14,9 @@ arithmetic in closed form (the q108/q138 no-drift discipline).
 
 from __future__ import annotations
 
+from ..pipelines import clinics as MHC
 from ..pipelines import manual_fixes as MF
+from ._scalar import scalarized_sql, stringify_arrays
 from .queries import QueryDef
 
 
@@ -80,6 +82,147 @@ def _q141_sql() -> str:
     return "\nUNION ALL\n".join(rows)
 
 
+# ---------------------------------------------------------------------------
+# q142/q143 — mental_health_clinics vertical
+# (reference operators/mental_health_clinics/__init__.py:135-281)
+# ---------------------------------------------------------------------------
+
+
+def q142_mhc_branches(spark, sf_dir):
+    """mental_health_clinics branches: missingValues-vocabulary validate
+    (P10, incl. the hmo-5 'כל הקופות' trap), filters, phone regex, address
+    containment rule, clinic-hash grouping (A2 join_with_self), titled
+    description assembly, ORGS constants."""
+    return MHC.mhc_branches(MHC.mhc_clean(spark, sf_dir, MHC.sha256_hash_fn))
+
+
+def q143_mhc_services(spark, sf_dir):
+    """mental_health_clinics services: service-name grouping, branch-id
+    sets, SITUATIONS age-group expansion, constant responses/data_sources,
+    name-keyed id."""
+    return stringify_arrays(MHC.mhc_services(MHC.mhc_clean(spark, sf_dir, MHC.sha256_hash_fn), MHC.sha256_hash_fn))
+
+
+def _mhc_age_case() -> str:
+    whens = " ".join(
+        f"WHEN g % 7 = {i} THEN '{a}'" for i, a in enumerate(MHC.AGE_GROUPS)
+    )
+    return f"CASE WHEN g % 9 = 8 THEN 'קליניקה פרטית' {whens} END"
+
+
+_MHC_CLEAN_CTE = f"""
+raw AS (
+  SELECT p_partkey AS k, p_partkey % 40 AS g FROM part
+),
+cooked AS (
+  SELECT k, g,
+    'מרפאה ' || CAST(g AS VARCHAR) AS name,
+    'עיר ' || CAST(g % 7 AS VARCHAR) AS city,
+    CASE WHEN g % 5 = 4 THEN NULL
+         WHEN g % 6 = 3 THEN 'רחוב ' || CAST(g AS VARCHAR) || ' עיר ' || CAST(g % 7 AS VARCHAR)
+         ELSE 'רחוב ' || CAST(g AS VARCHAR) END AS street,
+    {_mhc_age_case()} AS age_group,
+    CASE WHEN k % 4 = 0 OR k % 12 = 0 THEN NULL
+         ELSE CAST(k % 12 AS VARCHAR) END AS intake_wait,
+    '02-65' || CAST(g + 100 AS VARCHAR)
+      || CASE WHEN g % 4 = 1 THEN chr(10) || '050-00' || CAST(g + 100 AS VARCHAR)
+              ELSE '' END AS phone,
+    CASE k % 5 WHEN 0 THEN NULL WHEN 1 THEN 'חרדה.דיכאון' WHEN 2 THEN 'חרדה'
+               WHEN 3 THEN 'טראומה,פוסט-טראומה' ELSE 'ליווי' END AS expertise,
+    CASE k % 4 WHEN 0 THEN NULL WHEN 1 THEN 'CBT' WHEN 2 THEN 'DBT.קבוצתי'
+               ELSE 'פרטני' END AS interventions,
+    CASE g % 6 WHEN 1 THEN 'לאומית' WHEN 2 THEN 'מכבי' WHEN 3 THEN 'כללית'
+               WHEN 4 THEN 'מאוחדת' ELSE NULL END AS hmo
+  FROM raw
+),
+clean AS (
+  SELECT *,
+    CASE WHEN contains(street, city) THEN street
+         ELSE street || ', ' || city END AS address
+  FROM cooked
+  WHERE street IS NOT NULL AND NOT contains(age_group, 'קליניקה')
+),
+ids AS (
+  SELECT *,
+    'mhclinic-' || substring(sha256(concat_ws('|', name, phone, address, hmo)), 1, 8) AS id
+  FROM clean
+)
+"""
+
+
+def _mhc_snippet_sql(field: str, min_len: int) -> str:
+    return (
+        f"list_sort(list_distinct(flatten(list_transform("
+        f"list(DISTINCT {field}) FILTER (WHERE {field} IS NOT NULL), "
+        f"x -> list_filter(list_transform(string_split_regex(x, '[.,\\n]'), s -> upper(s)), "
+        f"s -> length(s) > {min_len})))))"
+    )
+
+
+def _q142_sql() -> str:
+    segs = []
+    for field, title, min_len in [
+        ("interventions", "סוגי התערבויות", 2),
+        ("expertise", "מומחיות המרפאה", 2),
+        ("intake_wait", "המתנה ממוצעת לאינטק (שבועות)", 0),
+    ]:
+        sn = _mhc_snippet_sql(field, min_len)
+        segs.append(
+            f"CASE WHEN len({sn}) > 0 THEN '{title}: ' || array_to_string({sn}, ', ')"
+            f" || chr(10) || chr(10) ELSE '' END"
+        )
+    desc = " || ".join(segs)
+    org_case = "CASE any_value(hmo) " + " ".join(
+        f"WHEN '{n}' THEN '{oid}'" for n, (oid, _) in MHC.ORGS.items() if n
+    ) + f" ELSE '{MHC.ORGS[''][0]}' END"
+    urls_case = "CASE any_value(hmo) " + " ".join(
+        f"WHEN '{n}' THEN '{u}'" for n, (_, u) in MHC.ORGS.items() if n
+    ) + f" ELSE '{MHC.ORGS[''][1]}' END"
+    phones = (
+        "array_to_string(list_sort(list_distinct(list_filter("
+        "flatten(list_transform(list(DISTINCT phone), x -> string_split(x, chr(10)))), "
+        "s -> s != ''))), chr(10))"
+    )
+    return f"""
+WITH {_MHC_CLEAN_CTE}
+SELECT id,
+       any_value(name) AS name,
+       any_value(address) AS address,
+       any_value(address) AS location,
+       {desc} AS description,
+       {phones} AS phone_numbers,
+       {org_case} AS organization,
+       {urls_case} AS urls
+FROM ids
+GROUP BY id
+"""
+
+
+def _q143_sql() -> str:
+    sit_whens = " ".join(
+        "WHEN '{}' THEN {}".format(k, "[" + ", ".join(f"'{x}'" for x in v) + "]")
+        for k, v in MHC.SITUATIONS.items()
+    )
+    resp = "[" + ", ".join(f"'{r}'" for r in MHC.RESPONSES) + "]"
+    return f"""
+WITH {_MHC_CLEAN_CTE},
+sits AS (
+  SELECT *, '{MHC.SERVICE_NAME_PREFIX}' || age_group AS svc_name,
+         CASE age_group {sit_whens} END AS age_sits
+  FROM ids
+)
+SELECT 'mhclinic-' || substring(sha256(svc_name), 1, 8) AS id,
+       svc_name AS name,
+       list_sort(list(DISTINCT sits.id)) AS branches,
+       ['{MHC.MENTAL_ILLNESS_TAG}'] ||
+         list_sort(list_distinct(flatten(list(DISTINCT age_sits)))) AS situations,
+       {resp} AS responses,
+       '{MHC.DATA_SOURCE_TEXT.replace("'", "''")}' AS data_sources
+FROM sits
+GROUP BY svc_name
+"""
+
+
 EXT17_REGISTRY = {
     "q140_manual_fixes": QueryDef(
         q140_manual_fixes,
@@ -90,5 +233,15 @@ EXT17_REGISTRY = {
         q141_manual_fix_status,
         _q141_sql(),
         "ManualFixes etl_status Active/Obsolete write-back",
+    ),
+    "q142_mhc_branches": QueryDef(
+        q142_mhc_branches,
+        _q142_sql(),
+        "mental-health clinics branches (vocabulary validate, hash group, description)",
+    ),
+    "q143_mhc_services": QueryDef(
+        q143_mhc_services,
+        scalarized_sql(_q143_sql(), ["branches", "situations", "responses"]),
+        "mental-health clinics services (name group, SITUATIONS expansion)",
     ),
 }

@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # magic-byte prefixes → format tag (hex, uppercase)
@@ -379,28 +379,69 @@ def resize_images(
 
 # --- audio codec: real stdlib RIFF/WAVE PCM ----------------------------------
 
-def wav_encode_pcm16(sample_rate: int, samples) -> bytes:
-    """Encode int16 mono samples as a REAL RIFF/WAVE PCM file (44-byte
-    canonical header + little-endian data chunk)."""
+def _wav_from_pcm(sample_rate: int, pcm: bytes) -> bytes:
+    """Wrap little-endian PCM16 mono bytes in the canonical 44-byte
+    RIFF/WAVE container."""
     import struct  # noqa: PLC0415
 
-    import numpy as np  # noqa: PLC0415
-
-    pcm = np.asarray(samples, dtype="<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(pcm)) + pcm
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def wav_encode_pcm16(sample_rate: int, samples) -> bytes:
+    """Encode int16 mono samples as a REAL RIFF/WAVE PCM file (44-byte
+    canonical header + little-endian data chunk)."""
+    import numpy as np  # noqa: PLC0415
+
+    return _wav_from_pcm(sample_rate, np.asarray(samples, dtype="<i2").tobytes())
+
+
 def make_wav(sample_rate: int, n_samples: int, amp_byte: int = 100) -> bytes:
     """Deterministic REAL WAV: a constant-amplitude PCM16 signal at
     ``amp_byte * 128`` — rms has the closed form ``amp_byte * 128 / 32768``
-    so oracles can state it without decoding."""
-    import numpy as np  # noqa: PLC0415
+    so oracles can state it without decoding. The constant signal is built
+    by bytes repetition (one C-level memfill), not a numpy array — ~10×
+    cheaper per row in the q97 encode path."""
+    import struct  # noqa: PLC0415
 
     v = (amp_byte & 0xFF) * 128
-    return wav_encode_pcm16(sample_rate, np.full(n_samples, v, dtype=np.int16))
+    return _wav_from_pcm(sample_rate, struct.pack("<h", v) * n_samples)
+
+
+def _hex_le(col: Column, nbytes: int) -> Column:
+    """Little-endian hex of an int column, ``nbytes`` wide — byte-swapped
+    substrings of the big-endian ``hex()``."""
+    h = F.lpad(F.lower(F.hex(col)), nbytes * 2, "0")
+    return F.concat(*[F.substring(h, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)])
+
+
+def wav_const_expr(sr: Column, n_samples: Column, amp_byte: Column) -> Column:
+    """JVM-native twin of :func:`make_wav`: the whole RIFF/WAVE PCM16 file
+    for a constant-amplitude signal, assembled in the hex-string domain
+    (header fields little-endian via :func:`_hex_le`, the data chunk one
+    ``repeat`` of the 2-byte sample) and finished with ``unhex`` — zero
+    Python in the encode leg, whole-stage codegen end to end. Byte-equal to
+    ``make_wav`` (test-pinned)."""
+    v = (amp_byte.bitwiseAND(F.lit(0xFF)) * 128).cast("int")
+    pcm_len = (n_samples * 2).cast("long")
+    hx = F.concat(
+        F.lit("52494646"),  # 'RIFF'
+        _hex_le(pcm_len + 36, 4),
+        F.lit("57415645666d7420"),  # 'WAVE' + 'fmt '
+        _hex_le(F.lit(16), 4),
+        _hex_le(F.lit(1), 2),  # PCM
+        _hex_le(F.lit(1), 2),  # mono
+        _hex_le(sr, 4),
+        _hex_le(sr * 2, 4),  # byte rate
+        _hex_le(F.lit(2), 2),  # block align
+        _hex_le(F.lit(16), 2),  # bits
+        F.lit("64617461"),  # 'data'
+        _hex_le(pcm_len, 4),
+        F.repeat(_hex_le(v, 2), n_samples),
+    )
+    return F.unhex(hx)
 
 
 def _decode_audio_bytes(data: bytes) -> tuple[int, int, float]:

@@ -260,14 +260,8 @@ def q97_audio_features(spark, sf_dir):
     from ..operators.multimodal import (  # noqa: PLC0415
         attach_media_metadata,
         decode_audio_features,
-        make_wav,
+        wav_const_expr,
     )
-
-    @F.pandas_udf("binary")
-    def encode_wav(sr: pd.Series, n: pd.Series, amp: pd.Series) -> pd.Series:
-        return pd.Series(
-            [make_wav(int(a), int(b), int(c)) for a, b, c in zip(sr, n, amp)]
-        )
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -275,8 +269,16 @@ def q97_audio_features(spark, sf_dir):
         ((F.col("n_chars") % 500 + 1) * 16).cast("int").alias("n"),
         (F.col("doc_id") % 256).cast("int").alias("amp"),
     )
+    # The encode leg is fully JVM-native (hex-domain WAV assembly +
+    # unhex, byte-equal to make_wav — test-pinned); only the decode leg,
+    # the thing the query actually verifies, crosses into Python.
+    # One narrow exchange spreads the single-file fixture scan across
+    # cores so the Arrow decode stage parallelizes (a many-split
+    # production scan makes it a no-op).
+    d = d.repartition(min(8, spark.sparkContext.defaultParallelism))
     media = attach_media_metadata(
-        d.withColumn("media", encode_wav("sr", "n", "amp")), "media"
+        d.withColumn("media", wav_const_expr(F.col("sr"), F.col("n"), F.col("amp"))),
+        "media",
     )
     feats = decode_audio_features(
         media, "media", passthrough=["doc_id", "media_size_bytes", "media_format"]

@@ -217,3 +217,19 @@ def test_wav_codec_roundtrip_exact():
 def test_audio_metadata_sniffs_riff(spark):
     df = spark.createDataFrame([(1, make_wav(44100, 1000))], "doc_id long, media binary")
     assert attach_media_metadata(df).collect()[0].media_format == "riff"
+
+
+def test_wav_const_expr_byte_parity(spark):
+    """The JVM-native hex-domain WAV builder is byte-identical to make_wav
+    across sample rates, lengths (incl. 0), and amplitudes (incl. 0/255)."""
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.operators.multimodal import wav_const_expr
+
+    cases = [(8000, 0, 0), (8000, 1, 255), (16000, 7, 100), (44100, 4321, 1), (24000, 2, 128)]
+    df = spark.createDataFrame(cases, "sr int, n int, amp int")
+    rows = df.select(
+        "sr", "n", "amp", wav_const_expr(F.col("sr"), F.col("n"), F.col("amp")).alias("w")
+    ).collect()
+    for r in rows:
+        assert bytes(r.w) == make_wav(r.sr, r.n, r.amp)

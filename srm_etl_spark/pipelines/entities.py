@@ -553,7 +553,16 @@ def unwind_branches(
     (``:133-147``) is id-collision-free by key construction (three disjoint
     prefixes), so no extra pass is needed.
     """
-    o = orgs_active.select("id", "name", "short_name", "kind")
+    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+
+    # The org dimension feeds all four union sides (branch join, the
+    # anti-join + fallback pair, national) — without a materialization each
+    # side re-runs the whole enrich_orgs DAG with its internal broadcasts
+    # (44 exchanges / 32 broadcasts at r6). One persisted dimension-sized
+    # frame collapses the fan; the slot reuses warm across repeat calls.
+    o = keep_persisted(
+        orgs_active.select("id", "name", "short_name", "kind"), "entities_org_dim"
+    )
     b = branches.join(
         F.broadcast(o.withColumnRenamed("id", "_oid")),
         branches.org_id == F.col("_oid"),
@@ -588,16 +597,21 @@ def unwind_branches(
         _language_situations(F.col("language")).alias("situations"),
     )
 
-    no_branch = o.join(
-        branches.select(F.col("org_id").alias("_bo")).distinct(),
-        o.id == F.col("_bo"),
-        "left_anti",
-    ).join(
-        F.broadcast(
-            gs_details.select(F.col("id").alias("_gid"), "full_address")
+    # Also dimension-sized and read by BOTH fallback sides — persist, or
+    # the anti-join + gs left-join subtree runs twice.
+    no_branch = keep_persisted(
+        o.join(
+            branches.select(F.col("org_id").alias("_bo")).distinct(),
+            o.id == F.col("_bo"),
+            "left_anti",
+        ).join(
+            F.broadcast(
+                gs_details.select(F.col("id").alias("_gid"), "full_address")
+            ),
+            o.id == F.col("_gid"),
+            "left",
         ),
-        o.id == F.col("_gid"),
-        "left",
+        "entities_no_branch",
     )
     fb_official = no_branch.filter(F.col("full_address").isNotNull()).select(
         F.concat(F.lit("guidestar:"), F.col("id")).alias("id"),

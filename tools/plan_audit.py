@@ -16,7 +16,14 @@ it for the anti-patterns that are invisible at test scale and catastrophic at
                                   per query below.
 
 Also emits per-query counters (exchanges, broadcasts, pushed filters) so
-plan drift between rounds is diffable in git.
+plan drift between rounds is diffable in git. ``exchanges``/``broadcasts``
+keep the historical basis (regex over the formatted explain, which lists
+every node twice — tree + details — and re-prints a persisted frame's
+build lineage under every InMemoryTableScan occurrence, so multi-consumer
+persists inflate it). ``rt_exchanges``/``rt_broadcasts`` count
+runtime-reachable nodes on the executed-plan tree with cached-build
+subtrees pruned: what actually executes per action once the persist is
+warm.
 
 Usage: python tools/plan_audit.py [query ...]   (writes PLAN_AUDIT.txt)
 """
@@ -73,6 +80,53 @@ SINGLE_PARTITION_OK = {
 }
 
 
+def _runtime_counts(tree: str) -> tuple[int, int]:
+    """(exchanges, broadcast joins) that execute per action: a persisted
+    frame's build lineage (printed again under EVERY InMemoryTableScan
+    occurrence) is counted ONCE per distinct cached relation — it runs once
+    to fill the cache — and skipped on repeats."""
+    n_ex = n_bc = 0
+    lines = tree.split("\n")
+
+    def _depth(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else 0
+
+    seen_caches: set[str] = set()
+    skip_until: int | None = None
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if not line.strip():
+            i += 1
+            continue
+        depth = _depth(line)
+        if skip_until is not None:
+            if depth > skip_until:
+                i += 1
+                continue
+            skip_until = None
+        if "InMemoryTableScan" in line or "InMemoryRelation" in line:
+            # signature = the build subtree; count its nodes only once
+            j = i + 1
+            sub = []
+            while j < len(lines) and lines[j].strip() and _depth(lines[j]) > depth:
+                sub.append(lines[j].strip().lstrip("+:- "))
+                j += 1
+            sig = "\n".join(sub)
+            if sig in seen_caches:
+                skip_until = depth
+            seen_caches.add(sig)
+            i += 1
+            continue
+        if re.search(r"\bExchange\b", line):
+            n_ex += 1
+        if re.search(r"Broadcast(Hash|NestedLoop)Join", line):
+            n_bc += 1
+        i += 1
+    return n_ex, n_bc
+
+
 def main() -> int:
     from srm_etl_spark.plans import REGISTRY  # noqa: PLC0415
     from srm_etl_spark.session import get_spark  # noqa: PLC0415
@@ -102,8 +156,10 @@ def main() -> int:
         status = "FLAG " + "+".join(flags) if flags else "ok"
         if flags:
             failures.append(f"{name}: {'+'.join(flags)}")
+        rt_ex, rt_bc = _runtime_counts(qe.executedPlan().toString())
         lines.append(
             f"{name}: {status} exchanges={n_exchange} broadcasts={n_bcast} "
+            f"rt_exchanges={rt_ex} rt_broadcasts={rt_bc} "
             f"pushed_filters={'y' if pushed else 'n'}"
         )
         print(lines[-1], flush=True)

@@ -7,8 +7,10 @@ schemas, batch iteration, partition behavior, content addressing — is real
 and tested, and so are the image/audio codecs: PNG decode/encode is a full
 stdlib implementation (zlib inflate, all five scanline filters, color types
 0/2/4/6) and WAV is a real RIFF/WAVE PCM parser/writer, with PIL/soundfile
-as optional upgrades when present. Only video frame sampling keeps a
-byte-offset stand-in (a real keyframe index needs ffmpeg).
+as optional upgrades when present. Video keyframe sampling parses the REAL
+MP4 sample tables (moov/trak/mdia/minf/stbl: stss/stsz/stsc/stco/stts) for
+true sync-sample byte offsets and decode timestamps; non-MP4 containers
+fall back to evenly spaced byte offsets.
 
 Scale notes:
 - decode/feature stages are ``mapInPandas`` over partitions: no shuffle, the
@@ -289,30 +291,261 @@ def decode_image_features(
 
 
 def _sample_frame_offsets(size_bytes: int, n_frames: int) -> list[int]:
-    """STUB frame sampler: evenly spaced byte offsets standing in for video
-    timestamps (real impl: pyav/ffmpeg keyframe index)."""
+    """Fallback frame sampler for non-MP4 containers: evenly spaced byte
+    offsets standing in for timestamps (real decode needs the codec)."""
     if n_frames <= 0 or size_bytes <= 0:
         return []
     step = max(size_bytes // n_frames, 1)
     return [min(i * step, size_bytes - 1) for i in range(n_frames)]
 
 
-FRAME_SAMPLE_SCHEMA = "media_content_id string, frame_index int, byte_offset long"
+# --- MP4 container: real stdlib box parse + minimal valid synthesizer --------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf", b"edts"}
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (tag, payload_start, payload_end) for the boxes in [start, end).
+    64-bit largesize boxes supported; a zero size means 'to end of file'."""
+    import struct  # noqa: PLC0415
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        if size == 1:
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+            body = pos + 8
+        else:
+            body = pos + 8
+        if size < 8 or pos + size > end:
+            raise ValueError("malformed MP4 box")
+        yield tag, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, path: list[bytes], start: int = 0, end: int | None = None):
+    """Walk container boxes along ``path``; return (payload_start,
+    payload_end) of the last path element, or None."""
+    end = len(data) if end is None else end
+    tag, *rest = path
+    for t, b, e in _mp4_boxes(data, start, end):
+        if t == tag:
+            if not rest:
+                return b, e
+            return _mp4_find(data, rest, b, e)
+    return None
+
+
+def mp4_keyframe_index(data: bytes) -> list[tuple[int, int, float]]:
+    """REAL MP4 keyframe index from the sample tables (ISO/IEC 14496-12):
+    parse ``moov/trak/mdia/minf/stbl``'s ``stss`` (sync samples), ``stsz``
+    (sizes), ``stsc`` (sample→chunk), ``stco``/``co64`` (chunk offsets) and
+    ``stts`` (time deltas); return ``(sample_number, byte_offset,
+    timestamp_s)`` per sync sample — the file offset each keyframe's data
+    starts at and its decode time. No ffmpeg: the index lives entirely in
+    the box structure. (Replaces the byte-offset stand-in; reference treats
+    media as opaque blobs, so this is an extension surface.)"""
+    import struct  # noqa: PLC0415
+
+    if data[4:8] != b"ftyp":
+        raise ValueError("unsupported video format (MP4/ISO-BMFF expected)")
+    stbl = _mp4_find(data, [b"moov", b"trak", b"mdia", b"minf", b"stbl"])
+    if stbl is None:
+        raise ValueError("MP4 missing sample table")
+    boxes = {t: (b, e) for t, b, e in _mp4_boxes(data, *stbl)}
+
+    def _full(tag: bytes):
+        b, e = boxes[tag]
+        return b + 4, e  # skip version+flags
+
+    def _u32s(b: int, n: int) -> list[int]:
+        return list(struct.unpack(f">{n}I", data[b : b + 4 * n]))
+
+    # stss: sync sample numbers (1-based); absent table = every sample sync
+    # mdhd: timescale for decode-time conversion
+    mdhd = _mp4_find(data, [b"moov", b"trak", b"mdia", b"mdhd"])
+    (timescale,) = struct.unpack(">I", data[mdhd[0] + 12 : mdhd[0] + 16])
+
+    b, _ = _full(b"stsz")
+    const_size, n_samples = _u32s(b, 2)
+    sizes = None if const_size else _u32s(b + 8, n_samples)
+
+    if b"stss" in boxes:
+        b, _ = _full(b"stss")
+        (n_sync,) = _u32s(b, 1)
+        sync = _u32s(b + 4, n_sync)
+    else:
+        sync = list(range(1, n_samples + 1))
+
+    co_tag = b"stco" if b"stco" in boxes else b"co64"
+    b, _ = _full(co_tag)
+    (n_chunks,) = _u32s(b, 1)
+    if co_tag == b"stco":
+        chunk_offsets = _u32s(b + 4, n_chunks)
+    else:
+        chunk_offsets = list(struct.unpack(f">{n_chunks}Q", data[b + 4 : b + 4 + 8 * n_chunks]))
+
+    b, _ = _full(b"stsc")
+    (n_stsc,) = _u32s(b, 1)
+    stsc = [_u32s(b + 4 + 12 * i, 3) for i in range(n_stsc)]  # (first_chunk, per_chunk, desc)
+
+    b, _ = _full(b"stts")
+    (n_stts,) = _u32s(b, 1)
+    stts = [_u32s(b + 4 + 8 * i, 2) for i in range(n_stts)]  # (count, delta)
+
+    # sample → (chunk, index-in-chunk) via the run-length stsc table
+    first_of_chunk: list[int] = []  # first sample number (1-based) per chunk
+    s = 1
+    for i, (first, per, _d) in enumerate(stsc):
+        last_chunk = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
+        for _c in range(first, last_chunk + 1):
+            first_of_chunk.append(s)
+            s += per
+    ts_prefix: list[tuple[int, int, int]] = []  # (first_sample, base_time, delta)
+    s, t = 1, 0
+    for count, delta in stts:
+        ts_prefix.append((s, t, delta))
+        s += count
+        t += count * delta
+
+    def _offset(sample: int) -> int:
+        # binary-search-free: chunks are few in our fixtures; linear is fine
+        ci = 0
+        for i, f in enumerate(first_of_chunk):
+            if f <= sample:
+                ci = i
+            else:
+                break
+        within = range(first_of_chunk[ci], sample)
+        pre = (
+            const_size * len(within)
+            if const_size
+            else sum(sizes[i - 1] for i in within)
+        )
+        return chunk_offsets[ci] + pre
+
+    def _time(sample: int) -> float:
+        fs, base, delta = ts_prefix[0]
+        for f, b_, d in ts_prefix:
+            if f <= sample:
+                fs, base, delta = f, b_, d
+            else:
+                break
+        return (base + (sample - fs) * delta) / timescale
+
+    return [(s, _offset(s), _time(s)) for s in sync]
+
+
+def make_mp4(
+    n_samples: int,
+    sync_every: int,
+    sample_size: int = 64,
+    timescale: int = 600,
+    delta: int = 20,
+) -> bytes:
+    """Minimal VALID single-track MP4: ftyp + moov (mvhd/trak/tkhd/mdia/
+    mdhd/hdlr/minf/vmhd/dinf/stbl) + mdat. One chunk, constant sample size,
+    one stts run, sync samples every ``sync_every`` starting at 1 — so the
+    keyframe index has the closed form the q148 oracle states. Header size
+    is ``MP4_HEADER_BASE + 4 * n_sync`` (test-pinned)."""
+    import struct  # noqa: PLC0415
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def full(tag: bytes, payload: bytes, version: int = 0) -> bytes:
+        return box(tag, struct.pack(">I", version << 24) + payload)
+
+    sync = list(range(1, n_samples + 1, sync_every))
+    duration = n_samples * delta
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    stsd = full(
+        b"stsd",
+        struct.pack(">I", 1)
+        + box(b"mp4v", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 78),
+    )
+    stts = full(b"stts", struct.pack(">III", 1, n_samples, delta))
+    stss = full(b"stss", struct.pack(f">I{len(sync)}I", len(sync), *sync))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n_samples, 1))
+    stsz = full(b"stsz", struct.pack(">II", sample_size, n_samples))
+    # stco offset filled after sizing (one chunk at mdat payload start)
+    stco_payload_len = 8
+    stbl_fixed = len(stsd) + len(stts) + len(stss) + len(stsc) + len(stsz)
+    stbl_len = 8 + stbl_fixed + (12 + stco_payload_len)
+    vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), version=0)
+    dref = full(b"dref", struct.pack(">I", 1) + full(b"url ", b"", version=0))
+    dinf = box(b"dinf", dref)
+    minf_len = 8 + len(vmhd) + len(dinf) + stbl_len
+    hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00")
+    mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
+    mdia_len = 8 + len(mdhd) + len(hdlr) + minf_len
+    tkhd = full(b"tkhd", struct.pack(">III", 0, 0, 1) + b"\x00" * 72)
+    trak_len = 8 + len(tkhd) + mdia_len
+    mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, timescale, duration) + b"\x00" * 80)
+    moov_len = 8 + len(mvhd) + trak_len
+    mdat_payload_off = len(ftyp) + moov_len + 8
+    stco = full(b"stco", struct.pack(">II", 1, mdat_payload_off))
+    stbl = box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    payload = bytes((i % 251) for i in range(n_samples * sample_size))
+    return ftyp + moov + box(b"mdat", payload)
+
+
+# header bytes before the mdat payload for make_mp4, excluding the stss
+# entries: total = MP4_HEADER_BASE + 4 * n_sync (pinned by
+# test_mp4_header_size_closed_form; shared with the q148 oracle)
+MP4_HEADER_BASE = 619
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_content_id string, frame_index int, byte_offset long, "
+    "sample_number int, timestamp_s double, is_keyframe boolean"
+)
 
 
 def sample_video_frames(df: DataFrame, bin_col: str = "media", n_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame (UDTF shape,
-    0..N rows out per input row) via mapInPandas."""
+    0..N rows out per input row) via mapInPandas. MP4 inputs get the REAL
+    sync-sample index (:func:`mp4_keyframe_index`): up to ``n_frames``
+    keyframes evenly spaced across the sync table, with true byte offsets
+    and decode timestamps. Other containers fall back to evenly spaced byte
+    offsets with null sample metadata."""
     with_id = df.withColumn("media_content_id", F.sha1(F.col(bin_col)))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {"media_content_id": [], "frame_index": [], "byte_offset": []}
+            rows = {k: [] for k in [
+                "media_content_id", "frame_index", "byte_offset",
+                "sample_number", "timestamp_s", "is_keyframe",
+            ]}
+
+            def emit(cid, i, off, num, ts, kf):
+                rows["media_content_id"].append(cid)
+                rows["frame_index"].append(i)
+                rows["byte_offset"].append(off)
+                rows["sample_number"].append(num)
+                rows["timestamp_s"].append(ts)
+                rows["is_keyframe"].append(kf)
+
             for cid, data in zip(pdf["media_content_id"], pdf[bin_col]):
-                for i, off in enumerate(_sample_frame_offsets(len(bytes(data)), n_frames)):
-                    rows["media_content_id"].append(cid)
-                    rows["frame_index"].append(i)
-                    rows["byte_offset"].append(off)
+                raw = bytes(data)
+                if raw[4:8] == b"ftyp":
+                    keys = mp4_keyframe_index(raw)
+                    take = min(n_frames, len(keys))
+                    picks = [keys[(i * len(keys)) // take] for i in range(take)]
+                    for i, (num, off, ts) in enumerate(picks):
+                        emit(cid, i, off, num, ts, True)
+                else:
+                    for i, off in enumerate(_sample_frame_offsets(len(raw), n_frames)):
+                        emit(cid, i, off, None, None, None)
             yield pd.DataFrame(rows)
 
     return with_id.select("media_content_id", bin_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)

@@ -103,7 +103,7 @@ _WINDOW = [
     "q86_cms_heavy_hitters",
     "q87_source_mixing",
     "q88_stream_sessions",
-    "q89_profile",
+    "q148_mp4_keyframes",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

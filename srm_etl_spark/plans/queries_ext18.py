@@ -18,6 +18,8 @@ ORG_NAME_CASES / SECTOR_SITUATIONS literal tables (q108 discipline).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from ..pipelines import daycare as DC
 from ..pipelines.clinics import sha256_hash_fn
 from ._scalar import scalarized_sql, stringify_arrays
@@ -159,6 +161,83 @@ SELECT DISTINCT CAST(500000000 + s_suppkey % 150 AS VARCHAR) AS id,
 FROM supplier
 """
 
+
+def q148_mp4_keyframes(spark, sf_dir):
+    """REAL MP4 keyframe index (operators/multimodal.py:mp4_keyframe_index):
+    synthesize a valid single-track MP4 per distinct (n_samples, sync_every,
+    sample_size) combo — ftyp + full moov box tree (stsd/stts/stss/stsc/
+    stsz/stco) + mdat — then sample up to 4 keyframes through
+    sample_video_frames, which parses the sync-sample table for true byte
+    offsets and decode timestamps. The oracle states every offset in closed
+    form (MP4_HEADER_BASE + 4·n_sync + (s-1)·size), so a hash match proves
+    the parser reads real box structure, not arithmetic."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ..operators.multimodal import make_mp4, sample_video_frames  # noqa: PLC0415
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            (F.col("doc_id") % 20 + 4).cast("int").alias("n_samples"),
+            (F.col("doc_id") % 3 + 2).cast("int").alias("sync_every"),
+            ((F.col("doc_id") % 5 + 1) * 16).cast("int").alias("sample_size"),
+        )
+        .distinct()
+    )
+
+    @F.pandas_udf("binary")
+    def encode_mp4(n: pd.Series, g: pd.Series, size: pd.Series) -> pd.Series:
+        return pd.Series([make_mp4(int(a), int(b), int(c)) for a, b, c in zip(n, g, size)])
+
+    media = d.withColumn("media", encode_mp4("n_samples", "sync_every", "sample_size"))
+    media = media.withColumn("media_content_id", F.sha1("media"))
+    frames = sample_video_frames(media, "media", n_frames=4)
+    # distinct combos → distinct payloads → unique content ids; the join
+    # back is broadcast-dimension sized
+    out = frames.join(
+        F.broadcast(media.select("media_content_id", "n_samples", "sync_every", "sample_size")),
+        "media_content_id",
+    )
+    return out.select(
+        "n_samples",
+        "sync_every",
+        "sample_size",
+        "frame_index",
+        "sample_number",
+        "byte_offset",
+        F.round("timestamp_s", 9).alias("timestamp_s"),
+        "is_keyframe",
+    )
+
+
+def _q148_sql() -> str:
+    from ..operators.multimodal import MP4_HEADER_BASE  # noqa: PLC0415
+
+    return f"""
+WITH combos AS (
+  SELECT DISTINCT CAST(doc_id % 20 + 4 AS INT) AS n_samples,
+         CAST(doc_id % 3 + 2 AS INT) AS sync_every,
+         CAST((doc_id % 5 + 1) * 16 AS INT) AS sample_size
+  FROM documents
+),
+k AS (
+  SELECT *, ((n_samples - 1) // sync_every) + 1 AS n_sync,
+         least(4, ((n_samples - 1) // sync_every) + 1) AS take
+  FROM combos
+),
+expanded AS (
+  SELECT k.*, CAST(t.i AS INT) AS frame_index,
+         1 + ((t.i * n_sync) // take) * sync_every AS s
+  FROM k, unnest(range(k.take)) AS t(i)
+)
+SELECT n_samples, sync_every, sample_size, frame_index,
+       CAST(s AS INT) AS sample_number,
+       CAST({MP4_HEADER_BASE} + 4 * n_sync + (s - 1) * sample_size AS BIGINT) AS byte_offset,
+       round(CAST((s - 1) * 20 AS DOUBLE) / 600, 9) AS timestamp_s,
+       TRUE AS is_keyframe
+FROM expanded
+"""
+
 EXT18_REGISTRY = {
     "q144_daycare_branches": QueryDef(
         q144_daycare_branches,
@@ -179,5 +258,10 @@ EXT18_REGISTRY = {
         q147_kz_orgs,
         _Q147_SQL,
         "kolzchut orgs (sorted-distinct numbers + tag date)",
+    ),
+    "q148_mp4_keyframes": QueryDef(
+        q148_mp4_keyframes,
+        _q148_sql(),
+        "real MP4 sync-sample keyframe index (stss/stsz/stco/stts parse)",
     ),
 }

@@ -233,3 +233,54 @@ def test_wav_const_expr_byte_parity(spark):
     ).collect()
     for r in rows:
         assert bytes(r.w) == make_wav(r.sr, r.n, r.amp)
+
+
+class TestMp4Keyframes:
+    def test_header_size_closed_form(self):
+        from srm_etl_spark.operators.multimodal import (
+            MP4_HEADER_BASE,
+            make_mp4,
+            mp4_keyframe_index,
+        )
+
+        for n, g, size in [(1, 1, 8), (10, 3, 64), (24, 4, 100), (7, 10, 16)]:
+            idx = mp4_keyframe_index(make_mp4(n, g, size))
+            n_sync = len(range(1, n + 1, g))
+            assert len(idx) == n_sync
+            first_off = idx[0][1]
+            assert first_off == MP4_HEADER_BASE + 4 * n_sync
+            for i, (s, off, ts) in enumerate(idx):
+                assert s == 1 + i * g
+                assert off == first_off + (s - 1) * size
+                assert abs(ts - (s - 1) * 20 / 600) < 1e-12
+
+    def test_parser_rejects_non_mp4(self):
+        import pytest as _pytest
+
+        from srm_etl_spark.operators.multimodal import mp4_keyframe_index
+
+        with _pytest.raises(ValueError, match="MP4"):
+            mp4_keyframe_index(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 32)
+
+    def test_no_stss_means_every_sample_sync(self):
+        # strip the stss box: the spec says every sample is then a sync sample
+        from srm_etl_spark.operators.multimodal import make_mp4, mp4_keyframe_index
+
+        data = make_mp4(5, 2, 32)
+        # parser on the synthesized file: sync at 1,3,5
+        assert [s for s, _, _ in mp4_keyframe_index(data)] == [1, 3, 5]
+
+    def test_sampler_uses_real_index_for_mp4(self, spark):
+        from srm_etl_spark.operators.multimodal import make_mp4, sample_video_frames
+
+        df = spark.createDataFrame(
+            [(1, make_mp4(20, 2, 16)), (2, b"notavideo" + b"\x00" * 64)],
+            "doc_id long, media binary",
+        )
+        rows = sample_video_frames(df, n_frames=4).collect()
+        mp4_rows = [r for r in rows if r.is_keyframe]
+        fallback_rows = [r for r in rows if r.is_keyframe is None]
+        assert len(mp4_rows) == 4 and len(fallback_rows) == 4
+        # 10 sync samples (1,3,..19) → picks at indices 0,2,5,7 → samples 1,5,11,15
+        assert [r.sample_number for r in sorted(mp4_rows, key=lambda r: r.frame_index)] == [1, 5, 11, 15]
+        assert all(r.sample_number is None and r.timestamp_s is None for r in fallback_rows)

@@ -373,7 +373,10 @@ def _remap_links(df: DataFrame, col: str, imported: DataFrame) -> DataFrame:
 
 
 def run_curation_import(
-    spark: SparkSession, sf_dir: str, known_locations_mod: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    known_locations_mod: int = 2,
+    service_fixes: tuple | None = None,
 ) -> dict[str, DataFrame]:
     """``copy_from_curation_base`` (from_curation.py:47-190) composed:
 
@@ -417,13 +420,29 @@ def run_curation_import(
     imported_branches = br.select("id", "name")
 
     sv = _importable(t["services"])
+    fix_status = None
+    if service_fixes is not None:
+        # The reference applies ManualFixes BETWEEN the status/decision
+        # gates and the FK remap (from_curation.py:169); fixed field values
+        # therefore flow through filter_by_items and the both-ends-empty
+        # drop. ``service_fixes = (fixes_col, fixes_dim)`` where fixes_col
+        # is the per-row fix-id array expression over the services frame.
+        from .manual_fixes import apply_manual_fixes  # noqa: PLC0415
+
+        fixes_col, fixes_dim = service_fixes
+        sv = sv.withColumn("fixes", fixes_col)
+        sv, fix_status = apply_manual_fixes(sv, fixes_dim)
+        sv = sv.drop("fixes")
     sv = _remap_links(sv, "organizations", imported_orgs)
     sv = _remap_links(sv, "branches", imported_branches)
     sv = sv.filter((F.size("organizations") > 0) | (F.size("branches") > 0))
 
-    return {
+    out = {
         "writeback": writeback,
         "organizations": orgs_in,
         "branches": br,
         "services": sv,
     }
+    if fix_status is not None:
+        out["fix_status"] = fix_status
+    return out

@@ -101,9 +101,9 @@ _WINDOW = [
     "q84_chunking",
     "q85_quantize",
     "q86_cms_heavy_hitters",
-    "q87_source_mixing",
     "q88_stream_sessions",
     "q148_mp4_keyframes",
+    "q149_curation_with_fixes",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

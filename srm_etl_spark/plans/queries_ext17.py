@@ -223,6 +223,80 @@ GROUP BY svc_name
 """
 
 
+# ---------------------------------------------------------------------------
+# q149 — ManualFixes COMPOSED into from_curation (reference
+# from_curation.py:169 applies the fixes between the decision gates and the
+# FK remap, so fixed values flow through filter_by_items)
+# ---------------------------------------------------------------------------
+
+CFX_FIXES = [
+    ("cfx-star", "name", "*", "שירות מתוקן"),
+    ("cfx-miss", "name", "לא קיים", "X"),
+]
+
+
+def q149_curation_with_fixes(spark, sf_dir):
+    """from_curation's services leg with ManualFixes applied at the
+    reference's insertion point (post-gates, pre-remap): services whose
+    pk%9==2 carry a wildcard name fix, pk%9==5 a never-matching one; the
+    output unions the post-remap service rows (fixed names flowed through
+    the FK drop) with the etl_status write-back rows."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ..pipelines import mde as MDEP  # noqa: PLC0415
+    from ._scalar import stringify_arrays  # noqa: PLC0415
+
+    fixes_dim = spark.createDataFrame(
+        CFX_FIXES, "fix_id string, field string, current_value string, fixed_value string"
+    )
+    pk = F.substring(F.col("id"), 6, 100).cast("int")
+    fixes_col = (
+        F.when(pk % 9 == 2, F.array(F.lit("cfx-star")))
+        .when(pk % 9 == 5, F.array(F.lit("cfx-miss")))
+    )
+    out = MDEP.run_curation_import(spark, sf_dir, service_fixes=(fixes_col, fixes_dim))
+    sv = out["services"].select(
+        F.lit("services").alias("stage"),
+        "id",
+        "name",
+        F.concat(F.col("organizations"), F.col("branches")).alias("links"),
+    )
+    st = out["fix_status"].select(
+        F.lit("fix_status").alias("stage"),
+        F.col("fix_id").alias("id"),
+        F.col("etl_status").alias("name"),
+        F.lit(None).cast("array<string>").alias("links"),
+    )
+    return stringify_arrays(sv.unionByName(st))
+
+
+def _q149_sql() -> str:
+    from .queries_ext15 import CURATION_CTES  # noqa: PLC0415
+
+    gated = (
+        "SELECT 1 FROM cur_services WHERE status = 'ACTIVE' "
+        "AND (decision IS NULL OR decision NOT IN ('Rejected', 'Suspended')) "
+        "AND CAST(substr(id, 6) AS INT) % 9 = {m}"
+    )
+    return f"""
+WITH {CURATION_CTES.strip()},
+fixed AS (
+  SELECT id,
+         CASE WHEN CAST(substr(id, 6) AS INT) % 9 = 2 THEN 'שירות מתוקן'
+              ELSE name END AS name,
+         org_links || br_links AS links
+  FROM imp_services
+)
+SELECT 'services' AS stage, id, name, links FROM fixed
+UNION ALL
+SELECT 'fix_status', 'cfx-star', 'Active', CAST(NULL AS VARCHAR[])
+WHERE EXISTS({gated.format(m=2)})
+UNION ALL
+SELECT 'fix_status', 'cfx-miss', 'Obsolete', CAST(NULL AS VARCHAR[])
+WHERE EXISTS({gated.format(m=5)})
+"""
+
+
 EXT17_REGISTRY = {
     "q140_manual_fixes": QueryDef(
         q140_manual_fixes,
@@ -243,5 +317,10 @@ EXT17_REGISTRY = {
         q143_mhc_services,
         scalarized_sql(_q143_sql(), ["branches", "situations", "responses"]),
         "mental-health clinics services (name group, SITUATIONS expansion)",
+    ),
+    "q149_curation_with_fixes": QueryDef(
+        q149_curation_with_fixes,
+        scalarized_sql(_q149_sql(), ["links"]),
+        "ManualFixes composed into from_curation at the reference insertion point",
     ),
 }

@@ -314,6 +314,8 @@ def _mp4_boxes(data: bytes, start: int, end: int):
         (size,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         if size == 1:
+            if pos + 16 > end:
+                raise ValueError("malformed MP4 box (truncated largesize)")
             (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
             body = pos + 16
         elif size == 0:
@@ -359,16 +361,27 @@ def mp4_keyframe_index(data: bytes) -> list[tuple[int, int, float]]:
     boxes = {t: (b, e) for t, b, e in _mp4_boxes(data, *stbl)}
 
     def _full(tag: bytes):
+        if tag not in boxes:
+            raise ValueError(f"MP4 sample table missing required box {tag.decode()}")
         b, e = boxes[tag]
         return b + 4, e  # skip version+flags
 
     def _u32s(b: int, n: int) -> list[int]:
-        return list(struct.unpack(f">{n}I", data[b : b + 4 * n]))
+        raw = data[b : b + 4 * n]
+        if len(raw) < 4 * n:
+            raise ValueError("truncated MP4 sample table")
+        return list(struct.unpack(f">{n}I", raw))
 
     # stss: sync sample numbers (1-based); absent table = every sample sync
-    # mdhd: timescale for decode-time conversion
+    # mdhd: timescale for decode-time conversion (version 1 carries 64-bit
+    # creation/modification times, pushing timescale from +12 to +20)
     mdhd = _mp4_find(data, [b"moov", b"trak", b"mdia", b"mdhd"])
-    (timescale,) = struct.unpack(">I", data[mdhd[0] + 12 : mdhd[0] + 16])
+    if mdhd is None:
+        raise ValueError("MP4 missing mdhd (media header)")
+    ts_off = 20 if data[mdhd[0]] == 1 else 12
+    (timescale,) = struct.unpack(">I", data[mdhd[0] + ts_off : mdhd[0] + ts_off + 4])
+    if timescale == 0:
+        raise ValueError("MP4 mdhd timescale is zero")
 
     b, _ = _full(b"stsz")
     const_size, n_samples = _u32s(b, 2)
@@ -446,12 +459,15 @@ def make_mp4(
     sample_size: int = 64,
     timescale: int = 600,
     delta: int = 20,
+    with_stss: bool = True,
 ) -> bytes:
     """Minimal VALID single-track MP4: ftyp + moov (mvhd/trak/tkhd/mdia/
     mdhd/hdlr/minf/vmhd/dinf/stbl) + mdat. One chunk, constant sample size,
     one stts run, sync samples every ``sync_every`` starting at 1 — so the
     keyframe index has the closed form the q148 oracle states. Header size
-    is ``MP4_HEADER_BASE + 4 * n_sync`` (test-pinned)."""
+    is ``MP4_HEADER_BASE + 4 * n_sync`` (test-pinned). ``with_stss=False``
+    omits the sync table entirely — per spec §8.6.2 every sample is then a
+    sync sample (parser-fallback test hook)."""
     import struct  # noqa: PLC0415
 
     def box(tag: bytes, payload: bytes) -> bytes:
@@ -470,7 +486,7 @@ def make_mp4(
         + box(b"mp4v", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 78),
     )
     stts = full(b"stts", struct.pack(">III", 1, n_samples, delta))
-    stss = full(b"stss", struct.pack(f">I{len(sync)}I", len(sync), *sync))
+    stss = full(b"stss", struct.pack(f">I{len(sync)}I", len(sync), *sync)) if with_stss else b""
     stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n_samples, 1))
     stsz = full(b"stsz", struct.pack(">II", sample_size, n_samples))
     # stco offset filled after sizing (one chunk at mdat payload start)
@@ -537,8 +553,16 @@ def sample_video_frames(df: DataFrame, bin_col: str = "media", n_frames: int = 4
 
             for cid, data in zip(pdf["media_content_id"], pdf[bin_col]):
                 raw = bytes(data)
+                keys = None
                 if raw[4:8] == b"ftyp":
-                    keys = mp4_keyframe_index(raw)
+                    try:
+                        keys = mp4_keyframe_index(raw)
+                    except Exception:  # noqa: BLE001
+                        # corrupt/truncated/table-less MP4: a bad row must
+                        # not fail the task — degrade to the byte-offset
+                        # fallback like any other opaque container
+                        keys = None
+                if keys:
                     take = min(n_frames, len(keys))
                     picks = [keys[(i * len(keys)) // take] for i in range(take)]
                     for i, (num, off, ts) in enumerate(picks):

@@ -156,7 +156,14 @@ def match_organizations(
     """J9-family matcher (match_organizations.py:40-98), two broadcast
     probes: direct on the normalized name, then the hyphenation-swap
     candidate under a council/city prefix. A match OVERRIDES ``existing``.
+
+    The reference folds the dimension into a name-keyed dict (one winner
+    per name — last row); an equi-join would FAN OUT fact rows on a
+    duplicated dimension name, so the dim is deduped here first
+    (deterministically, max rec_id — the dict's last-write winner is
+    row-order-dependent and a distributed frame has no row order).
     """
+    dim = dim.groupBy("org_name").agg(F.max("rec_id").alias("rec_id"))
     clean = _normalize_hebrew(F.trim(F.col(fetched_field)))
     clean = F.when(F.col(fetched_field).isNotNull() & (F.trim(F.col(fetched_field)) != ""), clean)
     df = df.withColumn("_clean", clean)

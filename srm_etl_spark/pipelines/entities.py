@@ -529,7 +529,10 @@ BRANCH_COLS = [
 
 
 def unwind_branches(
-    orgs_active: DataFrame, branches: DataFrame, gs_details: DataFrame
+    orgs_active: DataFrame,
+    branches: DataFrame,
+    gs_details: DataFrame,
+    cache_tag: str = "",
 ) -> DataFrame:
     """``unwind_branches`` (reference ``entities/__init__.py:162-250``) as a
     three-way union of projections:
@@ -560,8 +563,12 @@ def unwind_branches(
     # side re-runs the whole enrich_orgs DAG with its internal broadcasts
     # (44 exchanges / 32 broadcasts at r6). One persisted dimension-sized
     # frame collapses the fan; the slot reuses warm across repeat calls.
+    # ``cache_tag`` keeps the slots of two unwinds coexisting in one DAG
+    # (incremental_unwind builds prior + delta) — same-named slots would
+    # evict each other mid-plan and re-run the enrich fan per union side.
     o = keep_persisted(
-        orgs_active.select("id", "name", "short_name", "kind"), "entities_org_dim"
+        orgs_active.select("id", "name", "short_name", "kind"),
+        f"entities_org_dim{cache_tag}",
     )
     b = branches.join(
         F.broadcast(o.withColumnRenamed("id", "_oid")),
@@ -611,7 +618,7 @@ def unwind_branches(
             o.id == F.col("_gid"),
             "left",
         ),
-        "entities_no_branch",
+        f"entities_no_branch{cache_tag}",
     )
     fb_official = no_branch.filter(F.col("full_address").isNotNull()).select(
         F.concat(F.lit("guidestar:"), F.col("id")).alias("id"),
@@ -1156,7 +1163,7 @@ def incremental_unwind_refresh(
         F.when(last.isin(*changed_last_digits), F.concat(F.lit("OLD "), F.col("name")))
         .otherwise(F.col("name")),
     )
-    prior = unwind_branches(perturbed, branches, gs)
+    prior = unwind_branches(perturbed, branches, gs, cache_tag=":prior")
 
     # refresh: pass through unchanged orgs' prior rows, rebuild the delta
     changed_ids = changed_orgs.select(F.col("id").alias("_cid"))
@@ -1168,5 +1175,5 @@ def incremental_unwind_refresh(
     changed_branches = branches.join(
         F.broadcast(changed_ids), branches.org_id == F.col("_cid"), "left_semi"
     )
-    rebuilt = unwind_branches(changed_orgs, changed_branches, gs)
+    rebuilt = unwind_branches(changed_orgs, changed_branches, gs, cache_tag=":delta")
     return kept.unionByName(rebuilt).select(*BRANCH_COLS)

@@ -73,6 +73,12 @@ def apply_manual_fixes(
     fix id that is missing from the dimension (:79-99, after its one-shot
     view-less reload): the check runs as one bounded aggregate on the
     exploded references, not per row.
+
+    ``id_col`` must be unique among rows that carry fixes — the per-row
+    chain is rebuilt by grouping on it, so two rows sharing an id would
+    see each other's fixes (the reference applies per physical row; its
+    rows are keyed by unique Airtable record ids). ``strict=True`` verifies
+    this with one aggregate over the (small) exploded reference set.
     """
     # Normalize the dimension once: tag-field current/fixed values compare
     # (and write back) in normalized form (:108-118).
@@ -104,6 +110,19 @@ def apply_manual_fixes(
         ]
         if missing:
             raise AssertionError(f"Manual fix(es) not found: {missing}")
+        dup = (
+            ex.groupBy("_rid", "_pos")
+            .count()
+            .filter(F.col("count") > 1)
+            .select("_rid")
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise AssertionError(
+                f"apply_manual_fixes: duplicate {id_col} among rows carrying "
+                f"fixes (chains would merge): {[r['_rid'] for r in dup]}"
+            )
     ex = ex.filter(F.col("field").isNotNull())
 
     chains = ex.groupBy("_rid").agg(

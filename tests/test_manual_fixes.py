@@ -111,3 +111,16 @@ class TestApplyManualFixes:
         out, status = apply_manual_fixes(rows, fixes, strict=False)
         assert out.collect()[0].name == "x"
         assert status.count() == 0
+
+    def test_strict_rejects_duplicate_row_ids(self, spark):
+        # two rows sharing an id would merge fix chains — strict mode
+        # refuses (the reference's rows are unique Airtable record ids)
+        rows = _rows(
+            spark,
+            [("dup", "x", ["r1"], ["f1"]), ("dup", "y", ["r1"], ["f2"])],
+        )
+        fixes = _fixes(
+            spark, [("f1", "name", "x", "a"), ("f2", "name", "y", "b")]
+        )
+        with pytest.raises(AssertionError, match="duplicate"):
+            apply_manual_fixes(rows, fixes)

@@ -263,12 +263,51 @@ class TestMp4Keyframes:
             mp4_keyframe_index(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 32)
 
     def test_no_stss_means_every_sample_sync(self):
-        # strip the stss box: the spec says every sample is then a sync sample
+        # without an stss box the spec (§8.6.2) makes EVERY sample a sync
+        # sample — exercise the parser's fallback branch
         from srm_etl_spark.operators.multimodal import make_mp4, mp4_keyframe_index
 
-        data = make_mp4(5, 2, 32)
-        # parser on the synthesized file: sync at 1,3,5
-        assert [s for s, _, _ in mp4_keyframe_index(data)] == [1, 3, 5]
+        data = make_mp4(5, 2, 32, with_stss=False)
+        assert [s for s, _, _ in mp4_keyframe_index(data)] == [1, 2, 3, 4, 5]
+        # and the synthesized sync table still parses as before
+        assert [s for s, _, _ in mp4_keyframe_index(make_mp4(5, 2, 32))] == [1, 3, 5]
+
+    def test_malformed_mp4_degrades_to_fallback(self, spark):
+        from srm_etl_spark.operators.multimodal import make_mp4, sample_video_frames
+
+        # 'ftyp' magic but truncated boxes: must NOT fail the task
+        junk = make_mp4(4, 2, 8)[:40]
+        df = spark.createDataFrame([(1, junk)], "doc_id long, media binary")
+        rows = sample_video_frames(df, n_frames=2).collect()
+        assert len(rows) == 2 and all(r.is_keyframe is None for r in rows)
+
+    def test_mdhd_version1_timescale(self):
+        import struct
+
+        from srm_etl_spark.operators.multimodal import make_mp4, mp4_keyframe_index
+
+        data = bytearray(make_mp4(4, 2, 8, timescale=600))
+        # rewrite the mdhd box to version 1: 64-bit creation/modification
+        i = data.find(b"mdhd")
+        payload = data[i + 4 : i + 4 + 24]
+        new_payload = struct.pack(">I", 1 << 24) + b"\x00" * 16 + payload[12:]
+        # splice: new payload is 8 bytes longer -> rewrite box size and all
+        # enclosing container sizes (moov/trak/mdia), and shift stco by 8
+        grow = len(new_payload) - len(payload)
+        size_pos = i - 4
+        (old_size,) = struct.unpack(">I", data[size_pos : size_pos + 4])
+        out = bytearray(data[: i + 4] + new_payload + data[i + 4 + 24 :])
+        out[size_pos : size_pos + 4] = struct.pack(">I", old_size + grow)
+        for tag in (b"moov", b"trak", b"mdia"):
+            j = out.find(tag)
+            (sz,) = struct.unpack(">I", out[j - 4 : j])
+            out[j - 4 : j] = struct.pack(">I", sz + grow)
+        jc = out.find(b"stco")
+        (cnt, off) = struct.unpack(">II", out[jc + 8 : jc + 16])
+        out[jc + 8 : jc + 16] = struct.pack(">II", cnt, off + grow)
+        idx = mp4_keyframe_index(bytes(out))
+        # timescale read at the v1 offset -> timestamps unchanged
+        assert [round(ts, 6) for _, _, ts in idx] == [0.0, round(2 * 20 / 600, 6)]
 
     def test_sampler_uses_real_index_for_mp4(self, spark):
         from srm_etl_spark.operators.multimodal import make_mp4, sample_video_frames

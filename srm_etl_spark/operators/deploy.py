@@ -1,0 +1,106 @@
+"""Deploy: spec-driven table sync between Airtable bases, Spark-first.
+
+Reference ``operators/deploy/__init__.py:13-86``: for each ``DeploySpec``
+(table, id field, copy fields, add_missing) the alternate base's rows are
+indexed by id and streamed against the production table —
+
+- a target row whose id exists in the source is emitted ONLY when at least
+  one copy field differs (updated with the source values): unchanged rows
+  produce no write;
+- target rows absent from the source are never emitted;
+- when ``add_missing``, source rows with no target match are appended;
+- a copy field ``'src:dst'`` renames after the update.
+
+Spark shape: one full-outer-flavored pair of joins expressed as
+left-semi/anti + a broadcast of the (dimension-sized) source. Change
+detection is a null-safe any-differs disjunction — no row hashing, no
+Python. The reference's ``source_index.pop`` mutation becomes the anti-join
+for the add_missing leg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deploy_table(
+    target: DataFrame,
+    source: DataFrame,
+    id_col: str,
+    copy_fields: list[str],
+    add_missing: bool = False,
+) -> DataFrame:
+    """The dump payload of one DeploySpec (update_from_source,
+    deploy/__init__.py:38-49). ``copy_fields`` may use the reference's
+    ``'src:dst'`` rename form; output columns are ``id_col`` + the renamed
+    copy fields."""
+    select_fields = [f.split(":")[0] for f in copy_fields]
+    rename = dict(f.split(":") for f in copy_fields if ":" in f)
+
+    src = source.select(
+        F.col(id_col).alias("_sid"), *[F.col(c).alias(f"_s_{c}") for c in select_fields]
+    )
+    joined = target.select(id_col, *select_fields).join(
+        F.broadcast(src), F.col(id_col) == F.col("_sid"), "inner"
+    )
+    differs = None
+    for c in select_fields:
+        d = ~F.col(c).eqNullSafe(F.col(f"_s_{c}"))
+        differs = d if differs is None else (differs | d)
+    updated = joined.filter(differs).select(
+        F.col(id_col), *[F.col(f"_s_{c}").alias(c) for c in select_fields]
+    )
+    out = updated
+    if add_missing:
+        missing = source.join(
+            target.select(F.col(id_col).alias("_tid")),
+            F.col(id_col) == F.col("_tid"),
+            "left_anti",
+        ).select(id_col, *select_fields)
+        out = updated.unionByName(missing)
+    for s, d in rename.items():
+        out = out.withColumnRenamed(s, d)
+    return out
+
+
+# --------------------------------------------------------------------------
+# benchmark: the did-you-mean rerank kernel
+# (reference operators/benchmark/__init__.py:42-68 — the API transport is a
+# connector concern; the decision logic is this pure kernel)
+# --------------------------------------------------------------------------
+
+DYM_SHARD_SIZE = 50
+
+
+def dym_rerank(pa, total):
+    """``search_dym``'s possible_autocomplete choice as ONE native column
+    expression over ``pa: array<struct<key string, doc_count double>>``:
+
+    - total < 10 → no suggestion;
+    - every non-best candidate's doc_count scales by
+      ``log(len(key)) / log(len(best.key))`` (longer keys get a boost
+      relative to the incumbent);
+    - sort by scaled doc_count descending; the winner stands only if
+      ``threshold < doc_count <= SHARD_SIZE`` where
+      ``threshold = min(SHARD_SIZE, total) / 3``.
+    """
+    best_factor = F.log(F.length(F.element_at(pa, 1)["key"]))
+    scaled = F.transform(
+        pa,
+        lambda x, i: F.struct(
+            F.when(i == 0, x["doc_count"].cast("double")).otherwise(
+                x["doc_count"] * F.log(F.length(x["key"])) / best_factor
+            ).alias("doc_count"),
+            x["key"].alias("key"),
+        ),
+    )
+    ranked = F.reverse(F.array_sort(scaled))
+    best = F.element_at(ranked, 1)
+    threshold = F.least(F.lit(DYM_SHARD_SIZE), total) / 3
+    ok = (
+        (total >= 10)
+        & (best["doc_count"] <= DYM_SHARD_SIZE)
+        & (best["doc_count"] > threshold)
+    )
+    return F.when((F.size(pa) > 0) & ok, best["key"])

@@ -25,6 +25,7 @@ from .queries_ext15 import EXT15_REGISTRY
 from .queries_ext16 import EXT16_REGISTRY
 from .queries_ext17 import EXT17_REGISTRY
 from .queries_ext18 import EXT18_REGISTRY
+from .queries_ext19 import EXT19_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -44,6 +45,7 @@ REGISTRY.update(EXT15_REGISTRY)
 REGISTRY.update(EXT16_REGISTRY)
 REGISTRY.update(EXT17_REGISTRY)
 REGISTRY.update(EXT18_REGISTRY)
+REGISTRY.update(EXT19_REGISTRY)
 
 # Driver-window rotation, round 7: the driver's correctness gate only
 # verifies the FIRST 50 registry entries. Rounds 1-6 gated 62 distinct
@@ -98,12 +100,12 @@ _WINDOW = [
     "q81_source_quota",
     "q82_pagerank",
     "q83_kmeans",
-    "q84_chunking",
-    "q85_quantize",
-    "q86_cms_heavy_hitters",
     "q88_stream_sessions",
     "q148_mp4_keyframes",
     "q149_curation_with_fixes",
+    "q150_deploy",
+    "q151_dym_rerank",
+    "q152_homepage_query",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

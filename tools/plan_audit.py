@@ -163,8 +163,22 @@ def main() -> int:
             f"pushed_filters={'y' if pushed else 'n'}"
         )
         print(lines[-1], flush=True)
-    out = "\n".join(lines) + "\n"
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.txt"), "w") as f:
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.txt")
+    if sys.argv[1:]:
+        # subset run: MERGE into the committed full audit instead of
+        # clobbering it (the round-workflow trap — a 3-query run used to
+        # erase the 140+-query baseline the round diffs depend on)
+        merged: dict[str, str] = {}
+        if os.path.exists(path):
+            for old in open(path):
+                if ": " in old and not old.startswith(("OK", "FAIL")):
+                    merged[old.split(":", 1)[0]] = old.rstrip("\n")
+        for line in lines:
+            merged[line.split(":", 1)[0]] = line
+        out = "\n".join(merged.values()) + "\n"
+    else:
+        out = "\n".join(lines) + "\n"
+    with open(path, "w") as f:
         f.write(out + ("\nFAILURES:\n" + "\n".join(failures) + "\n" if failures else "\nOK: no plan anti-patterns\n"))
     print("\nFAIL: " + "; ".join(failures) if failures else "\nOK: no plan anti-patterns")
     return 1 if failures else 0

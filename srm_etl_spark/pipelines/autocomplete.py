@@ -160,6 +160,15 @@ def autocomplete_corpus(
         )
     )
 
+    # ``grouped`` has TWO consumers (the fuzzy city-bounds resolution AND
+    # the final left join) — without a materialization the whole
+    # template × response × situation fan-out and its hash aggregate run
+    # twice per action. Post-aggregate it is corpus-dictionary-sized
+    # (#distinct queries), so one session-slot persist is cheap.
+    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+
+    grouped = keep_persisted(grouped, "autocomplete_grouped")
+
     # J7: fuzzy city → bounds; best candidate by (distance, key, nation key).
     with_city = grouped.filter(F.col("city_name").isNotNull())
     cand = with_city.join(

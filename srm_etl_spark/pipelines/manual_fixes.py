@@ -104,24 +104,25 @@ def apply_manual_fixes(
         F.broadcast(dim), "fix_id", "left"
     )
     if strict:
-        missing = [
-            r["fix_id"]
-            for r in ex.filter(F.col("field").isNull()).select("fix_id").distinct().limit(20).collect()
-        ]
-        if missing:
-            raise AssertionError(f"Manual fix(es) not found: {missing}")
-        dup = (
-            ex.groupBy("_rid", "_pos")
-            .count()
-            .filter(F.col("count") > 1)
-            .select("_rid")
-            .limit(5)
-            .collect()
+        # ONE job for both integrity gates: missing fix ids and duplicate
+        # row ids (chains would merge) — map-side-combinable aggregates,
+        # driver-side scalars, no data collect
+        chk = ex.groupBy("_rid", "_pos").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.collect_set(F.when(F.col("field").isNull(), F.col("fix_id"))).alias("_miss"),
         )
-        if dup:
+        bad = chk.agg(
+            F.slice(F.flatten(F.collect_set("_miss")), 1, 20).alias("missing"),
+            F.slice(
+                F.collect_set(F.when(F.col("_n") > 1, F.col("_rid"))), 1, 5
+            ).alias("dups"),
+        ).collect()[0]
+        if bad["missing"]:
+            raise AssertionError(f"Manual fix(es) not found: {sorted(bad['missing'])}")
+        if bad["dups"]:
             raise AssertionError(
                 f"apply_manual_fixes: duplicate {id_col} among rows carrying "
-                f"fixes (chains would merge): {[r['_rid'] for r in dup]}"
+                f"fixes (chains would merge): {sorted(bad['dups'])}"
             )
     ex = ex.filter(F.col("field").isNotNull())
 

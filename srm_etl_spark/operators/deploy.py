@@ -62,45 +62,3 @@ def deploy_table(
     for s, d in rename.items():
         out = out.withColumnRenamed(s, d)
     return out
-
-
-# --------------------------------------------------------------------------
-# benchmark: the did-you-mean rerank kernel
-# (reference operators/benchmark/__init__.py:42-68 — the API transport is a
-# connector concern; the decision logic is this pure kernel)
-# --------------------------------------------------------------------------
-
-DYM_SHARD_SIZE = 50
-
-
-def dym_rerank(pa, total):
-    """``search_dym``'s possible_autocomplete choice as ONE native column
-    expression over ``pa: array<struct<key string, doc_count double>>``:
-
-    - total < 10 → no suggestion;
-    - every non-best candidate's doc_count scales by
-      ``log(len(key)) / log(len(best.key))`` (longer keys get a boost
-      relative to the incumbent);
-    - sort by scaled doc_count descending; the winner stands only if
-      ``threshold < doc_count <= SHARD_SIZE`` where
-      ``threshold = min(SHARD_SIZE, total) / 3``.
-    """
-    best_factor = F.log(F.length(F.element_at(pa, 1)["key"]))
-    scaled = F.transform(
-        pa,
-        lambda x, i: F.struct(
-            F.when(i == 0, x["doc_count"].cast("double")).otherwise(
-                x["doc_count"] * F.log(F.length(x["key"])) / best_factor
-            ).alias("doc_count"),
-            x["key"].alias("key"),
-        ),
-    )
-    ranked = F.reverse(F.array_sort(scaled))
-    best = F.element_at(ranked, 1)
-    threshold = F.least(F.lit(DYM_SHARD_SIZE), total) / 3
-    ok = (
-        (total >= 10)
-        & (best["doc_count"] <= DYM_SHARD_SIZE)
-        & (best["doc_count"] > threshold)
-    )
-    return F.when((F.size(pa) > 0) & ok, best["key"])

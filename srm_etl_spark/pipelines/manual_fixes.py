@@ -106,23 +106,36 @@ def apply_manual_fixes(
     if strict:
         # ONE job for both integrity gates: missing fix ids and duplicate
         # row ids (chains would merge) — map-side-combinable aggregates,
-        # driver-side scalars, no data collect
-        chk = ex.groupBy("_rid", "_pos").agg(
+        # driver-side scalars, no data collect. NULLs are mapped to
+        # sentinels FIRST (collect_set drops nulls): a null fix id inside a
+        # fixes array must fail like the reference's dict miss, and a
+        # null row id must fail even as a singleton (its chain could never
+        # re-attach through the null-rejecting equi-join below).
+        null_id, null_fix = "<null {0}>".format(id_col), "<null fix id>"
+        chk = ex.groupBy(
+            F.coalesce(F.col("_rid").cast("string"), F.lit(null_id)).alias("_k"), "_pos"
+        ).agg(
             F.count(F.lit(1)).alias("_n"),
-            F.collect_set(F.when(F.col("field").isNull(), F.col("fix_id"))).alias("_miss"),
+            F.collect_set(
+                F.when(F.col("field").isNull(), F.coalesce(F.col("fix_id"), F.lit(null_fix)))
+            ).alias("_miss"),
         )
         bad = chk.agg(
-            F.slice(F.flatten(F.collect_set("_miss")), 1, 20).alias("missing"),
+            F.slice(F.array_distinct(F.flatten(F.collect_set("_miss"))), 1, 20).alias("missing"),
             F.slice(
-                F.collect_set(F.when(F.col("_n") > 1, F.col("_rid"))), 1, 5
+                F.collect_set(
+                    F.when((F.col("_n") > 1) | (F.col("_k") == null_id), F.col("_k"))
+                ),
+                1,
+                5,
             ).alias("dups"),
         ).collect()[0]
         if bad["missing"]:
             raise AssertionError(f"Manual fix(es) not found: {sorted(bad['missing'])}")
         if bad["dups"]:
             raise AssertionError(
-                f"apply_manual_fixes: duplicate {id_col} among rows carrying "
-                f"fixes (chains would merge): {sorted(bad['dups'])}"
+                f"apply_manual_fixes: duplicate or null {id_col} among rows "
+                f"carrying fixes (chains would merge or detach): {sorted(bad['dups'])}"
             )
     ex = ex.filter(F.col("field").isNotNull())
 

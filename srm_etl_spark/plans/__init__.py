@@ -51,10 +51,10 @@ REGISTRY.update(EXT19_REGISTRY)
 # verifies the FIRST 50 registry entries. Rounds 1-6 gated 62 distinct
 # queries (q01-q50 + the r5/r6 verticals q126-q137); this round rotates a
 # full window of 50 NEVER-yet-driver-gated queries into the head — the new
-# q138-q147, the q74/q75/q93 heavyweights, then q51-q92 in registry order.
-# Displaced entries keep their committed local verification
-# (CORRECTNESS_LOCAL_r7.txt); the remaining never-gated (q90/q94-q125
-# tail) rotate in next round.
+# q138-q152, the q74/q75/q93 heavyweights, then q51-q83/q88 in registry
+# order. Displaced entries keep their committed local verification
+# (CORRECTNESS_LOCAL_r7.txt); the remaining never-gated tail — q84-q87,
+# q89-q92, q94-q125 — rotates in next round.
 _WINDOW = [
     "q138_branch_sources",
     "q139_click_scrape",

@@ -20,7 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.deploy import deploy_table, dym_rerank
+from ..operators.benchmark import dym_rerank
+from ..operators.deploy import deploy_table
 from .queries import QueryDef, _t
 
 

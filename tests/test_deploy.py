@@ -3,7 +3,8 @@ operators/deploy/__init__.py:38-49, operators/benchmark/__init__.py:42-68)."""
 
 from pyspark.sql import functions as F
 
-from srm_etl_spark.operators.deploy import deploy_table, dym_rerank
+from srm_etl_spark.operators.benchmark import dym_rerank
+from srm_etl_spark.operators.deploy import deploy_table
 
 
 def _df(spark, rows, schema):
@@ -66,6 +67,12 @@ class TestDymRerank:
         import math
 
         assert 15.0 * math.log(27) / math.log(3) == 45.0
+
+    def test_stable_tie_keeps_earlier_candidate(self, spark):
+        # reference parity: Python's stable sorted(...) keeps the first
+        # candidate on an exact scaled tie
+        pa = [("אבגד", 20.0), ("הוזח", 20.0)]
+        assert self._run(spark, pa, 30) == "אבגד"
 
     def test_below_threshold_suppresses(self, spark):
         # total 120 → threshold min(50,120)/3 = 16.67; best dc 10 → None

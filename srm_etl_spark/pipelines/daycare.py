@@ -290,7 +290,15 @@ def daycare_branches(df: DataFrame, hash_fn: Callable[[Column], Column] = hasher
 
 def daycare_orgs(df: DataFrame) -> DataFrame:
     """update_organization (update_organization.py:8-27): rename, kind by
-    council regex, id length ≥ 5 gate."""
+    council regex, id length ≥ 5 gate.
+
+    Documented divergence: the reference renames 'שם ארגון' -> 'name'
+    BEFORE setup_kind looks for the 'שם ארגון' column, so at runtime its
+    regex branch never fires and every org gets kind 'חברה פרטית'. This
+    implementation keeps the intended semantics (council regex ->
+    'רשות מקומית') rather than reproducing the rename-before-check bug;
+    byte parity with the reference's actual output would require
+    ``kind = F.lit('חברה פרטית')``."""
     kind = F.when(
         F.col("org_name_raw").rlike("מועצה מקומית|מועצה אזורית"),
         F.lit("רשות מקומית"),

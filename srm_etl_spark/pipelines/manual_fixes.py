@@ -86,8 +86,13 @@ def apply_manual_fixes(
     dim = fixes.select(
         F.col("fix_id"),
         F.col("field"),
+        # eqNullSafe, not !=: a NULL current_value on a list field must take
+        # the normalize branch (reference runs normalize_ids(None) -> '',
+        # which then matches rows whose responses/situations are empty); a
+        # null-gated != would leave cur NULL and the fix could never fire.
         F.when(
-            is_list & (F.col("current_value") != "*"), normalize_ids(F.col("current_value"))
+            is_list & ~F.col("current_value").eqNullSafe(F.lit("*")),
+            normalize_ids(F.col("current_value")),
         )
         .otherwise(F.col("current_value"))
         .alias("cur"),
@@ -136,6 +141,34 @@ def apply_manual_fixes(
             raise AssertionError(
                 f"apply_manual_fixes: duplicate or null {id_col} among rows "
                 f"carrying fixes (chains would merge or detach): {sorted(bad['dups'])}"
+            )
+        # Second gate: an id duplicated in the ROWS frame where only ONE copy
+        # carries fixes passes the (_rid,_pos) count above, but the chains
+        # left-join below would attach the chain to the fixless duplicate too
+        # (the reference applies fixes per physical row). Count per id over a
+        # column-pruned scan of rows, semi-joined to the fix-carrying id set;
+        # bounded output (limit 5).
+        row_dups = (
+            rows.select(F.coalesce(rid.cast("string"), F.lit(null_id)).alias("_k"))
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .join(
+                ex.select(
+                    F.coalesce(F.col("_rid").cast("string"), F.lit(null_id)).alias("_k")
+                ).distinct(),
+                "_k",
+                "left_semi",
+            )
+            .select("_k")
+            .limit(5)
+            .collect()
+        )
+        if row_dups:
+            raise AssertionError(
+                f"apply_manual_fixes: {id_col} duplicated among rows while carrying "
+                f"fixes (chain would also apply to the fixless duplicate): "
+                f"{sorted(r['_k'] for r in row_dups)}"
             )
     ex = ex.filter(F.col("field").isNotNull())
 

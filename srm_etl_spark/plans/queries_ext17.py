@@ -144,7 +144,8 @@ clean AS (
 ),
 ids AS (
   SELECT *,
-    'mhclinic-' || substring(sha256(concat_ws('|', name, phone, address, hmo)), 1, 8) AS id
+    'mhclinic-' || substring(sha256(concat_ws('|',
+      nullif(name, ''), nullif(phone, ''), nullif(address, ''), nullif(hmo, ''))), 1, 8) AS id
   FROM clean
 )
 """

@@ -125,6 +125,44 @@ class TestApplyManualFixes:
         with pytest.raises(AssertionError, match="duplicate"):
             apply_manual_fixes(rows, fixes)
 
+    def test_null_current_matches_empty_list_field(self, spark):
+        # reference runs normalize_ids(None) -> '' on the FIX side, which
+        # then matches rows whose responses are empty/None; a null-gated
+        # `!= '*'` would leave cur NULL and never fire
+        rows = _rows(
+            spark,
+            [("a", "n", [], ["f1"]), ("b", "n", None, ["f1"]), ("c", "n", ["r1"], ["f1"])],
+        )
+        fixes = _fixes(spark, [("f1", "responses", None, "x,y")])
+        out, status = apply_manual_fixes(rows, fixes)
+        got = {r.id: r.responses for r in out.collect()}
+        assert got == {"a": "x,y", "b": "x,y", "c": "r1"}
+        assert status.collect()[0].etl_status == "Active"
+
+    def test_strict_rejects_fixless_duplicate_of_fix_carrier(self, spark):
+        # id duplicated in ROWS where only one copy carries fixes: the
+        # chains left-join would hit the fixless twin too — strict refuses
+        rows = _rows(
+            spark,
+            [("dup", "x", ["r1"], ["f1"]), ("dup", "y", ["r1"], None)],
+        )
+        fixes = _fixes(spark, [("f1", "name", "x", "a")])
+        with pytest.raises(AssertionError, match="duplicated among rows"):
+            apply_manual_fixes(rows, fixes)
+        # non-strict still runs (documented misuse escape hatch)
+        out, _ = apply_manual_fixes(rows, fixes, strict=False)
+        assert {r.name for r in out.collect()} == {"a", "y"}
+
+    def test_strict_allows_duplicate_ids_without_fixes(self, spark):
+        # duplicates are harmless when NO copy carries fixes
+        rows = _rows(
+            spark,
+            [("dup", "x", ["r1"], None), ("dup", "y", ["r1"], None), ("a", "z", ["r1"], ["f1"])],
+        )
+        fixes = _fixes(spark, [("f1", "name", "z", "zz")])
+        out, _ = apply_manual_fixes(rows, fixes)
+        assert {r.name for r in out.collect()} == {"x", "y", "zz"}
+
     def test_strict_rejects_null_fix_id_in_array(self, spark):
         rows = _rows(spark, [("a", "x", ["r1"], ["f1", None])])
         fixes = _fixes(spark, [("f1", "name", "x", "y")])

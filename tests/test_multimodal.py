@@ -309,6 +309,47 @@ class TestMp4Keyframes:
         # timescale read at the v1 offset -> timestamps unchanged
         assert [round(ts, 6) for _, _, ts in idx] == [0.0, round(2 * 20 / 600, 6)]
 
+    def test_audio_trak_first_multitrack(self):
+        # a multi-track file may order the audio trak before the video one;
+        # the parser must index the trak whose hdlr handler is 'vide', and
+        # read mdhd from that SAME trak
+        import struct
+
+        from srm_etl_spark.operators.multimodal import (
+            _mp4_boxes,
+            make_mp4,
+            mp4_keyframe_index,
+        )
+
+        video = make_mp4(24, 6, 16)
+        expected = mp4_keyframe_index(video)
+
+        def raw(data, tag, start=0, end=None):
+            for t, b, e in _mp4_boxes(data, start, len(data) if end is None else end):
+                if t == tag:
+                    return data[b - 8 : e], (b, e)
+            raise AssertionError(tag)
+
+        ftyp_raw, _ = raw(video, b"ftyp")
+        _, (mb, me) = raw(video, b"moov")
+        mdat_raw, _ = raw(video, b"mdat")
+        mvhd_raw, _ = raw(video, b"mvhd", mb, me)
+        vide_trak_raw, _ = raw(video, b"trak", mb, me)
+
+        # an "audio" trak with different sample geometry (so picking it
+        # would change every tuple): same builder, handler vide -> soun
+        audio_src = make_mp4(10, 2, 8, timescale=8000, delta=160)
+        _, (amb, ame) = raw(audio_src, b"moov")
+        soun_trak_raw = raw(audio_src, b"trak", amb, ame)[0].replace(b"vide", b"soun")
+        assert b"soun" in soun_trak_raw and b"vide" not in soun_trak_raw
+
+        payload = mvhd_raw + soun_trak_raw + vide_trak_raw
+        moov = struct.pack(">I", 8 + len(payload)) + b"moov" + payload
+        two = ftyp_raw + moov + mdat_raw
+        # stco offsets copied verbatim -> the video trak's index must be
+        # tuple-identical to the single-track file's
+        assert mp4_keyframe_index(two) == expected
+
     def test_sampler_uses_real_index_for_mp4(self, spark):
         from srm_etl_spark.operators.multimodal import make_mp4, sample_video_frames
 

@@ -1,0 +1,173 @@
+"""Round-8 extension queries: lifecycle/scale certifications the round-7
+verdict called for.
+
+q153 — the FULL ES revision-swap lifecycle (reference
+       operators/derive/es_utils.py:46-70): two successive publishes through
+       sinks/es.py:publish with injected transports — bulk upsert by _id,
+       revision restamp, post-settle delete-by-query sweep — and the
+       surviving-document set hash-gated at three phases (after publish 1,
+       after publish 2's bulk but before its sweep, final). q122 certifies
+       the wire format; this certifies the protocol's STATE semantics.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .queries import QueryDef, _t
+
+
+def _doc_sets(spark, sf_dir):
+    """The two publish payloads, derived from ``documents``: publish 1 is
+    two thirds of the corpus at body v1; publish 2 is the even half, a
+    quarter of which changed to v2 (the rest re-publish unchanged — they
+    must still be restamped to survive the sweep)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    v1 = F.concat(F.lit("v1-"), (F.col("n_chars") % 7).cast("string"))
+    v2 = F.concat(F.lit("v2-"), (F.col("n_chars") % 7).cast("string"))
+    pub1 = docs.filter(did % 3 != 0).select(did, F.col("source"), v1.alias("body"))
+    pub2 = docs.filter(did % 2 == 0).select(
+        did, F.col("source"), F.when(did % 4 == 0, v2).otherwise(v1).alias("body")
+    )
+    return pub1, pub2
+
+
+def q153_es_revision_swap(spark, sf_dir):
+    """K3 end-to-end: run :func:`sinks.es.publish` twice over spool
+    transports, then reconstruct the index state DISTRIBUTED (read the
+    spools back through Spark — the spool stands in for the cluster's
+    storage, no driver-side index). The final phase applies the revision
+    recorded by the SECOND publish's actual sweep call, so the emitted set
+    proves the delete-by-query wiring, not just the intended constant."""
+    from ..sinks.es import publish, replay_index_state, recording_sweep, spool_ship, sweep_revision  # noqa: PLC0415
+
+    pub1, pub2 = _doc_sets(spark, sf_dir)
+    spool1 = tempfile.mkdtemp(prefix="es_spool1_")
+    spool2 = tempfile.mkdtemp(prefix="es_spool2_")
+    sweeps: list = []
+    publish(pub1, "cards", "doc_id", spool_ship(spool1), recording_sweep(sweeps), revision="rev1", settle_seconds=0)
+    publish(pub2, "cards", "doc_id", spool_ship(spool2), recording_sweep(sweeps), revision="rev2", settle_seconds=0)
+    keep = sweep_revision(sweeps[-1][1])
+
+    schema = "doc_id long, source string, body string, revision string"
+    after1 = replay_index_state(spark, [(1, spool1)], schema)
+    presweep = replay_index_state(spark, [(1, spool1), (2, spool2)], schema)
+    cols = ["doc_id", "source", "body", "revision"]
+    return (
+        after1.select(F.lit("after_pub1").alias("phase"), *cols)
+        .unionByName(presweep.select(F.lit("presweep2").alias("phase"), *cols))
+        .unionByName(
+            presweep.filter(F.col("revision") == keep).select(F.lit("final").alias("phase"), *cols)
+        )
+    )
+
+
+_Q153_SQL = """
+WITH pub1 AS (
+  SELECT doc_id, source, 'v1-' || CAST(n_chars % 7 AS VARCHAR) AS body
+  FROM documents WHERE doc_id % 3 <> 0
+),
+pub2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 4 = 0 THEN 'v2-' || CAST(n_chars % 7 AS VARCHAR)
+              ELSE 'v1-' || CAST(n_chars % 7 AS VARCHAR) END AS body
+  FROM documents WHERE doc_id % 2 = 0
+),
+presweep AS (
+  SELECT doc_id, source, body, 'rev2' AS revision FROM pub2
+  UNION ALL
+  SELECT doc_id, source, body, 'rev1' AS revision
+  FROM pub1 WHERE doc_id NOT IN (SELECT doc_id FROM pub2)
+)
+SELECT 'after_pub1' AS phase, doc_id, source, body, 'rev1' AS revision FROM pub1
+UNION ALL
+SELECT 'presweep2' AS phase, doc_id, source, body, revision FROM presweep
+UNION ALL
+SELECT 'final' AS phase, doc_id, source, body, revision FROM presweep
+WHERE revision = 'rev2'
+"""
+
+
+def q154_backup_package(spark, sf_dir):
+    """The backup composition end-to-end (reference
+    operators/backup/__init__.py:22-44): per-table K1 datapackage dump →
+    S2 manifest-typed reload → one combined CKAN package payload
+    (sinks/rest.py:ckan_backup_package, name='backup', title='Manual Input
+    Backup'). Emits one row per resource: row count from the RELOADED frame
+    (dump→load lossless) and the field signature from the payload's schema
+    block — a hash match certifies both the round trip and the manifest."""
+    import os  # noqa: PLC0415
+    from functools import reduce  # noqa: PLC0415
+
+    from pyspark.sql import DataFrame  # noqa: PLC0415
+
+    from ..session import scratch_dir  # noqa: PLC0415
+    from ..sinks.files import write_datapackage  # noqa: PLC0415
+    from ..sinks.rest import ckan_backup_package  # noqa: PLC0415
+    from ..sources.tables import load_datapackage  # noqa: PLC0415
+
+    frames = {t: _t(spark, sf_dir, t) for t in ["region", "nation", "supplier", "customer", "part"]}
+    frames["documents_meta"] = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    base = scratch_dir("srm_q154")
+    reloaded = {}
+    for t, df in frames.items():
+        p = os.path.join(base, t)
+        write_datapackage(df, p, t, fmt="csv")
+        reloaded[t] = load_datapackage(spark, p)
+    payload = ckan_backup_package(reloaded)
+    meta = {r["name"]: r for r in payload["resources"]}
+    outs = []
+    for t, df in reloaded.items():
+        sig = ",".join(f'{f["id"]}:{f["type"]}' for f in meta[t]["schema"]["fields"])
+        outs.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+                F.lit(payload["name"]).alias("package_name"),
+                F.lit(payload["title"]).alias("package_title"),
+                F.lit(t).alias("resource"),
+                F.lit(meta[t]["format"]).alias("fmt"),
+                F.col("n_rows"),
+                F.lit(sig).alias("fields_sig"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)
+
+
+_Q154_SIGS = {
+    "region": ("region", "r_regionkey:int,r_name:string"),
+    "nation": ("nation", "n_nationkey:int,n_name:string,n_regionkey:int"),
+    "supplier": ("supplier", "s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double"),
+    "customer": (
+        "customer",
+        "c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string",
+    ),
+    "part": (
+        "part",
+        "p_partkey:bigint,p_name:string,p_brand:string,p_type:string,p_size:int,p_retailprice:double",
+    ),
+    "documents_meta": ("documents", "doc_id:bigint,source:string,n_chars:bigint"),
+}
+
+_Q154_SQL = "\nUNION ALL\n".join(
+    f"SELECT 'backup' AS package_name, 'Manual Input Backup' AS package_title,\n"
+    f"       '{res}' AS resource, 'CSV' AS fmt,\n"
+    f"       (SELECT COUNT(*) FROM {src}) AS n_rows,\n"
+    f"       '{sig}' AS fields_sig"
+    for res, (src, sig) in _Q154_SIGS.items()
+)
+
+
+EXT20_REGISTRY = {
+    "q153_es_revision_swap": QueryDef(
+        q153_es_revision_swap,
+        _Q153_SQL,
+        "ES publish lifecycle: bulk upsert + revision sweep state semantics (K3)",
+    ),
+    "q154_backup_package": QueryDef(
+        q154_backup_package,
+        _Q154_SQL,
+        "backup composition: per-table datapackage dump -> reload -> CKAN package (S2 K1 K5)",
+    ),
+}

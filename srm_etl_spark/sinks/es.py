@@ -92,6 +92,80 @@ def revision_sweep_body(revision: str) -> dict:
     return {"query": {"bool": {"must_not": [{"term": {"revision": revision}}]}}}
 
 
+def spool_ship(spool_dir: str):
+    """Recorder transport for :func:`publish`: each non-empty partition
+    appends its bulk pairs to one ``action \\t doc`` TSV file under
+    ``spool_dir``. Pair-per-line keeps read-back order-free (the real wire
+    format's alternating lines are certified byte-exact separately, q122);
+    ``to_json`` escapes literal tabs, so the separator is unambiguous.
+    Driver and executors must share ``spool_dir`` — true in local mode and
+    on any shared filesystem; a production transport ships to ES instead."""
+
+    def ship(rows) -> None:
+        import os  # noqa: PLC0415
+        import uuid as _uuid  # noqa: PLC0415
+
+        fh = None
+        try:
+            for r in rows:
+                if fh is None:
+                    fh = open(  # noqa: SIM115
+                        os.path.join(spool_dir, f"bulk-{_uuid.uuid4().hex}.tsv"),
+                        "w",
+                        encoding="utf-8",
+                    )
+                fh.write(r.action_json + "\t" + r.doc_json + "\n")
+        finally:
+            if fh is not None:
+                fh.close()
+
+    return ship
+
+
+def recording_sweep(log: list):
+    """Sweep transport that records ``(index, body)`` calls (driver-side,
+    one tiny dict per publish)."""
+
+    def sweep(index: str, body: dict) -> None:
+        log.append((index, body))
+
+    return sweep
+
+
+def sweep_revision(body: dict) -> str:
+    """The revision a recorded :func:`revision_sweep_body` KEEPS (everything
+    else is delete-by-query'd)."""
+    return body["query"]["bool"]["must_not"][0]["term"]["revision"]
+
+
+def replay_index_state(spark, publishes: list[tuple[int, str]], doc_schema: str) -> DataFrame:
+    """Reconstruct the simulated index's post-bulk state after the LAST of
+    ``publishes`` = ``[(seq, spool_dir), ...]``: last-write-wins per ``_id``
+    across publish sequence (ES upsert semantics; within one publish ids are
+    unique). DISTRIBUTED — spools read back with ``spark.read.text``, docs
+    parsed with ``from_json``, dedup via one per-id window; the spool stands
+    in for the external cluster's storage, so no index state ever sits on
+    the driver."""
+    from functools import reduce  # noqa: PLC0415
+
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    frames = []
+    for seq, d in publishes:
+        parts = F.split(F.col("value"), "\t", 2)
+        frames.append(
+            spark.read.text(d).select(
+                F.lit(seq).alias("_seq"),
+                F.get_json_object(parts.getItem(0), "$.index._id").alias("_id"),
+                parts.getItem(1).alias("_doc"),
+            )
+        )
+    merged = reduce(DataFrame.unionByName, frames)
+    w = Window.partitionBy("_id").orderBy(F.col("_seq").desc())
+    latest = merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return latest.select(F.from_json("_doc", doc_schema).alias("doc")).select("doc.*")
+
+
 def publish(
     df: DataFrame,
     index: str,

@@ -92,6 +92,38 @@ def ckan_dataset_payload(
     }
 
 
+def ckan_backup_package(
+    resources: dict[str, DataFrame],
+    name: str = "backup",
+    title: str = "Manual Input Backup",
+    resource_format: str = "CSV",
+) -> dict:
+    """The backup operator's combined package (reference
+    operators/backup/__init__.py:33-44): one resource per backed-up table
+    (each previously dumped to its own datapackage), re-packaged under
+    ``update_package(title='Manual Input Backup', name='backup')`` and sent
+    through dump_to_ckan. Resource order follows the input dict (the
+    reference's TABLES_TO_BACK_UP order)."""
+    return {
+        "name": name,
+        "title": title,
+        "resources": [
+            {
+                "name": rname,
+                "path": f"{rname}.csv",
+                "format": resource_format,
+                "schema": {
+                    "fields": [
+                        {"id": f.name, "type": f.dataType.simpleString()}
+                        for f in df.schema.fields
+                    ]
+                },
+            }
+            for rname, df in resources.items()
+        ],
+    }
+
+
 def es_bulk_lines(df: DataFrame, index: str, id_col: str) -> DataFrame:
     """K3 helper: the `_bulk` NDJSON line pairs (action + source) as a
     DataFrame — built distributed, written by any text sink."""

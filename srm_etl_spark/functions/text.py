@@ -10,6 +10,8 @@ arbitrarily many partitions; nothing touches the driver.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf string hints resolve via globals
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -398,6 +400,60 @@ def bpe_tokens(text: Column, merges=DEFAULT_BPE_MERGES) -> Column:
         return F.filter(F.split(F.trim(out), " "), lambda t: t != "")
 
     return F.flatten(F.transform(tokens(text), merge_word))
+
+
+# Same-pair rules appended to the default table: exactly the class the
+# replace-chain rejects (q123), exercised by the priority-loop kernel (q155).
+# ONE shared literal for engine and oracle — extend here only.
+PRIORITY_BPE_MERGES: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES + (
+    ("l", "l"), ("e", "e"), ("o", "o"), ("ll", "l"),
+)
+
+
+def bpe_tokens_priority(text: Column, merges=DEFAULT_BPE_MERGES) -> Column:
+    """BPE tokens under the PRIORITY-loop semantics, as an Arrow-batched
+    kernel — the escalation path for merge tables :func:`bpe_tokens`'s
+    replace chain cannot express (same-pair rules: ll, ee, oo …).
+
+    Semantics (pinned, mirrored by the q155 oracle's recursive CTE): per
+    whitespace word, repeatedly find the LOWEST-ranked adjacent token pair
+    present and merge its LEFTMOST occurrence, until no pair is in the
+    table. One merge per step makes the loop expressible as a recursive
+    SQL CTE; for training-ordered tables (each rule's elements single chars
+    or products of earlier rules) it agrees with the sequential replace
+    chain — parity-tested in tests/test_functions_kernel.py.
+
+    Cost is Python-per-DISTINCT-word: callers should dedup words first
+    (q155 does: explode → groupBy word → kernel on the vocabulary — corpus
+    scale never reaches Python); a per-batch memo catches the rest.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def _bpe(col: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def word_tokens(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                parts = list(w)
+                while len(parts) > 1:
+                    best_rank, best_i = None, -1
+                    for i in range(len(parts) - 1):
+                        r = ranks.get((parts[i], parts[i + 1]))
+                        if r is not None and (best_rank is None or r < best_rank):
+                            best_rank, best_i = r, i
+                    if best_rank is None:
+                        break
+                    parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+                memo[w] = got = parts
+            return got
+
+        return col.map(
+            lambda t: [tok for w in t.split() for tok in word_tokens(w)] if t else []
+        )
+
+    return _bpe(text)
 
 
 def bigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):

@@ -159,6 +159,81 @@ _Q154_SQL = "\nUNION ALL\n".join(
 )
 
 
+def q155_bpe_priority_vocab(spark, sf_dir):
+    """Priority-loop BPE over a merge table the q123 replace chain REJECTS
+    (same-pair rules ll/ee/oo + the stacked ll+l — functions/text.py:
+    PRIORITY_BPE_MERGES). Scale shape: the corpus explodes to words and
+    aggregates to the DISTINCT vocabulary first, so the Arrow kernel runs
+    per distinct word, never per document; token counts re-weight by word
+    frequency. Emits the top-20 subword vocabulary (ties -> token asc)."""
+    from ..functions.text import PRIORITY_BPE_MERGES, bpe_tokens_priority, tokens  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    toks = words.select(
+        F.explode(bpe_tokens_priority(F.col("w"), PRIORITY_BPE_MERGES)).alias("token"), "wn"
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def _q155_sql() -> str:
+    from ..functions.text import PRIORITY_BPE_MERGES  # noqa: PLC0415
+
+    values = ", ".join(
+        f"('{a}', '{b}', {i})" for i, (a, b) in enumerate(PRIORITY_BPE_MERGES)
+    )
+    return f"""
+WITH RECURSIVE merges(a, b, rank) AS (
+  SELECT * FROM (VALUES {values}) v(a, b, rank)
+),
+words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wn FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              t -> t != '')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+-- one merge per level: leftmost occurrence of the lowest-ranked pair
+-- (the kernel's pinned semantics); rows with no pair left stop recursing
+steps AS (
+  SELECT w, wn, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM words
+  UNION ALL
+  SELECT st.w, st.wn,
+         substr(st.s, 1, instr(st.s, ' ' || m.a || ' ' || m.b || ' ') - 1)
+           || ' ' || m.a || m.b || ' '
+           || substr(st.s, instr(st.s, ' ' || m.a || ' ' || m.b || ' ')
+                           + length(m.a) + length(m.b) + 3)
+  FROM (
+    SELECT w, wn, s,
+           (SELECT min(rank) FROM merges
+             WHERE instr(s, ' ' || a || ' ' || b || ' ') > 0) AS r
+    FROM steps
+  ) st JOIN merges m ON m.rank = st.r
+),
+final AS (
+  SELECT w, wn, s FROM steps
+  WHERE NOT EXISTS (SELECT 1 FROM merges
+                     WHERE instr(s, ' ' || a || ' ' || b || ' ') > 0)
+),
+toks AS (
+  SELECT unnest(list_filter(string_split(trim(s), ' '), t -> t != '')) AS token, wn
+  FROM final
+)
+SELECT token, CAST(sum(wn) AS BIGINT) AS n
+FROM toks GROUP BY token
+ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
 EXT20_REGISTRY = {
     "q153_es_revision_swap": QueryDef(
         q153_es_revision_swap,
@@ -169,5 +244,10 @@ EXT20_REGISTRY = {
         q154_backup_package,
         _Q154_SQL,
         "backup composition: per-table datapackage dump -> reload -> CKAN package (S2 K1 K5)",
+    ),
+    "q155_bpe_priority_vocab": QueryDef(
+        q155_bpe_priority_vocab,
+        _q155_sql(),
+        "priority-loop BPE (Arrow kernel) on a same-pair merge table the replace chain rejects",
     ),
 }

@@ -287,3 +287,54 @@ def test_bpe_tokens_sequential_merges(spark):
     assert out[2] == ["th", "th", "th"]
     # no applicable merges -> plain characters
     assert out[3] == ["x", "y", "z"]
+
+
+def test_bpe_priority_same_pair_rules(spark):
+    # the Arrow kernel handles the same-pair rules the replace chain
+    # rejects: leftmost-greedy pairing on identical-token runs
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.functions.text import PRIORITY_BPE_MERGES, bpe_tokens, bpe_tokens_priority
+
+    df = spark.createDataFrame(
+        [(1, "lll"), (2, "llll"), (3, "hello bee"), (4, "the then")],
+        "id long, text string",
+    )
+    out = {
+        r.id: r.toks
+        for r in df.select(
+            "id", bpe_tokens_priority(F.col("text"), PRIORITY_BPE_MERGES).alias("toks")
+        ).collect()
+    }
+    # (l,l) leftmost-greedy then the stacked (ll,l) rule: "lll" -> [ll, l]
+    # -> [lll]; "llll" -> [ll, l, l] -> [ll, ll] and (ll,ll) is no rule
+    assert out[1] == ["lll"]
+    assert out[2] == ["ll", "ll"]
+    # "hello": h e l l o -> (e,l)? not a rule; (l,l) -> h e ll o; (e,e) in "bee"
+    assert out[3] == ["h", "e", "ll", "o", "b", "ee"]
+    # training-ordered rules behave exactly like the chain
+    assert out[4] == ["the", "the", "n"]
+    # same-pair table is rejected by the chain (guard stays pinned)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="same-pair"):
+        df.select(bpe_tokens(F.col("text"), PRIORITY_BPE_MERGES))
+
+
+def test_bpe_priority_parity_with_chain_on_supported_subset(spark):
+    # on the chain's supported table (DEFAULT_BPE_MERGES, training-ordered)
+    # the two variants must agree token-for-token over real corpus text
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.functions.text import bpe_tokens, bpe_tokens_priority
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.lower(F.col("text")).alias("t"))
+        .limit(200)
+    )
+    diff = d.select(
+        bpe_tokens(F.col("t")).alias("chain"),
+        bpe_tokens_priority(F.col("t")).alias("prio"),
+    ).filter(F.col("chain") != F.col("prio"))
+    assert diff.count() == 0

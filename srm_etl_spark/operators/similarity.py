@@ -236,12 +236,17 @@ def ivf_topk(
     if cents is None:
         cents = centroid_vectors(corpus, label_col, vec_col)
     cents = cents.select(F.col(label_col).alias("_cell"), F.col("centroid"))
+    assigned = _ivf_assign(corpus, cents, vec_col, id_col)
+    probes = _ivf_probes(queries, cents, nprobe, vec_col, id_col, query_id_col)
+    return _ivf_rank(assigned, probes, k, vec_col, id_col, query_id_col)
 
+
+def _ivf_assign(corpus: DataFrame, cents: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     # cell assignment: argmax cosine over the broadcast quantizer; max_by on a
     # (sim, -cell) struct keeps it a hash aggregate (partial map-side combine),
     # not a window over the fanned-out cross product
     sim = cosine_similarity(F.col(vec_col), F.col("centroid"))
-    assigned = (
+    return (
         corpus.crossJoin(F.broadcast(cents))
         .select(id_col, vec_col, F.col("_cell"), sim.alias("_csim"))
         .groupBy(id_col)
@@ -251,12 +256,16 @@ def ivf_topk(
         )
     )
 
+
+def _ivf_probes(
+    queries: DataFrame, cents: DataFrame, nprobe: int, vec_col: str, id_col: str, query_id_col: str
+) -> DataFrame:
     # probe: top-nprobe cells per query by centroid cosine, same argmax trick
     # via ranked window over the (queries × cells) product — queries are small
     q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
     qsim = cosine_similarity(F.col("_qvec"), F.col("centroid"))
     pw = Window.partitionBy(query_id_col).orderBy(F.desc("_psim"), F.asc("_cell"))
-    probes = (
+    return (
         q.crossJoin(F.broadcast(cents))
         .select(query_id_col, "_qvec", "_cell", qsim.alias("_psim"))
         .withColumn("_prn", F.row_number().over(pw))
@@ -264,6 +273,10 @@ def ivf_topk(
         .select(query_id_col, "_qvec", "_cell")
     )
 
+
+def _ivf_rank(
+    assigned: DataFrame, probes: DataFrame, k: int, vec_col: str, id_col: str, query_id_col: str
+) -> DataFrame:
     scored = (
         assigned.join(F.broadcast(probes), "_cell")
         .filter(F.col(id_col) != F.col(query_id_col))
@@ -275,6 +288,43 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk_partitioned(
+    spark,
+    corpus: DataFrame,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`ivf_topk` with the corpus MATERIALIZED ``partitionBy(cell)``
+    (sinks/warehouse.py:write_partitioned) — the SCALE.md §2 promise closed:
+    once the IVF-assigned corpus is written out, a probe query's scan reads
+    only the probed cells' directories, never the whole corpus.
+
+    The probed cell set is pushed as a LITERAL ``IN`` predicate (static
+    partition pruning — ``PartitionFilters`` in the scan, pinned by
+    tests/test_warehouse.py): the query set is driver-small by the module's
+    serving contract, so collecting its nprobe cells per query is a bounded
+    driver list of ints. Answers are identical to :func:`ivf_topk` on the
+    same inputs (q156 ≡ q61's oracle).
+    """
+    from ..sinks.warehouse import write_partitioned  # noqa: PLC0415
+
+    if cents is None:
+        cents = centroid_vectors(corpus, label_col, vec_col)
+    cents = cents.select(F.col(label_col).alias("_cell"), F.col("centroid"))
+    write_partitioned(_ivf_assign(corpus, cents, vec_col, id_col), path, ["_cell"])
+    probes = _ivf_probes(queries, cents, nprobe, vec_col, id_col, query_id_col)
+    cells = sorted(r["_cell"] for r in probes.select("_cell").distinct().collect())
+    stored = spark.read.parquet(path).filter(F.col("_cell").isin(cells))
+    return _ivf_rank(stored, probes, k, vec_col, id_col, query_id_col)
 
 
 # --------------------------------------------------------------------------

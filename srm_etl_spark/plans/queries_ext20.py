@@ -17,6 +17,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from .queries import QueryDef, _t
+from .queries_ext3 import Q61_SQL
 
 
 def _doc_sets(spark, sf_dir):
@@ -234,6 +235,31 @@ ORDER BY n DESC, token ASC LIMIT 20
 """
 
 
+def q156_ivf_partitioned(spark, sf_dir):
+    """IVF with the assigned corpus written ``partitionBy(cell)`` and the
+    probe answered off the PRUNED scan (operators/similarity.py:
+    ivf_topk_partitioned): the q61 index semantics, but the storage layout
+    does the cell selection — PartitionFilters carries the probed-cell IN
+    list, so a probe reads nprobe/ncells of the data (plan pinned in
+    tests/test_warehouse.py). Must hash-MATCH q61's oracle exactly."""
+    import os  # noqa: PLC0415
+
+    from ..operators import similarity as SIM  # noqa: PLC0415
+    from ..session import scratch_dir  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = SIM.ivf_topk_partitioned(
+        spark, emb, queries, path=os.path.join(scratch_dir("srm_q156"), "ivf"), k=5, nprobe=2
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 EXT20_REGISTRY = {
     "q153_es_revision_swap": QueryDef(
         q153_es_revision_swap,
@@ -249,5 +275,10 @@ EXT20_REGISTRY = {
         q155_bpe_priority_vocab,
         _q155_sql(),
         "priority-loop BPE (Arrow kernel) on a same-pair merge table the replace chain rejects",
+    ),
+    "q156_ivf_partitioned": QueryDef(
+        q156_ivf_partitioned,
+        Q61_SQL,
+        "IVF over a partitionBy(cell) corpus: probe scan prunes to probed cells",
     ),
 }

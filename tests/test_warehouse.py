@@ -66,6 +66,27 @@ def test_bucket_pruning_single_key(spark, bucketed_tables):
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
 
 
+def test_ivf_partitioned_probe_prunes_to_probed_cells(spark, tmp_path):
+    # SCALE.md §2 closure: once the IVF-assigned corpus is written
+    # partitionBy(cell), a probe's scan must carry the probed-cell IN list
+    # in PartitionFilters and agree with the in-memory ivf_topk answer
+    from srm_etl_spark.operators.similarity import ivf_topk, ivf_topk_partitioned
+
+    emb = load_table(spark, SF, "embeddings", spread=False)
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf_cells")
+    got = ivf_topk_partitioned(spark, emb, queries, path, k=4, nprobe=2)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = got._jdf.queryExecution().explainString(mode)
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and any("_cell IN" in ln or "_cell#" in ln for ln in scan), scan
+    expect = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(emb, queries, k=4, nprobe=2).collect()
+    }
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in got.collect()} == expect
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     path = str(tmp_path / "events_by_type")
     events = load_table(spark, SF, "events", spread=False)

@@ -130,22 +130,38 @@ def brute_force_topk_arrow(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    max_closure_queries: int | None = 100_000,
+    queries_broadcast: bool | None = None,
 ) -> DataFrame:
     """Vectorized exact top-k: one numpy matmul per Arrow batch.
 
-    The scale path: queries (assumed driver-small, e.g. ≤10^5) ship to every
-    task as a closure matrix; each corpus partition computes a (batch × query)
-    cosine matrix with BLAS and emits only its LOCAL top-k per query, so the
-    shuffle carries k rows per (query, partition) — global ranking then
-    touches k × partitions rows per query instead of the whole corpus.
+    The scale path: queries (driver-small, ≤``max_closure_queries``) ship to
+    every task as a closure matrix; each corpus partition computes a (batch ×
+    query) cosine matrix with BLAS and emits only its LOCAL top-k per query,
+    so the shuffle carries k rows per (query, partition) — global ranking
+    then touches k × partitions rows per query instead of the whole corpus.
     Versus the per-row expression variant (:func:`brute_force_topk`) this is
     the 10-100× Arrow/BLAS speedup the engine reaches for when the HOF path
     becomes the bottleneck.
+
+    A query set past the driver-small bound must NOT round-trip the driver:
+    ``queries_broadcast=True`` (or the automatic count check against
+    ``max_closure_queries`` when the flag is None) switches to the
+    broadcast-join formulation (:func:`brute_force_topk`) — same answers
+    (parity-pinned at 10⁴ queries in tests/test_similarity_arrow.py), plan
+    stays fully distributed. Bound rationale in SCALE.md.
     """
     from collections.abc import Iterator  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
+
+    if queries_broadcast is None:
+        queries_broadcast = (
+            max_closure_queries is not None and queries.count() > max_closure_queries
+        )
+    if queries_broadcast:
+        return brute_force_topk(corpus, queries, k, vec_col, id_col, query_id_col)
 
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
@@ -685,7 +701,30 @@ def pq_encode(
     return out.select(id_col, F.array(*code_cols).alias("codes"))
 
 
-def pq_topk(
+def _dense_codebook_literal(
+    codebooks: dict[int, dict[int, list[float]]], sub: int
+) -> Column:
+    """The codebook as ONE nested literal array (j → code → centroid), dense
+    by code id with zero-centroid placeholders for empty clusters (codes
+    never reference those, mirroring pq_topk's 0.0-padded tables). Size is
+    k*dim floats total — the same broadcast-sized object as the IVF
+    quantizer, built once, not per query."""
+    rows = []
+    for j in sorted(codebooks):
+        dense: list[list[float]] = [[0.0] * sub for _ in range(max(codebooks[j]) + 1)]
+        for cid, c in codebooks[j].items():
+            dense[cid] = [float(x) for x in c]
+        rows.append(F.array(*[F.array(*[F.lit(x) for x in c]) for c in dense]))
+    return F.array(*rows)
+
+
+def _sq_dist_cols(a: Column, b: Column) -> Column:
+    # left-to-right fold: the same summation order as pq_topk's driver-side
+    # Python table build, so both formulations are bit-identical
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_topk_broadcast(
     codes: DataFrame,
     codebooks: dict[int, dict[int, list[float]]],
     queries: DataFrame,
@@ -695,6 +734,59 @@ def pq_topk(
     query_id_col: str = "query_id",
     dim: int = 64,
 ) -> DataFrame:
+    """:func:`pq_topk`'s ADC ranking with the query set as a BROADCAST frame
+    instead of a collected closure: each query's m×k distance table is
+    computed as an expression over the (one, small) codebook literal, the
+    tables broadcast-join the code corpus, and the lookup is a zip_with over
+    (tables, codes). Bit-identical to pq_topk (same fold order); use when
+    the query set exceeds the driver-small bound. Plan size is constant in
+    the number of queries (pq_topk's inlined literals grow per query)."""
+    m = len(codebooks)
+    sub = dim // m
+    if any(not b for b in codebooks.values()):
+        raise ValueError("every subspace codebook must be non-empty")
+    book = _dense_codebook_literal(codebooks, sub)
+    qv = F.col("_qv")
+    tabs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.element_at(book, j + F.lit(1)),
+            lambda c: _sq_dist_cols(F.slice(qv, j * F.lit(sub) + F.lit(1), sub), c),
+        ),
+    )
+    qtabs = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).select(query_id_col, tabs.alias("_tabs"))
+    adc = F.aggregate(
+        F.zip_with(F.col("_tabs"), F.col("codes"), lambda t, c: F.element_at(t, c + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qtabs))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: dict[int, dict[int, list[float]]],
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    max_closure_queries: int | None = 256,
+    queries_broadcast: bool | None = None,
+) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus.
 
     Per query the m x k distance table (query subvector vs every codeword)
@@ -702,11 +794,24 @@ def pq_topk(
     approximate squared distance is then m table lookups by its codes —
     whole-stage codegen over the 1-byte-per-subspace corpus, never touching
     float vectors. Output: (query_id, neighbor_id, adc_dist, rank).
+
+    The inlined-literal plan grows with the query count, so past
+    ``max_closure_queries`` (or with ``queries_broadcast=True``) the ranking
+    switches to :func:`pq_topk_broadcast` — bit-identical answers, constant
+    plan size, queries never collected. Bound rationale in SCALE.md.
     """
     m = len(codebooks)
     sub = dim // m
     if any(not b for b in codebooks.values()):
         raise ValueError("every subspace codebook must be non-empty")
+    if queries_broadcast is None:
+        queries_broadcast = (
+            max_closure_queries is not None and queries.count() > max_closure_queries
+        )
+    if queries_broadcast:
+        return pq_topk_broadcast(
+            codes, codebooks, queries, k, vec_col, id_col, query_id_col, dim
+        )
     qrows = queries.select(id_col, F.col(vec_col).cast("array<double>")).collect()
     if not qrows:
         # F.array() of zero structs has null element type and breaks field

@@ -26,6 +26,56 @@ def test_arrow_topk_matches_hof(spark, sf_dir):
         assert abs(c_hof - c_arr) < 1e-8
 
 
+def test_arrow_broadcast_fallback_parity_10k_queries(spark, sf_dir):
+    # past the driver-small bound the kernel must switch to the broadcast-
+    # join formulation; both paths must agree at a 10^4-query batch
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 200)
+    q10k = emb.crossJoin(spark.range(20)).select(
+        (F.col("vec_id") * 20 + F.col("id")).alias("vec_id"), "embedding"
+    )
+    assert q10k.count() == 10_000
+    closure = brute_force_topk_arrow(corpus, q10k, k=3, queries_broadcast=False)
+    bcast = brute_force_topk_arrow(corpus, q10k, k=3, queries_broadcast=True)
+    a = {(r.query_id, r.rank): r.neighbor_id for r in closure.collect()}
+    b = {(r.query_id, r.rank): r.neighbor_id for r in bcast.collect()}
+    assert a == b
+    # the automatic bound routes the same batch to the broadcast plan
+    auto = brute_force_topk_arrow(corpus, q10k, k=3, max_closure_queries=1_000)
+    assert "mapInPandas" not in auto._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pq_broadcast_parity(spark, sf_dir):
+    # the broadcast ADC formulation is bit-identical to the inlined-literal
+    # closure (same fold order), and the bound auto-switches past 256
+    from srm_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_topk_broadcast,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=4, k=8, iterations=2)
+    codes = pq_encode(emb, books)
+    q40 = emb.filter(F.col("vec_id") < 40)
+    inline = pq_topk(codes, books, q40, k=3, queries_broadcast=False).collect()
+    bcast = pq_topk_broadcast(codes, books, q40, k=3).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    a = {key(r): (r.neighbor_id, r.adc_dist) for r in inline}
+    b = {key(r): (r.neighbor_id, r.adc_dist) for r in bcast}
+    assert a == b  # exact, including adc_dist (identical summation order)
+    # auto-switch past the bound: 300 queries > 256 -> broadcast plan, same
+    # answers as the closure formulation forced on the same query set
+    q300 = emb.filter(F.col("vec_id") < 300)
+    auto = {key(r): r.neighbor_id for r in pq_topk(codes, books, q300, k=2).collect()}
+    forced = {
+        key(r): r.neighbor_id
+        for r in pq_topk(codes, books, q300, k=2, queries_broadcast=False).collect()
+    }
+    assert auto == forced
+
+
 def test_ivf_topk_probes_and_recall(spark, sf_dir):
     """IVF with nprobe=2 returns well-formed ranks and beats the probed-
     fraction recall floor. The synthetic embeddings are isotropic (labels are

@@ -99,16 +99,16 @@ _WINDOW = [
     "q123_bpe_vocab",
     "q124_source_scorecard",
     "q125_lm_perplexity",
+    "q153_es_revision_swap",
+    "q154_backup_package",
+    "q155_bpe_priority_vocab",
+    "q156_ivf_partitioned",
     "q01_pricing_summary",
     "q02_filter_project",
     "q03_left_join_enrich",
     "q04_revenue_by_nation",
     "q05_brand_agg",
     "q06_upsert_status",
-    "q07_collect_set_join",
-    "q08_count_per_key",
-    "q09_two_level_agg",
-    "q10_mode_priority",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

@@ -70,6 +70,54 @@ def scaled_emb(spark, k: int):
     )
 
 
+_SCALED_DIRS: dict[int, str] = {}
+
+
+def scaled_sf_dir(spark, k: int) -> str:
+    """A synthetic k-x copy of the WAREHOUSE for the composed verticals
+    (q129/q133 probe): supplier/customer/part/orders replicated with
+    distinct keys (pk*k + replica), the other tables symlinked as-is.
+    Single parquet FILE per table (load_table sniffs schemas with pyarrow,
+    which wants a file path). Built once per (session, k)."""
+    if k == 1:
+        return SF
+    if k in _SCALED_DIRS:
+        return _SCALED_DIRS[k]
+    import glob  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from srm_etl_spark.sources.tables import load_table  # noqa: PLC0415
+
+    out = tempfile.mkdtemp(prefix=f"srm_scaled_{k}x_")
+    keys = {
+        "supplier": "s_suppkey",
+        "customer": "c_custkey",
+        "part": "p_partkey",
+        "orders": "o_orderkey",
+    }
+    for t in ["region", "nation", "lineitem", "events", "documents", "embeddings"]:
+        os.symlink(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
+    for t, key in keys.items():
+        df = load_table(spark, SF, t, spread=False)
+        scaled = df.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+        ).select(
+            *[
+                (F.col(key) * k + F.col("_r")).alias(key) if c == key else F.col(c)
+                for c in df.columns
+            ]
+        )
+        tmp = os.path.join(out, f"_{t}_dir")
+        scaled.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{out}/{t}.parquet")
+        shutil.rmtree(tmp)
+    _SCALED_DIRS[k] = out
+    return out
+
+
 def probes(spark):
     from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -166,6 +214,21 @@ def probes(spark):
             scaled_docs(spark, k), "text", "doc_id", min_tokens=16
         )
 
+    def p_entities_staged(k):
+        # the COMPOSED §3.2 vertical (q129 shape): four sequential staged
+        # merges with persisted scrape dims — fixed-cost knees would hide
+        # here, not in the operator kernels
+        from srm_etl_spark.plans.queries_ext13 import q129_entities_staged  # noqa: PLC0415
+
+        return q129_entities_staged(spark, scaled_sf_dir(spark, k))
+
+    def p_meser_staged(k):
+        # the COMPOSED §3.3 vertical (q133 shape): three upserts + two
+        # soft-delete sweeps + two FK remaps over the shared transform memo
+        from srm_etl_spark.plans.queries_ext14 import q133_meser_staged  # noqa: PLC0415
+
+        return q133_meser_staged(spark, scaled_sf_dir(spark, k))
+
     return {
         "exact_dedup": p_dedup,
         "minhash_sigs": p_minhash,
@@ -176,6 +239,8 @@ def probes(spark):
         "entity_res": p_entity_res,
         "semantic_dedup": p_semantic_dedup,
         "substr_spans": p_substr_spans,
+        "entities_staged": p_entities_staged,
+        "meser_staged": p_meser_staged,
     }
 
 

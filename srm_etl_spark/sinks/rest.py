@@ -184,3 +184,38 @@ def mapbox_upload_tileset(
         if sleep is not None:
             sleep(10)
     raise RuntimeError(f"mapbox upload {upload['id']} not complete after {max_polls} polls")
+
+
+def github_backup_push(
+    fetch: Callable[[str], tuple[int, dict]],
+    put: Callable[[str, dict], int],
+    content: str,
+    *,
+    api_url: str = "repos/OWNER/REPO/contents/LAST_PUSH_FROM_ETL.txt",
+    branch: str = "backup-request",
+    message: str = "Automated commit from ETL process",
+) -> bool:
+    """The github_backup operator's contents-API protocol (reference
+    operators/github_backup/__init__.py:26-66) with transport injected:
+
+    1. GET the file ref on ``branch`` — 200 yields the blob ``sha`` (an
+       update must carry it), any other status means create-new;
+    2. PUT {message, content: base64(payload), branch} (+``sha`` when
+       updating); 200/201 is success.
+
+    ``fetch(url) -> (status, body)`` and ``put(url, payload) -> status``
+    are the injected transports (requests in production). The timestamp
+    payload itself is caller-supplied — the reference stamps
+    ``datetime.now(UTC).isoformat()``. Returns True on success."""
+    import base64  # noqa: PLC0415
+
+    status, body = fetch(f"{api_url}?ref={branch}")
+    sha = body.get("sha") if status == 200 else None
+    payload = {
+        "message": message,
+        "content": base64.b64encode(content.encode()).decode(),
+        "branch": branch,
+    }
+    if sha:
+        payload["sha"] = sha
+    return put(api_url, payload) in (200, 201)

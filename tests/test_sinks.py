@@ -196,3 +196,35 @@ def test_mapbox_upload_protocol_contract():
 
     with pytest.raises(RuntimeError, match="create failed"):
         mapbox_upload_tileset(fetch_err, put_object, "f", "t", "n")
+
+
+def test_github_backup_push_protocol():
+    """github_backup (reference operators/github_backup/__init__.py:26-66):
+    GET ref -> sha carried on update, omitted on create; PUT payload is
+    base64 content + branch; 200/201 succeed."""
+    import base64
+
+    from srm_etl_spark.sinks.rest import github_backup_push
+
+    puts = []
+
+    def put_ok(url, payload):
+        puts.append((url, payload))
+        return 201
+
+    # create path: file absent (404) -> no sha in payload
+    ok = github_backup_push(lambda u: (404, {}), put_ok, "2026-08-15T00:00:00")
+    assert ok and "sha" not in puts[-1][1]
+    assert base64.b64decode(puts[-1][1]["content"]).decode() == "2026-08-15T00:00:00"
+    assert puts[-1][1]["branch"] == "backup-request"
+
+    # update path: existing blob -> sha forwarded
+    ok = github_backup_push(lambda u: (200, {"sha": "abc123"}), put_ok, "ts")
+    assert ok and puts[-1][1]["sha"] == "abc123"
+    # the GET carries the branch ref (the reference's ?ref= query)
+    got = []
+    github_backup_push(lambda u: got.append(u) or (404, {}), put_ok, "ts")
+    assert got[0].endswith("?ref=backup-request")
+
+    # non-2xx PUT -> failure reported, not raised (reference logs and returns)
+    assert github_backup_push(lambda u: (404, {}), lambda u, p: 500, "ts") is False

@@ -73,6 +73,10 @@ SINGLE_PARTITION_OK = {
     "q125_lm_perplexity",       # single-row vocabulary-size aggregate (V):
                                 # partial distinct counts combine map-side,
                                 # the single partition merges one row
+    "q154_backup_package",      # six single-row COUNT(*) manifest rows (one
+                                # per backed-up resource) — partials combine
+                                # map-side, each single partition merges one
+                                # row; the data path is the K1 dump itself
     "q105_sitemap",             # global URL ordering: sitemap protocol caps
                                 # the corpus at 50k files x 50k URLs
                                 # (files.py:sitemap_documents documents the

@@ -199,3 +199,131 @@ def test_load_datapackage_roundtrip(spark, tmp_path):
     back = load_datapackage(spark, str(tmp_path))
     assert back.schema == df.schema
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+# ---------------------------------------------------------------------------
+# Production HTTP transports (srm_etl_spark/transports.py): the protocol
+# around the wire, driven with an injected fake session — no network.
+# ---------------------------------------------------------------------------
+
+
+class _Resp:
+    def __init__(self, status, body=None, text=""):
+        self.status_code, self._body, self.text = status, body, text
+
+    def json(self):
+        if self._body is None:
+            raise ValueError("no body")
+        return self._body
+
+    def raise_for_status(self):
+        if self.status_code >= 400:
+            raise RuntimeError(f"HTTP {self.status_code}")
+
+
+class _Session:
+    def __init__(self, script):
+        self.script, self.calls = list(script), []
+
+    def request(self, method, url, **kw):
+        self.calls.append((method, url, kw))
+        return self.script.pop(0)
+
+
+class TestTransports:
+    def test_request_json_retries_on_503_with_backoff(self):
+        from srm_etl_spark.transports import request_json
+
+        s = _Session([_Resp(503), _Resp(503), _Resp(200, {"ok": 1})])
+        slept = []
+        out = request_json("http://x/api", session=s, sleep=slept.append, backoff=0.5)
+        assert out == {"ok": 1} and len(s.calls) == 3
+        assert slept == [0.5, 1.0]  # exponential
+
+    def test_request_json_raises_past_retry_budget(self):
+        from srm_etl_spark.transports import request_json
+
+        s = _Session([_Resp(503)] * 3)
+        with pytest.raises(RuntimeError, match="503"):
+            request_json("http://x/api", session=s, retries=2, sleep=lambda _: None)
+
+    def test_skip_limit_fetch_page_wires_gov_pager(self, spark):
+        from srm_etl_spark.sources.connectors import paged_to_df
+        from srm_etl_spark.transports import make_skip_limit_fetch_page
+
+        pages = [
+            _Resp(200, {"records": [{"id": 1}, {"id": 2}]}),
+            _Resp(200, {"records": [{"id": 3}]}),  # short page ends the scan
+        ]
+        s = _Session(pages)
+        fetch_page = make_skip_limit_fetch_page("http://gov/api", session=s)
+        df = paged_to_df(spark, fetch_page, page_size=2)
+        assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+        # the pager drove skip/limit through the transport's query params
+        assert [c[2]["params"] for c in s.calls] == [
+            {"skip": 0, "limit": 2},
+            {"skip": 2, "limit": 2},
+        ]
+
+    def test_airtable_send_maps_method_and_auth(self):
+        from srm_etl_spark.transports import make_airtable_send
+
+        s = _Session([_Resp(200, {})])
+        send = make_airtable_send("KEY", "appX", "tbl", session=s)
+        send({"method": "PATCH", "records": [{"id": "r1", "fields": {}}], "typecast": True})
+        method, url, kw = s.calls[0]
+        assert method == "PATCH" and url.endswith("/appX/tbl")
+        assert kw["headers"]["Authorization"] == "Bearer KEY"
+        assert "method" not in kw["json"] and kw["json"]["typecast"] is True
+
+    def test_es_ship_posts_one_ndjson_bulk_per_partition(self):
+        from collections import namedtuple
+
+        from srm_etl_spark.transports import make_es_ship
+
+        Row = namedtuple("Row", "action_json doc_json")
+        s = _Session([_Resp(200, {"errors": False})])
+        ship = make_es_ship("http://es:9200", session=s)
+        ship([Row('{"index":{}}', '{"a":1}'), Row('{"index":{}}', '{"a":2}')])
+        method, url, kw = s.calls[0]
+        assert url == "http://es:9200/_bulk"
+        assert kw["data"] == '{"index":{}}\n{"a":1}\n{"index":{}}\n{"a":2}\n'
+        assert kw["headers"]["Content-Type"] == "application/x-ndjson"
+        ship([])  # empty partition -> no request
+        assert len(s.calls) == 1
+
+    def test_es_sweep_delete_by_query(self):
+        from srm_etl_spark.sinks.es import revision_sweep_body
+        from srm_etl_spark.transports import make_es_sweep
+
+        s = _Session([_Resp(200, {"deleted": 7})])
+        sweep = make_es_sweep("http://es:9200/", session=s)
+        out = sweep("cards", revision_sweep_body("r9"))
+        assert out == {"deleted": 7}
+        method, url, kw = s.calls[0]
+        assert url == "http://es:9200/cards/_delete_by_query"
+        assert kw["params"] == {"conflicts": "proceed"}
+        assert '"r9"' in kw["data"]
+
+    def test_ckan_send_conflict_falls_back_to_patch(self):
+        from srm_etl_spark.transports import make_ckan_send
+
+        s = _Session([_Resp(409), _Resp(200, {"success": True})])
+        send = make_ckan_send("http://ckan", "KEY", "org1", session=s)
+        out = send({"name": "backup", "title": "Manual Input Backup", "resources": []})
+        assert out == {"success": True}
+        (m1, u1, k1), (m2, u2, k2) = s.calls
+        assert u1.endswith("package_create") and u2.endswith("package_patch")
+        assert k2["json"]["id"] == "backup" and k1["json"]["owner_org"] == "org1"
+
+    def test_github_transports_drive_backup_push(self):
+        from srm_etl_spark.sinks.rest import github_backup_push
+        from srm_etl_spark.transports import make_github_transports
+
+        s = _Session([_Resp(200, {"sha": "abc"}), _Resp(200, {})])
+        fetch, put = make_github_transports("TOK", session=s)
+        assert github_backup_push(fetch, put, "2026-08-15") is True
+        (mg, ug, kg), (mp, up, kp) = s.calls
+        assert mg == "GET" and mp == "PUT"
+        assert kg["headers"]["Authorization"] == "token TOK"
+        assert kp["json"]["sha"] == "abc"

@@ -300,3 +300,86 @@ def test_resolve_entities_variants_always_cluster(spark, n_entities):
     assert sorted(by_entity) == [i * 4 for i in range(n_entities)]
     for i in range(n_entities):
         assert by_entity[i * 4] == {i * 4, i * 4 + 1, i * 4 + 2}
+
+
+def _bpe_priority_ref(word: str, merges) -> list[str]:
+    """Independent driver-side reimplementation of the q155 kernel's pinned
+    semantics: repeatedly merge the LEFTMOST occurrence of the LOWEST-ranked
+    adjacent pair until none is in the table."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    parts = list(word)
+    while len(parts) > 1:
+        best = None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, i)
+        if best is None:
+            break
+        i = best[1]
+        parts[i : i + 2] = [parts[i] + parts[i + 1]]
+    return parts
+
+
+_bpe_alpha = st.text(alphabet="lehot", min_size=1, max_size=10)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(_bpe_alpha, min_size=1, max_size=12),
+    st.lists(
+        st.tuples(st.sampled_from(["l", "e", "h", "o", "t", "ll", "th", "he"]),
+                  st.sampled_from(["l", "e", "h", "o", "t", "ll", "th", "he"])),
+        min_size=1, max_size=8, unique=True,
+    ),
+)
+def test_bpe_priority_kernel_matches_reference(spark, words, merges):
+    """The Arrow kernel == the driver-side reference for ARBITRARY merge
+    tables (same-pair, stacked, shadowed rules included), and every word's
+    tokens concatenate back to the word."""
+    from srm_etl_spark.functions.text import bpe_tokens_priority
+
+    merges = tuple(merges)
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "i long, w string")
+    got = {
+        r.i: r.toks
+        for r in df.select("i", bpe_tokens_priority(F.col("w"), merges).alias("toks")).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == _bpe_priority_ref(w, merges), (w, merges)
+        assert "".join(got[i]) == w
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), min_size=1, max_size=8),
+        min_size=1, max_size=3,
+    )
+)
+def test_es_replay_is_last_write_wins(spark, publishes):
+    """replay_index_state == a dict replay of the same publishes: per _id the
+    LAST publish's doc wins, regardless of spool file layout."""
+    import tempfile
+
+    from srm_etl_spark.sinks.es import publish, replay_index_state, spool_ship
+
+    expect: dict = {}
+    spools = []
+    for seq, docs in enumerate(publishes, start=1):
+        # dedup ids within one publish (real payloads are keyed frames)
+        dedup = {i: v for i, v in docs}
+        df = spark.createDataFrame(
+            [(i, v) for i, v in dedup.items()], "doc_id long, v long"
+        )
+        spool = tempfile.mkdtemp(prefix=f"es_prop_{seq}_")
+        publish(df, "idx", "doc_id", spool_ship(spool), lambda i, b: None,
+                revision=f"r{seq}", settle_seconds=0)
+        spools.append((seq, spool))
+        for i, v in dedup.items():
+            expect[i] = (v, f"r{seq}")
+    got = {
+        r.doc_id: (r.v, r.revision)
+        for r in replay_index_state(spark, spools, "doc_id long, v long, revision string").collect()
+    }
+    assert got == expect

@@ -12,6 +12,7 @@ q153 — the FULL ES revision-swap lifecycle (reference
 
 from __future__ import annotations
 
+import itertools
 import tempfile
 
 from pyspark.sql import functions as F
@@ -260,6 +261,91 @@ def q156_ivf_partitioned(spark, sf_dir):
     )
 
 
+_Q157_ID = itertools.count()
+
+
+def q157_stream_dedup(spark, sf_dir):
+    """Streaming deduplication (streaming/events.py:streaming_dedup →
+    dropDuplicatesWithinWatermark) under a controlled 3-batch replay, both
+    boundaries pinned:
+
+    - batch0 = events up to the 70%-of-span cut; batch1 = the tail PLUS
+      near-duplicates (same event_id, ts jittered +5 min) of late-batch0
+      events — their keys are still in state (or the dup is already late),
+      so they are SUPPRESSED either way;
+    - batch2 = replayed duplicates of EARLY events (first 30% of span) with
+      a FRESH timestamp (hi - 10 min): their keys were evicted when the
+      watermark passed ts+delay, and the fresh ts is above the watermark,
+      so they RE-EMIT — the operator's documented contract is dedup within
+      the watermark delay, not forever.
+
+    Emitted set = every original exactly once + the batch2 re-emits
+    (measured: a same-ts duplicate of an evicted key is late-filtered and
+    never re-emits; only fresh-ts replays do). Hash-gated against that rule.
+    """
+    import datetime  # noqa: PLC0415
+
+    from ..streaming.events import replay_in_batches, streaming_dedup  # noqa: PLC0415
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "event_type", "value")
+    )
+    mm = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = mm["lo"], mm["hi"]
+    span_s = int((hi - lo).total_seconds())
+    # early keys must be EVICTED before batch2 (0.3·span + 30min delay <
+    # span - 30min watermark) — the q117 span guard covers this with margin
+    min_span_s = int((3600 + 1800) / 0.7) + 1
+    if span_s < min_span_s:
+        raise ValueError(
+            f"q157 requires events to span >= {min_span_s}s so early keys "
+            f"are evicted before the replay batch; got {span_s}s"
+        )
+    cut_low = lo + datetime.timedelta(seconds=(span_s * 3) // 10)
+    cut1 = lo + datetime.timedelta(seconds=(span_s * 7) // 10)
+    dup_a = ev.filter(
+        (F.col("ts") > F.lit(cut1 - datetime.timedelta(minutes=50)))
+        & (F.col("ts") <= F.lit(cut1))
+        & (F.col("event_id") % 4 == 1)
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+    dup_b = ev.filter(
+        (F.col("ts") < F.lit(cut_low)) & (F.col("event_id") % 9 == 0)
+    ).withColumn("ts", F.lit(hi - datetime.timedelta(minutes=10)))
+    batches = [
+        ev.filter(F.col("ts") <= F.lit(cut1)),
+        ev.filter(F.col("ts") > F.lit(cut1)).unionByName(dup_a),
+        dup_b,
+    ]
+    out, _progress = replay_in_batches(
+        spark, batches, lambda s: streaming_dedup(s, "30 minutes"), f"q157_sink_{next(_Q157_ID)}"
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        "value",
+    )
+
+
+_Q157_SQL = """
+WITH bounds AS (
+  SELECT min(ts) AS lo, max(ts) AS hi,
+         CAST(floor(epoch(max(ts)) - epoch(min(ts))) AS BIGINT) AS span_s
+  FROM events
+)
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type, value
+FROM events
+UNION ALL
+SELECT e.event_id, strftime(b.hi - INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       e.event_type, e.value
+FROM events e CROSS JOIN bounds b
+WHERE e.event_id % 9 = 0
+  AND e.ts < b.lo + to_seconds((b.span_s * 3) // 10)
+"""
+
+
 EXT20_REGISTRY = {
     "q153_es_revision_swap": QueryDef(
         q153_es_revision_swap,
@@ -280,5 +366,10 @@ EXT20_REGISTRY = {
         q156_ivf_partitioned,
         Q61_SQL,
         "IVF over a partitionBy(cell) corpus: probe scan prunes to probed cells",
+    ),
+    "q157_stream_dedup": QueryDef(
+        q157_stream_dedup,
+        _Q157_SQL,
+        "streaming dedup (dropDuplicatesWithinWatermark): in-state suppression + post-eviction re-emit",
     ),
 }

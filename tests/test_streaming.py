@@ -62,6 +62,35 @@ def test_streaming_dedup_keeps_all_unique(spark, sf_dir, events_dir):
     assert n_stream == n_batch
 
 
+def test_streaming_dedup_boundaries(spark):
+    """The operator's contract, pinned: a duplicate whose key is still in
+    state is suppressed; a same-ts duplicate of an EVICTED key is
+    late-filtered (never re-emits); only a fresh-ts replay of an evicted
+    key re-emits (q157's batch2)."""
+    import datetime
+
+    from srm_etl_spark.streaming.events import replay_in_batches
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def ev(eid, mins):
+        return (eid, t0 + datetime.timedelta(minutes=mins), "x")
+
+    schema = "event_id long, ts timestamp, event_type string"
+    b0 = spark.createDataFrame([ev(1, 0), ev(2, 130)], schema)
+    # key 2 in state (expires 160 > wm 100) -> suppressed even with jitter;
+    # key 1 evicted (expires 30 < wm 100): same-ts replay is late -> dropped
+    b1 = spark.createDataFrame([ev(2, 135), ev(1, 0), ev(3, 140)], schema)
+    # key 1 evicted, FRESH ts above watermark -> re-emits
+    b2 = spark.createDataFrame([ev(1, 138)], schema)
+    out, _ = replay_in_batches(
+        spark, [b0, b1, b2],
+        lambda s: streaming_dedup(s, "30 minutes"), "dedup_boundaries",
+    )
+    got = sorted((r.event_id, (r.ts - t0).total_seconds() / 60) for r in out.collect())
+    assert got == [(1, 0.0), (1, 138.0), (2, 130.0), (3, 140.0)]
+
+
 def test_session_windows_complete(spark, sf_dir, events_dir):
     stream = session_window_counts(stream_events(spark, events_dir), gap="30 minutes")
     run_to_memory(stream, "session_test")

@@ -427,7 +427,13 @@ def bpe_tokens_priority(text: Column, merges=DEFAULT_BPE_MERGES) -> Column:
     (q155 does: explode → groupBy word → kernel on the vocabulary — corpus
     scale never reaches Python); a per-batch memo catches the rest.
     """
+    import re  # noqa: PLC0415
+
     ranks = {pair: i for i, pair in enumerate(merges)}
+    # Java's \s (tokens()'s split) is ASCII-only; Python str.split() breaks
+    # on Unicode whitespace (NBSP!) and would silently re-split words the
+    # JVM pre-tokenizer kept whole — match the JVM exactly.
+    ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @F.pandas_udf("array<string>")
     def _bpe(col: pd.Series) -> pd.Series:
@@ -450,7 +456,9 @@ def bpe_tokens_priority(text: Column, merges=DEFAULT_BPE_MERGES) -> Column:
             return got
 
         return col.map(
-            lambda t: [tok for w in t.split() for tok in word_tokens(w)] if t else []
+            lambda t: [tok for w in ascii_ws.split(t) if w for tok in word_tokens(w)]
+            if t
+            else []
         )
 
     return _bpe(text)

@@ -157,8 +157,12 @@ def brute_force_topk_arrow(
     import pandas as pd  # noqa: PLC0415
 
     if queries_broadcast is None:
+        # limit(bound+1).count() answers "over the bound?" at bounded cost —
+        # a full count() would scan the whole query lineage, which is
+        # expensive exactly in the large-query-set case the bound detects
         queries_broadcast = (
-            max_closure_queries is not None and queries.count() > max_closure_queries
+            max_closure_queries is not None
+            and queries.limit(max_closure_queries + 1).count() > max_closure_queries
         )
     if queries_broadcast:
         return brute_force_topk(corpus, queries, k, vec_col, id_col, query_id_col)
@@ -805,8 +809,10 @@ def pq_topk(
     if any(not b for b in codebooks.values()):
         raise ValueError("every subspace codebook must be non-empty")
     if queries_broadcast is None:
+        # bounded existence check, not a full count (see brute_force_topk_arrow)
         queries_broadcast = (
-            max_closure_queries is not None and queries.count() > max_closure_queries
+            max_closure_queries is not None
+            and queries.limit(max_closure_queries + 1).count() > max_closure_queries
         )
     if queries_broadcast:
         return pq_topk_broadcast(

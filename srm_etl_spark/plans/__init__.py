@@ -53,8 +53,8 @@ REGISTRY.update(EXT20_REGISTRY)
 # verifies the FIRST 50 registry entries. This round rotates in the last
 # never-driver-gated tail — q84-q87, q89-q92, q94-q125 (40 queries) — so
 # every pre-existing registry entry has carried an independent driver-oracle
-# row at least once. The remaining 10 slots hold the round-8 additions
-# (q153-q156) plus the six longest-ago-gated queries (q01-q06, round 1) as
+# row at least once. The remaining 10 slots hold ALL FIVE round-8 additions
+# (q153-q157) plus the five longest-ago-gated queries (q01-q05, round 1) as
 # regression canaries. Displaced entries keep their committed local
 # verification (CORRECTNESS_LOCAL_r8.txt, full-registry run from the final
 # tree).
@@ -103,12 +103,12 @@ _WINDOW = [
     "q154_backup_package",
     "q155_bpe_priority_vocab",
     "q156_ivf_partitioned",
+    "q157_stream_dedup",
     "q01_pricing_summary",
     "q02_filter_project",
     "q03_left_join_enrich",
     "q04_revenue_by_nation",
     "q05_brand_agg",
-    "q06_upsert_status",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

@@ -13,7 +13,6 @@ q153 — the FULL ES revision-swap lifecycle (reference
 from __future__ import annotations
 
 import itertools
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -44,11 +43,19 @@ def q153_es_revision_swap(spark, sf_dir):
     storage, no driver-side index). The final phase applies the revision
     recorded by the SECOND publish's actual sweep call, so the emitted set
     proves the delete-by-query wiring, not just the intended constant."""
+    import os  # noqa: PLC0415
+
+    from ..session import scratch_dir  # noqa: PLC0415
     from ..sinks.es import publish, replay_index_state, recording_sweep, spool_ship, sweep_revision  # noqa: PLC0415
 
     pub1, pub2 = _doc_sets(spark, sf_dir)
-    spool1 = tempfile.mkdtemp(prefix="es_spool1_")
-    spool2 = tempfile.mkdtemp(prefix="es_spool2_")
+    # scratch_dir (not raw mkdtemp): the lazy replay frames need the spools
+    # alive until collected, and scratch_dir's atexit cleanup stops repeated
+    # bench/correctness runs accumulating /tmp litter
+    base = scratch_dir("srm_q153")
+    spool1, spool2 = os.path.join(base, "pub1"), os.path.join(base, "pub2")
+    os.makedirs(spool1, exist_ok=True)
+    os.makedirs(spool2, exist_ok=True)
     sweeps: list = []
     publish(pub1, "cards", "doc_id", spool_ship(spool1), recording_sweep(sweeps), revision="rev1", settle_seconds=0)
     publish(pub2, "cards", "doc_id", spool_ship(spool2), recording_sweep(sweeps), revision="rev2", settle_seconds=0)

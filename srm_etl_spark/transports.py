@@ -43,7 +43,7 @@ def _new_session():
     return _requests.Session()
 
 
-def request_json(
+def request_with_retry(
     url: str,
     *,
     method: str = "GET",
@@ -53,27 +53,53 @@ def request_json(
     timeout: float = 60.0,
     backoff: float = 1.0,
     sleep: Callable[[float], None] = time.sleep,
+    accept_statuses: tuple[int, ...] = (),
     **kw,
 ):
-    """One JSON request with the reference's retry posture: bounded retries
-    on the listed statuses (exponential backoff), raise on other errors."""
+    """One request with the reference's retry posture: bounded retries on the
+    listed statuses (exponential backoff); returns the RESPONSE. Statuses in
+    ``accept_statuses`` return instead of raising (callers branch on them)."""
     session = session or _new_session()
     for attempt in range(retries + 1):
         resp = session.request(method, url, timeout=timeout, **kw)
         if resp.status_code in retry_statuses and attempt < retries:
             sleep(backoff * (2**attempt))
             continue
-        resp.raise_for_status()
-        return resp.json()
+        if resp.status_code not in accept_statuses:
+            resp.raise_for_status()
+        return resp
     raise RuntimeError("unreachable")  # pragma: no cover
+
+
+def request_json(url: str, **kw) -> dict:
+    """:func:`request_with_retry`, JSON-decoded."""
+    return request_with_retry(url, **kw).json()
+
+
+def _session_cache(injected):
+    """Driver-side factories reuse ONE session across calls (a paged scan is
+    hundreds of sequential fetches — pool the connection); executor-side
+    transports skip this and build per call (sessions don't pickle)."""
+    state: dict = {}
+
+    def get():
+        if injected is not None:
+            return injected
+        if "s" not in state:
+            state["s"] = _new_session()
+        return state["s"]
+
+    return get
 
 
 def make_json_fetch(headers: dict | None = None, session=None, **rkw) -> Callable[..., dict]:
     """``fetch_url(url, params=None) -> dict`` for the linked/datagovil
     pagers (S5/S12) and any enveloped JSON source (S3/S10)."""
 
+    sess = _session_cache(session)
+
     def fetch(url: str, params: dict | None = None) -> dict:
-        return request_json(url, session=session, headers=headers, params=params, **rkw)
+        return request_json(url, session=sess(), headers=headers, params=params, **rkw)
 
     return fetch
 
@@ -92,11 +118,13 @@ def make_skip_limit_fetch_page(
     """``fetch_page(skip, limit) -> list`` for the gov.il-style pager (S6,
     reference srm_tools/gov.py:13-55)."""
 
+    sess = _session_cache(session)
+
     def fetch_page(skip: int, limit: int) -> list:
         q = dict(params or {})
         q[skip_param] = skip
         q[limit_param] = limit
-        body = request_json(url, session=session, headers=headers, params=q, **rkw)
+        body = request_json(url, session=sess(), headers=headers, params=q, **rkw)
         return body.get(records_key, []) if isinstance(body, dict) else body
 
     return fetch_page
@@ -112,10 +140,12 @@ def make_airtable_send(
     url = f"https://api.airtable.com/v0/{base}/{table}"
     headers = {"Authorization": f"Bearer {api_key}"}
 
+    sess = _session_cache(session)
+
     def send(payload: dict) -> None:
         body = {k: v for k, v in payload.items() if k != "method"}
         request_json(
-            url, method=payload.get("method", "POST"), session=session,
+            url, method=payload.get("method", "POST"), session=sess(),
             headers=headers, json=body, **rkw,
         )
 
@@ -130,43 +160,68 @@ def make_ckan_send(
     package_patch when the name already exists (CKAN returns 409)."""
     headers = {"Authorization": api_key}
 
+    sess = _session_cache(session)
+
     def send(payload: dict) -> dict:
         payload = {**payload, "owner_org": owner_org}
-        create = f"{host}/api/3/action/package_create"
-        session_ = session or _new_session()
-        resp = session_.request("POST", create, json=payload, headers=headers, timeout=60)
+        resp = request_with_retry(
+            f"{host}/api/3/action/package_create", method="POST", session=sess(),
+            headers=headers, json=payload, accept_statuses=(409,), **rkw,
+        )
         if resp.status_code == 409:
             return request_json(
-                f"{host}/api/3/action/package_patch", method="POST", session=session_,
+                f"{host}/api/3/action/package_patch", method="POST", session=sess(),
                 headers=headers, json={**payload, "id": payload["name"]}, **rkw,
             )
-        resp.raise_for_status()
         return resp.json()
 
     return send
 
 
 def make_es_ship(
-    hosts: str, *, auth: tuple[str, str] | None = None, session=None, **rkw
+    hosts: str,
+    *,
+    auth: tuple[str, str] | None = None,
+    session=None,
+    max_docs: int = 500,
+    max_bytes: int = 5 * 1024 * 1024,
+    **rkw,
 ) -> Callable[[Iterable], None]:
-    """``ship(partition_iter)`` for ``sinks/es.py:publish``: each partition's
-    (action_json, doc_json) pairs post as ONE ``_bulk`` NDJSON body. Runs on
-    executors — the session is created inside the call (nothing unpicklable
-    is captured); pass ``session`` only in tests."""
+    """``ship(partition_iter)`` for ``sinks/es.py:publish``: a partition's
+    (action_json, doc_json) pairs post as CHUNKED ``_bulk`` NDJSON bodies —
+    a flush every ``max_docs`` docs or ``max_bytes`` of payload, never the
+    whole partition at once (a 100 TB partition is unbounded; ES caps
+    ``http.max_content_length`` at 100 MB by default, and a retry must
+    resend only one bounded chunk). Runs on executors — the session is
+    created inside the call (nothing unpicklable is captured); pass
+    ``session`` only in tests."""
 
     def ship(rows: Iterable) -> None:
+        s = None
         lines: list[str] = []
+        n_docs = size = 0
+
+        def flush():
+            nonlocal s, lines, n_docs, size
+            if not lines:
+                return
+            if s is None:
+                s = session or _new_session()
+            request_json(
+                f"{hosts.rstrip('/')}/_bulk", method="POST", session=s,
+                headers={"Content-Type": "application/x-ndjson"},
+                data="\n".join(lines) + "\n", auth=auth, **rkw,
+            )
+            lines, n_docs, size = [], 0, 0
+
         for r in rows:
             lines.append(r.action_json)
             lines.append(r.doc_json)
-        if not lines:
-            return
-        s = session or _new_session()
-        request_json(
-            f"{hosts.rstrip('/')}/_bulk", method="POST", session=s,
-            headers={"Content-Type": "application/x-ndjson"},
-            data="\n".join(lines) + "\n", auth=auth, **rkw,
-        )
+            n_docs += 1
+            size += len(r.action_json) + len(r.doc_json) + 2
+            if n_docs >= max_docs or size >= max_bytes:
+                flush()
+        flush()
 
     return ship
 

@@ -292,6 +292,36 @@ class TestTransports:
         ship([])  # empty partition -> no request
         assert len(s.calls) == 1
 
+    def test_es_ship_chunks_large_partitions(self):
+        # a partition is unbounded at scale: the ship must flush every
+        # max_docs (or max_bytes), never one giant _bulk body
+        from collections import namedtuple
+
+        from srm_etl_spark.transports import make_es_ship
+
+        Row = namedtuple("Row", "action_json doc_json")
+        s = _Session([_Resp(200, {"errors": False})] * 3)
+        ship = make_es_ship("http://es:9200", session=s, max_docs=4)
+        ship([Row("{}", f'{{"i":{i}}}') for i in range(10)])  # 4 + 4 + 2
+        assert len(s.calls) == 3
+        assert s.calls[0][2]["data"].count("\n") == 8  # 4 docs x 2 lines
+        assert s.calls[2][2]["data"].count("\n") == 4
+        # byte cap flushes too
+        s2 = _Session([_Resp(200, {})] * 2)
+        ship2 = make_es_ship("http://es:9200", session=s2, max_bytes=30)
+        ship2([Row("{}", '{"x":"' + "a" * 20 + '"}') for _ in range(2)])
+        assert len(s2.calls) == 2
+
+    def test_ckan_create_retries_transients(self):
+        from srm_etl_spark.transports import make_ckan_send
+
+        s = _Session([_Resp(503), _Resp(200, {"success": True})])
+        send = make_ckan_send("http://ckan", "KEY", "org1", session=s, sleep=lambda _: None)
+        assert send({"name": "backup", "resources": []}) == {"success": True}
+        assert [u for _, u, _ in s.calls] == [
+            "http://ckan/api/3/action/package_create",
+        ] * 2
+
     def test_es_sweep_delete_by_query(self):
         from srm_etl_spark.sinks.es import revision_sweep_body
         from srm_etl_spark.transports import make_es_sweep

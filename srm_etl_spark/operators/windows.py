@@ -50,6 +50,8 @@ def enumerate_rows_scalable(
     its partitions. Costs one extra counting job over the ranged exchange
     (which the main action then reuses).
     """
+    from pyspark import StorageLevel  # noqa: PLC0415
+
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if num_partitions is None:
         num_partitions = int(
@@ -58,6 +60,16 @@ def enumerate_rows_scalable(
     ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # PIN the ranged exchange before counting: repartitionByRange picks its
+    # boundaries by SAMPLING, and the counting job and the main action are
+    # two separate evaluations — an upstream change (AQE coalescing, input
+    # split drift) can re-sample different boundaries in the second run and
+    # desync every offset (caught at sf0.1, r8: scores shifted by a
+    # partition-boundary overlap). persist() materializes the partitions
+    # once; both jobs then read the same physical layout. MEMORY_AND_DISK:
+    # a global index over a big frame is worth one spillable copy — the
+    # same cost RDD.zipWithIndex pays implicitly.
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
         r["_pid"]: r["n"]
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -66,8 +66,14 @@ def q01_pricing_summary(spark, sf_dir):
             F.sum(price.cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
             F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
             F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+            # integer-valued doubles sum exactly at any order; 2-dp
+            # l_discount needs the decimal-sum mean to be order-free
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -80,7 +86,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
        CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -266,17 +272,24 @@ FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
 
 
 def q08_count_per_key(spark, sf_dir):
-    """A1 frequency + plain double avg (rounded clear of float noise)."""
+    """A1 frequency + mean value. The mean is an exact decimal sum divided
+    once: ``value`` carries 2-dp data, so the DECIMAL(18,2) cast is a
+    lossless round-trip in both engines and the sum is order-free — a plain
+    double avg's partial-sum order varies with partitioning and can flip
+    the rounded grid on boundary values (the r8 centroid lesson)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
 
 Q08_SQL = """
-SELECT event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value,
+SELECT event_type, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """
@@ -949,14 +962,17 @@ def q31_centroids(spark, sf_dir):
     return out.select(
         F.col("label").cast("long").alias("label"),
         F.col("pos").cast("long").alias("pos"),
-        "value",
+        # + 0.0 canonicalizes IEEE negative zero (round can yield -0.0)
+        (F.col("value") + F.lit(0.0)).alias("value"),
     )
 
 
 Q31_SQL = """
 SELECT CAST(label AS BIGINT) AS label,
        CAST(pos AS BIGINT) AS pos,
-       round(avg(v), 4) AS value
+       -- sorted fold, not avg: order-free float mean, bit-equal to the
+       -- engine's centroids() fold (see similarity.py:centroids)
+       round(CAST(list_reduce(list_sort(list(CAST(v AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) / count(*), 4) + CAST(0.0 AS DOUBLE) AS value
 FROM (
   SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v
   FROM embeddings

@@ -68,22 +68,40 @@ def q63_sketch_agg(spark, sf_dir):
     envelopes. The oracle pins the exact columns and the envelope booleans —
     if a sketch drifts out of tolerance the hash check fails, so the sketches
     are gate-verified without demanding cross-engine sketch-identical
-    output (DuckDB's HLL is a different implementation)."""
+    output (DuckDB's HLL is a different implementation).
+
+    The median envelope is RANK-based — the quantile sketch's actual
+    contract (rank error ≤ n/accuracy), checked as |rank(_am) - n/2| within
+    a 0.2%-of-n slack via one broadcast-join counting pass. A VALUE envelope
+    against the interpolated exact median is wrong for even-count groups:
+    the sketch returns a real element, and the gap between the two middle
+    elements can exceed any fixed value tolerance on a small group (caught
+    by the r8 sf0.001 sweep: a 316-row group's middle gap was 1.1%)."""
     o = _t(spark, sf_dir, "orders")
     agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_n"),
         F.countDistinct("o_custkey").alias("exact_distinct"),
         F.approx_count_distinct("o_custkey", 0.02).alias("_ad"),
         F.expr("percentile(o_totalprice, 0.5D)").alias("_em"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("_am"),
     )
-    return agg.select(
+    rank = (
+        o.select("o_orderpriority", "o_totalprice")
+        .join(F.broadcast(agg.select("o_orderpriority", "_am")), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.when(F.col("o_totalprice") <= F.col("_am"), 1).otherwise(0)).alias("_rank"))
+    )
+    return agg.join(rank, "o_orderpriority").select(
         "o_orderpriority",
         "exact_distinct",
         F.round("_em", 2).alias("exact_median"),
         (F.abs(F.col("_ad") - F.col("exact_distinct")) / F.col("exact_distinct") <= 0.05).alias(
             "distinct_sketch_ok"
         ),
-        (F.abs(F.col("_am") - F.col("_em")) / F.col("_em") <= 0.01).alias("median_sketch_ok"),
+        (
+            F.abs(F.col("_rank") - F.col("_n") / 2.0)
+            <= F.greatest(F.lit(2.0), F.col("_n") * 0.002)
+        ).alias("median_sketch_ok"),
     )
 
 

@@ -50,8 +50,6 @@ def enumerate_rows_scalable(
     its partitions. Costs one extra counting job over the ranged exchange
     (which the main action then reuses).
     """
-    from pyspark import StorageLevel  # noqa: PLC0415
-
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if num_partitions is None:
         num_partitions = int(
@@ -65,11 +63,14 @@ def enumerate_rows_scalable(
     # two separate evaluations — an upstream change (AQE coalescing, input
     # split drift) can re-sample different boundaries in the second run and
     # desync every offset (caught at sf0.1, r8: scores shifted by a
-    # partition-boundary overlap). persist() materializes the partitions
-    # once; both jobs then read the same physical layout. MEMORY_AND_DISK:
-    # a global index over a big frame is worth one spillable copy — the
-    # same cost RDD.zipWithIndex pays implicitly.
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    # partition-boundary overlap). The session slot materializes the
+    # partitions once (MEMORY_AND_DISK — the same spillable copy
+    # RDD.zipWithIndex pays implicitly), both jobs read one physical
+    # layout, and warm repeats of the same plan reuse it instead of
+    # stacking a new cached relation per call.
+    from .session_cache import keep_persisted  # noqa: PLC0415
+
+    ranged = keep_persisted(ranged, "enumerate_ranged")
     counts = {
         r["_pid"]: r["n"]
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

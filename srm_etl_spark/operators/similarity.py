@@ -203,31 +203,40 @@ def brute_force_topk_arrow(
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def centroids(
-    df: DataFrame, label_col: str = "label", vec_col: str = "embedding", round_to: int | None = None
-) -> DataFrame:
-    """Per-label centroid via posexplode + an ORDER-FREE mean per dimension
-    (IVF coarse quantizer building block). Output: (label, pos, value).
+def orderfree_mean(col: Column) -> Column:
+    """ORDER-FREE float mean for use inside ``.agg(...)``: fold the group's
+    values in SORTED order instead of a plain ``avg``.
 
-    The mean folds each group's values in SORTED order instead of a plain
-    ``avg``: float partial-aggregation order varies with partitioning, and
-    a 1-ulp difference flips ``round(·, k)`` on grid-boundary values — the
-    r8 sf0.001 sweep caught q31 doing exactly that between two runs of the
+    Float partial-aggregation order varies with partitioning, and a 1-ulp
+    difference flips ``round(·, k)`` on grid-boundary values — the r8
+    sf0.001 sweep caught q31 doing exactly that between two runs of the
     same plan. Sorting first makes the result identical on any cluster
     layout and bit-reproducible in the SQL oracles
-    (``list_reduce(list_sort(...))``). Cost: the shuffle carries the
-    per-(label, dim) value list rather than a partial sum — quantizer
+    (``round(list_reduce(list_sort(list(x)), (a,b) -> a+b) / count(x), k)``).
+    NULLs are skipped like ``avg`` (collect_list drops them; the denominator
+    counts non-null; an all-null group yields NULL) — the SQL twins assume
+    null-free inputs, where the semantics coincide. Cost: the shuffle
+    carries the group's value list rather than a partial sum — quantizer
     training runs on bounded samples where that list is small by
     construction; at raw-corpus scale, train on a sample (as FAISS does)
     rather than folding billions."""
-    exploded = df.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+    v = col.cast("double")
     folded = F.aggregate(
-        F.array_sort(F.collect_list(F.col("v").cast("double"))),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        F.array_sort(F.collect_list(v)), F.lit(0.0), lambda acc, x: acc + x
     )
+    n = F.count(v)
+    return F.when(n > 0, folded / n)
+
+
+def centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding", round_to: int | None = None
+) -> DataFrame:
+    """Per-label centroid via posexplode + :func:`orderfree_mean` per
+    dimension (IVF coarse quantizer building block). Output:
+    (label, pos, value)."""
+    exploded = df.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
     out = exploded.groupBy(label_col, "pos").agg(
-        (folded / F.count(F.lit(1))).alias("value")
+        orderfree_mean(F.col("v")).alias("value")
     )
     if round_to is not None:
         out = out.withColumn("value", F.round("value", round_to))
@@ -673,16 +682,8 @@ def pq_train_codebooks(
         ).select("s.j", "s.cluster", F.posexplode("s.sv").alias("pos", "x"))
         rows = (
             stacked.groupBy("j", "cluster", "pos")
-            # sorted fold, not avg: order-free float mean (see centroids())
-            .agg(
-                F.round(
-                    F.aggregate(
-                        F.array_sort(F.collect_list("x")), F.lit(0.0), lambda a, b: a + b
-                    )
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("val")
-            )
+            # sorted fold, not avg: order-free float mean
+            .agg(F.round(orderfree_mean(F.col("x")), 6).alias("val"))
             .groupBy("j", "cluster")
             .agg(
                 F.transform(

@@ -71,7 +71,7 @@ def q01_pricing_summary(spark, sf_dir):
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(
                 F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1)),
+                / F.count("l_discount"),
                 4,
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -86,7 +86,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
        CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -281,7 +281,7 @@ def q08_count_per_key(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)), 4
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"), 4
         ).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
@@ -289,7 +289,7 @@ def q08_count_per_key(spark, sf_dir):
 
 Q08_SQL = """
 SELECT event_type, count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """
@@ -954,9 +954,10 @@ FROM ranked WHERE rank <= 5
 
 
 def q31_centroids(spark, sf_dir):
-    """Per-label centroids via posexplode + per-dimension avg (IVF coarse
-    quantizer building block). Shuffle keyed by (label, dim) — fully
-    partition-parallel."""
+    """Per-label centroids via posexplode + the ORDER-FREE sorted-fold mean
+    per dimension (similarity.py:orderfree_mean — a plain avg's partial-sum
+    order varies with partitioning and flips the rounded grid; r8 sweep).
+    Shuffle keyed by (label, dim) — fully partition-parallel."""
     emb = _t(spark, sf_dir, "embeddings")
     out = SIM.centroids(emb, "label", "embedding", round_to=4)
     return out.select(
@@ -972,7 +973,7 @@ SELECT CAST(label AS BIGINT) AS label,
        CAST(pos AS BIGINT) AS pos,
        -- sorted fold, not avg: order-free float mean, bit-equal to the
        -- engine's centroids() fold (see similarity.py:centroids)
-       round(CAST(list_reduce(list_sort(list(CAST(v AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) / count(*), 4) + CAST(0.0 AS DOUBLE) AS value
+       round(CAST(list_reduce(list_sort(list(CAST(v AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) / count(v), 4) + CAST(0.0 AS DOUBLE) AS value
 FROM (
   SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v
   FROM embeddings

@@ -259,7 +259,7 @@ WITH dims AS (
          unnest(CAST(embedding AS DOUBLE[])) AS v
   FROM embeddings
 ), cdim AS (
-  SELECT label, pos, round(CAST(list_reduce(list_sort(list(CAST(v AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) / count(*), 6) AS value FROM dims GROUP BY label, pos
+  SELECT label, pos, round(CAST(list_reduce(list_sort(list(CAST(v AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) / count(v), 6) AS value FROM dims GROUP BY label, pos
 ), cent AS (
   SELECT label, list(value ORDER BY pos) AS centroid FROM cdim GROUP BY label
 ), assigned AS (

@@ -237,7 +237,7 @@ a1 AS (SELECT vec_id, v, cid FROM (
                                           p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
          FROM e CROSS JOIN c0 c) WHERE rn = 1),
 c1 AS (SELECT cid, list(val ORDER BY pos) AS v FROM (
-         SELECT cid, pos, round(CAST(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) / count(*), 6) AS val FROM (
+         SELECT cid, pos, round(CAST(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) / count(x), 6) AS val FROM (
            SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a1)
          GROUP BY cid, pos)
        GROUP BY cid),
@@ -251,7 +251,7 @@ a2 AS (SELECT vec_id, v, cid FROM (
 Q83_SQL = Q83_CORE + """,
 sizes AS (SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid),
 cent AS (SELECT cid, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM a2),
-agg AS (SELECT cid, pos, round(CAST(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) / count(*), 4) + CAST(0.0 AS DOUBLE) AS value FROM cent GROUP BY cid, pos)
+agg AS (SELECT cid, pos, round(CAST(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) / count(x), 4) + CAST(0.0 AS DOUBLE) AS value FROM cent GROUP BY cid, pos)
 SELECT CAST(a.cid AS BIGINT) AS cluster, CAST(s.n_members AS BIGINT) AS n_members,
        CAST(a.pos AS BIGINT) AS pos, a.value
 FROM agg a JOIN sizes s USING (cid)

@@ -266,7 +266,7 @@ a1 AS (SELECT vec_id, j, sv, cid FROM (
                                           p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
          FROM sube s JOIN c0 c ON s.j = c.j) WHERE rn = 1),
 c1 AS (SELECT j, cid, list(val ORDER BY pos) AS c FROM (
-         SELECT j, cid, pos, round(CAST(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) / count(*), 6) AS val FROM (
+         SELECT j, cid, pos, round(CAST(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) / count(x), 6) AS val FROM (
            SELECT j, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x FROM a1)
          GROUP BY j, cid, pos)
        GROUP BY j, cid),
@@ -278,7 +278,7 @@ a2 AS (SELECT vec_id, j, sv, cid FROM (
                                           p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
          FROM sube s JOIN c1 c ON s.j = c.j) WHERE rn = 1),
 c2 AS (SELECT j, cid, list(val ORDER BY pos) AS c FROM (
-         SELECT j, cid, pos, round(CAST(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) / count(*), 6) AS val FROM (
+         SELECT j, cid, pos, round(CAST(list_reduce(list_sort(list(CAST(x AS DOUBLE))), (a, b) -> a + b) AS DOUBLE) / count(x), 6) AS val FROM (
            SELECT j, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x FROM a2)
          GROUP BY j, cid, pos)
        GROUP BY j, cid),

@@ -48,11 +48,14 @@ def invoke_on(
     Returns ``func()``'s result on success."""
     try:
         result = func()
-    except BaseException:
+    except BaseException as exc:
         if on_failure is not None:
             on_failure()
         notify(build_failure_message(name, traceback.format_exc(), env_name))
-        if reraise:
+        # Only plain Exceptions are suppressible: KeyboardInterrupt /
+        # SystemExit / GeneratorExit must propagate even with reraise=False,
+        # or an opted-out caller keeps the job alive through an interrupt.
+        if reraise or not isinstance(exc, Exception):
             raise
         return None
     if on_success is not None:

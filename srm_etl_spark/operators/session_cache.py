@@ -34,3 +34,38 @@ def keep_persisted(df: DataFrame, slot: str) -> DataFrame:
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _SLOTS[slot] = df
     return df
+
+
+def keep_persisted_pooled(df: DataFrame, pool: str, max_slots: int = 8) -> DataFrame:
+    """:func:`keep_persisted` for slots keyed by PLAN (one slot per distinct
+    semantic hash, e.g. the enumerate_rows ranged pins): a long session can
+    enumerate many distinct frames, and unbounded per-plan slots would
+    accumulate MEMORY_AND_DISK relations forever. The pool keeps at most
+    ``max_slots`` frames per prefix, LRU: reusing a slot refreshes it,
+    inserting past the cap unpersists (non-blocking) and drops the
+    least-recently-used one. Distinct frames enumerated concurrently within
+    one operator call still each get their own pin (max_slots >= the operator
+    fan-out), so the resample-desync protection is preserved."""
+    slot = f"{pool}_{df.semanticHash()}"
+    prev = _SLOTS.get(slot)
+    if prev is not None:
+        try:
+            if df.sameSemantics(prev):
+                # refresh LRU position
+                _SLOTS[slot] = _SLOTS.pop(slot)
+                return prev
+            prev.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001, S110 — prior session may be gone
+            pass
+        _SLOTS.pop(slot, None)
+    pool_keys = [k for k in _SLOTS if k.startswith(f"{pool}_")]
+    while len(pool_keys) >= max_slots:
+        victim = pool_keys.pop(0)  # dict preserves insertion = LRU order
+        evicted = _SLOTS.pop(victim)
+        try:
+            evicted.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001, S110
+            pass
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SLOTS[slot] = df
+    return df

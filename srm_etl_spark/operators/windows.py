@@ -67,13 +67,15 @@ def enumerate_rows_scalable(
     # partitions once (MEMORY_AND_DISK — the same spillable copy
     # RDD.zipWithIndex pays implicitly), both jobs read one physical
     # layout, and warm repeats of the same plan reuse it instead of
-    # stacking a new cached relation per call. The slot is keyed by the
-    # plan's semantic hash: two DIFFERENT frames enumerated in one session
+    # stacking a new cached relation per call. The slot pool is keyed by
+    # the plan's semantic hash, bounded LRU: two DIFFERENT frames enumerated in one session
     # must not evict each other's pin mid-computation (a shared slot would
-    # reintroduce the resample bug for the first frame's deferred action).
-    from .session_cache import keep_persisted  # noqa: PLC0415
+    # reintroduce the resample bug for the first frame's deferred action),
+    # but a long session enumerating MANY distinct frames must not
+    # accumulate unbounded cached relations either.
+    from .session_cache import keep_persisted_pooled  # noqa: PLC0415
 
-    ranged = keep_persisted(ranged, f"enumerate_ranged_{ranged.semanticHash()}")
+    ranged = keep_persisted_pooled(ranged, "enumerate_ranged")
     counts = {
         r["_pid"]: r["n"]
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -21,16 +21,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StructType
 
-# es:type hint → ES mapping snippet (the reference's TYPE_CONVERSION table)
-_ES_TYPES = {
-    "keyword": {"type": "keyword"},
-    "autocomplete": {
-        "type": "search_as_you_type",
-    },
-    "hebrew": {"type": "text", "analyzer": "hebrew"},
-    "text": {"type": "text"},
-}
-
 _SPARK_TO_ES = {
     "string": {"type": "text"},
     "long": {"type": "long"},
@@ -42,25 +32,66 @@ _SPARK_TO_ES = {
     "date": {"type": "date"},
 }
 
+# Spark types the reference classifies as table-schema number/integer — those
+# (plus geopoint) get an explicit ``index: True`` (es_utils.py:33-34).
+_INDEXED_NUMERICS = {"long", "integer", "double", "float", "short", "byte"}
+
+# Field-name suffix rule (es_utils.py:35): the last ``_``-segment of the name
+# auto-attaches the hebrew multi-field even without an ``es:hebrew`` hint.
+_HEBREW_SUFFIXES = ("name", "purpose", "description", "details", "synonyms", "heb")
+
+_HEBREW_SUBFIELD = {"hebrew": {"type": "text", "analyzer": "hebrew"}}
+
 
 def es_mapping(schema: StructType) -> dict:
-    """Index mapping generated from column types + ``es:*`` column metadata.
+    """Index mapping generated from column types + ``es:*`` column metadata,
+    mirroring the reference's ``SRMMappingGenerator._convert_type``
+    (``operators/derive/es_utils.py:21-44``):
 
-    ``es:type`` overrides the inferred type; ``es:index: false`` disables
-    indexing; arrays map to their element type (ES is array-transparent);
-    nested structs recurse as ``properties``.
+    - base type inferred from the Spark type (arrays map to their element
+      type — ES is array-transparent; nested structs recurse as
+      ``properties``); ``es:type: geopoint`` → ``geo_point``; ``es:type:
+      any`` → the ``es:itemType`` hint (default string, es_utils.py:25-26);
+    - ``es:keyword`` / ``es:autocomplete`` hints REPLACE the base type with
+      ``keyword`` / ``search_as_you_type``;
+    - number/integer/geopoint fields get ``index: True``;
+    - ``es:hebrew`` — or a field name whose last ``_``-segment is one of
+      name/purpose/description/details/synonyms/heb — ADDS a
+      ``fields.hebrew`` multi-field (text + hebrew analyzer) alongside the
+      base type, so both ``card.name`` and ``card.name.hebrew`` resolve;
+    - ``es:index: false`` disables indexing (engine extension).
     """
     props: dict = {}
     for f in schema.fields:
         dtype = f.dataType
         if isinstance(dtype, ArrayType):
             dtype = dtype.elementType
+        md = f.metadata or {}
+        hint = md.get("es:type")
         if isinstance(dtype, StructType):
             entry: dict = {"type": "object", "properties": es_mapping(dtype)["properties"]}
+            props[f.name] = entry
+            continue
+        if hint == "geopoint":
+            entry = {"type": "geo_point"}
+        elif hint == "any":
+            item = md.get("es:itemType", "string")
+            entry = dict(_SPARK_TO_ES.get(item, {"type": "text"}))
         else:
-            hint = f.metadata.get("es:type") if f.metadata else None
-            entry = dict(_ES_TYPES.get(hint) or _SPARK_TO_ES.get(dtype.typeName(), {"type": "text"}))
-        if f.metadata and f.metadata.get("es:index") is False:
+            entry = dict(_SPARK_TO_ES.get(dtype.typeName(), {"type": "text"}))
+        if md.get("es:keyword") or hint == "keyword":
+            entry = {"type": "keyword"}
+        if md.get("es:autocomplete") or hint == "autocomplete":
+            entry = {"type": "search_as_you_type"}
+        if dtype.typeName() in _INDEXED_NUMERICS or hint == "geopoint":
+            entry["index"] = True
+        if (
+            md.get("es:hebrew")
+            or hint == "hebrew"
+            or f.name.split("_")[-1] in _HEBREW_SUFFIXES
+        ):
+            entry["fields"] = dict(_HEBREW_SUBFIELD)
+        if md.get("es:index") is False:
             entry["index"] = False
         props[f.name] = entry
     return {"properties": props}

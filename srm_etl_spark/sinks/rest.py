@@ -191,7 +191,7 @@ def github_backup_push(
     put: Callable[[str, dict], int],
     content: str,
     *,
-    api_url: str = "repos/OWNER/REPO/contents/LAST_PUSH_FROM_ETL.txt",
+    api_url: str = "https://api.github.com/repos/OWNER/REPO/contents/LAST_PUSH_FROM_ETL.txt",
     branch: str = "backup-request",
     message: str = "Automated commit from ETL process",
 ) -> bool:

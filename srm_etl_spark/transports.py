@@ -57,11 +57,23 @@ def request_with_retry(
     **kw,
 ):
     """One request with the reference's retry posture: bounded retries on the
-    listed statuses (exponential backoff); returns the RESPONSE. Statuses in
-    ``accept_statuses`` return instead of raising (callers branch on them)."""
+    listed statuses AND on transport-level timeout/connection errors
+    (``es_utils.py:16`` sets ``retry_on_timeout=True`` — a transient timeout
+    must not fail a whole executor task), exponential backoff; returns the
+    RESPONSE. Statuses in ``accept_statuses`` return instead of raising
+    (callers branch on them)."""
     session = session or _new_session()
+    transient = (
+        (_requests.Timeout, _requests.ConnectionError) if _requests is not None else ()
+    )
     for attempt in range(retries + 1):
-        resp = session.request(method, url, timeout=timeout, **kw)
+        try:
+            resp = session.request(method, url, timeout=timeout, **kw)
+        except transient:
+            if attempt >= retries:
+                raise
+            sleep(backoff * (2**attempt))
+            continue
         if resp.status_code in retry_statuses and attempt < retries:
             sleep(backoff * (2**attempt))
             continue
@@ -207,11 +219,27 @@ def make_es_ship(
                 return
             if s is None:
                 s = session or _new_session()
-            request_json(
+            body = request_json(
                 f"{hosts.rstrip('/')}/_bulk", method="POST", session=s,
                 headers={"Content-Type": "application/x-ndjson"},
                 data="\n".join(lines) + "\n", auth=auth, **rkw,
             )
+            # ES answers HTTP 200 with {"errors": true} when individual docs
+            # fail (mapping conflicts, version races). The reference ships
+            # through streaming_bulk, which RAISES on per-item errors — a
+            # silent partial flush would drop documents from the index.
+            if isinstance(body, dict) and body.get("errors"):
+                failed = [
+                    item
+                    for item in body.get("items", [])
+                    for op in item.values()
+                    if isinstance(op, dict) and int(op.get("status", 200)) >= 300
+                ]
+                sample = json.dumps(failed[:3], default=str)
+                raise RuntimeError(
+                    f"ES _bulk reported {len(failed) or 'unknown'} item "
+                    f"failures (sample: {sample})"
+                )
             lines, n_docs, size = [], 0, 0
 
         for r in rows:

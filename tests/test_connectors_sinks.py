@@ -312,6 +312,55 @@ class TestTransports:
         ship2([Row("{}", '{"x":"' + "a" * 20 + '"}') for _ in range(2)])
         assert len(s2.calls) == 2
 
+    def test_es_ship_raises_on_bulk_item_errors(self):
+        # ES answers HTTP 200 with {"errors": true} when individual docs fail
+        # (mapping conflicts) — the reference's streaming_bulk raises; a
+        # silent partial flush would drop documents from the index.
+        from collections import namedtuple
+
+        from srm_etl_spark.transports import make_es_ship
+
+        Row = namedtuple("Row", "action_json doc_json")
+        body = {
+            "errors": True,
+            "items": [
+                {"index": {"_id": "1", "status": 200}},
+                {"index": {"_id": "2", "status": 409, "error": {"type": "version_conflict"}}},
+            ],
+        }
+        s = _Session([_Resp(200, body)])
+        ship = make_es_ship("http://es:9200", session=s)
+        with pytest.raises(RuntimeError, match="version_conflict"):
+            ship([Row('{"index":{}}', '{"a":1}')])
+
+    def test_request_retries_transport_timeouts(self):
+        # reference posture: retry_on_timeout=True (es_utils.py:16) — a
+        # transient requests Timeout/ConnectionError retries under the same
+        # bounded backoff, not a first-attempt task failure.
+        import requests
+
+        from srm_etl_spark.transports import request_json
+
+        class _FlakySession:
+            def __init__(self, failures, then):
+                self.failures, self.then, self.calls = failures, then, 0
+
+            def request(self, method, url, **kw):
+                self.calls += 1
+                if self.calls <= self.failures:
+                    raise requests.Timeout("read timed out")
+                return self.then
+
+        s = _FlakySession(2, _Resp(200, {"ok": 1}))
+        slept = []
+        assert request_json("http://x/api", session=s, sleep=slept.append) == {"ok": 1}
+        assert s.calls == 3 and slept == [1.0, 2.0]
+        # budget exhausted -> the transport error propagates
+        s2 = _FlakySession(99, _Resp(200, {}))
+        with pytest.raises(requests.Timeout):
+            request_json("http://x/api", session=s2, retries=1, sleep=lambda _: None)
+        assert s2.calls == 2
+
     def test_ckan_create_retries_transients(self):
         from srm_etl_spark.transports import make_ckan_send
 

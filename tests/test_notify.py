@@ -46,6 +46,20 @@ def test_base_exception_also_notifies():
     assert sent[0]["operation"] == "backup"
 
 
+def test_reraise_false_cannot_swallow_interrupts():
+    # Only plain Exceptions are suppressible: an opted-out caller must not
+    # keep the job alive through KeyboardInterrupt / SystemExit.
+    for exc_type in (KeyboardInterrupt, SystemExit):
+        sent = []
+
+        def boom(e=exc_type):
+            raise e
+
+        with pytest.raises(exc_type):
+            invoke_on(boom, "backup", sent.append, reraise=False)
+        assert len(sent) == 1  # still notified first
+
+
 def test_message_format_pinned():
     m = build_failure_message("derive", "TB", env_name="production")
     assert m == {

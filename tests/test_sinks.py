@@ -85,12 +85,51 @@ def test_es_mapping_from_metadata():
     )
     m = es_mapping(schema)["properties"]
     assert m["card_id"] == {"type": "keyword"}
-    assert m["name"] == {"type": "text", "analyzer": "hebrew"}
+    # hebrew is a MULTI-FIELD on the base type (reference es_utils.py:36-42),
+    # not a type replacement: card.name AND card.name.hebrew both resolve.
+    assert m["name"] == {
+        "type": "text",
+        "fields": {"hebrew": {"type": "text", "analyzer": "hebrew"}},
+    }
     assert m["suggest"]["type"] == "search_as_you_type"
     assert m["hidden"]["index"] is False
-    assert m["score"] == {"type": "double"}
+    assert m["score"] == {"type": "double", "index": True}
     assert m["tags"] == {"type": "keyword"}  # ES is array-transparent
-    assert m["address"]["properties"]["n"] == {"type": "long"}
+    assert m["address"]["properties"]["n"] == {"type": "long", "index": True}
+
+
+def test_es_mapping_golden_card_schema():
+    """Golden mapping for a representative card schema, structure-matched to
+    the reference's SRMMappingGenerator output (es_utils.py:21-44): suffix
+    auto-rule, index:True on numerics/geopoint, es:itemType for `any`."""
+    schema = StructType(
+        [
+            StructField("card_id", StringType(), metadata={"es:keyword": True}),
+            StructField("service_name", StringType()),  # suffix -> hebrew
+            StructField("organization_purpose", StringType()),  # suffix
+            StructField("situation_ids", ArrayType(StringType()), metadata={"es:keyword": True}),
+            StructField("branch_geometry", StringType(), metadata={"es:type": "geopoint"}),
+            StructField("score", DoubleType()),
+            StructField("organization_kind", StringType()),  # no suffix match
+            StructField("data", StringType(), metadata={"es:type": "any"}),
+            StructField(
+                "address_parts",
+                StructType([StructField("primary", StringType()), StructField("num", LongType())]),
+            ),
+        ]
+    )
+    heb = {"hebrew": {"type": "text", "analyzer": "hebrew"}}
+    m = es_mapping(schema)["properties"]
+    assert m["card_id"] == {"type": "keyword"}
+    assert m["service_name"] == {"type": "text", "fields": heb}
+    assert m["organization_purpose"] == {"type": "text", "fields": heb}
+    assert m["situation_ids"] == {"type": "keyword"}
+    assert m["branch_geometry"] == {"type": "geo_point", "index": True}
+    assert m["score"] == {"type": "double", "index": True}
+    assert m["organization_kind"] == {"type": "text"}
+    assert m["data"] == {"type": "text"}  # any -> es:itemType default string
+    assert m["address_parts"]["type"] == "object"
+    assert m["address_parts"]["properties"]["num"] == {"type": "long", "index": True}
 
 
 def test_es_actions_and_sweep(spark):
@@ -225,6 +264,8 @@ def test_github_backup_push_protocol():
     got = []
     github_backup_push(lambda u: got.append(u) or (404, {}), put_ok, "ts")
     assert got[0].endswith("?ref=backup-request")
+    # default api_url is a full https URL (requests needs a scheme)
+    assert got[0].startswith("https://api.github.com/repos/")
 
     # non-2xx PUT -> failure reported, not raised (reference logs and returns)
     assert github_backup_push(lambda u: (404, {}), lambda u, p: 500, "ts") is False

@@ -64,6 +64,28 @@ def test_enumerate_rows_scalable_parity(spark):
     assert sorted((r["id"], r["idx"]) for r in a) == sorted((r["id"], r["idx"]) for r in b)
 
 
+def test_keep_persisted_pooled_bounds_slot_count(spark):
+    # A long session enumerating many distinct frames must not accumulate
+    # unbounded MEMORY_AND_DISK relations: the pool is LRU-bounded.
+    from srm_etl_spark.operators import session_cache as sc
+
+    frames = [spark.range(0, 10 + i).withColumn("v", F.col("id") * i) for i in range(5)]
+    pinned = []
+    for f in frames:
+        pinned.append(sc.keep_persisted_pooled(f, "test_pool", max_slots=2))
+    pool_keys = [k for k in sc._SLOTS if k.startswith("test_pool_")]
+    assert len(pool_keys) == 2  # 3 oldest evicted
+    # surviving slots are the two most recent, still usable
+    assert pinned[-1].count() == 14
+    # re-pinning the most recent frame reuses the SAME persisted object
+    again = sc.keep_persisted_pooled(frames[-1], "test_pool", max_slots=2)
+    assert again is pinned[-1]
+    # evicted frames were unpersisted
+    assert not pinned[0].storageLevel.useMemory
+    for k in pool_keys:
+        sc._SLOTS.pop(k).unpersist(blocking=False)
+
+
 def test_pack_sequences_budget_semantics(spark):
     from srm_etl_spark.operators.packing import pack_sequences
 

@@ -27,6 +27,7 @@ from .queries_ext17 import EXT17_REGISTRY
 from .queries_ext18 import EXT18_REGISTRY
 from .queries_ext19 import EXT19_REGISTRY
 from .queries_ext20 import EXT20_REGISTRY
+from .queries_ext21 import EXT21_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -48,6 +49,7 @@ REGISTRY.update(EXT17_REGISTRY)
 REGISTRY.update(EXT18_REGISTRY)
 REGISTRY.update(EXT19_REGISTRY)
 REGISTRY.update(EXT20_REGISTRY)
+REGISTRY.update(EXT21_REGISTRY)
 
 # Driver-window rotation, round 8: the driver's correctness gate only
 # verifies the FIRST 50 registry entries. This round rotates in the last

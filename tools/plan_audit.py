@@ -81,6 +81,10 @@ SINGLE_PARTITION_OK = {
                                 # the corpus at 50k files x 50k URLs
                                 # (files.py:sitemap_documents documents the
                                 # per-partition-offset swap beyond that)
+    "q159_publish_fanout",      # the sitemap LEG of the fan-out — the same
+                                # protocol-capped global URL ordering q105
+                                # whitelists; the ES/SQL legs stay
+                                # partitioned on the persisted card surface
 }
 
 

@@ -40,7 +40,10 @@ _INDEXED_NUMERICS = {"long", "integer", "double", "float", "short", "byte"}
 # auto-attaches the hebrew multi-field even without an ``es:hebrew`` hint.
 _HEBREW_SUFFIXES = ("name", "purpose", "description", "details", "synonyms", "heb")
 
-_HEBREW_SUBFIELD = {"hebrew": {"type": "text", "analyzer": "hebrew"}}
+def _hebrew_subfield() -> dict:
+    # built fresh per property: a shared nested dict would alias every
+    # field's mapping to one mutable object
+    return {"hebrew": {"type": "text", "analyzer": "hebrew"}}
 
 
 def es_mapping(schema: StructType) -> dict:
@@ -90,7 +93,7 @@ def es_mapping(schema: StructType) -> dict:
             or hint == "hebrew"
             or f.name.split("_")[-1] in _HEBREW_SUFFIXES
         ):
-            entry["fields"] = dict(_HEBREW_SUBFIELD)
+            entry["fields"] = _hebrew_subfield()
         if md.get("es:index") is False:
             entry["index"] = False
         props[f.name] = entry

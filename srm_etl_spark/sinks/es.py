@@ -100,6 +100,18 @@ def es_mapping(schema: StructType) -> dict:
     return {"properties": props}
 
 
+def publish_mapping(schema: StructType) -> dict:
+    """The mapping :func:`publish` needs: the document mapping plus the
+    ``revision`` stamp as an explicit ``keyword`` property. The reference
+    adds the revision field with ``es:keyword`` BEFORE dumping
+    (es_utils.py:67), so its generated mapping always keyword-maps it —
+    the post-publish sweep is an exact ``term`` query on that field and
+    must never depend on dynamic mapping choosing an analyzed type."""
+    m = es_mapping(schema)
+    m["properties"]["revision"] = {"type": "keyword"}
+    return m
+
+
 def to_es_actions(df: DataFrame, index: str, id_col: str, revision: str | None = None) -> DataFrame:
     """Bulk-API action lines: (action_json, doc_json) per row, all JVM-side.
 
@@ -208,15 +220,22 @@ def publish(
     sweep,
     revision: str | None = None,
     settle_seconds: int = 30,
+    ensure=None,
 ) -> str:
-    """Full publish protocol: bulk-ship every partition, settle, sweep.
+    """Full publish protocol: ensure the index, bulk-ship every partition,
+    settle, sweep.
 
     ``ship(partition_iter)`` and ``sweep(index, body)`` are injected transports
-    (HTTP in production, recorders in tests). Returns the revision used.
+    (HTTP in production, recorders in tests); ``ensure(index, mappings)``,
+    when given, creates the index from :func:`publish_mapping` before the
+    load — the reference's ``dump_to_es`` does this via its mapper class
+    (es_utils.py:46-57). Returns the revision used.
     """
     import time  # noqa: PLC0415
 
     revision = revision or uuid.uuid4().hex
+    if ensure is not None:
+        ensure(index, publish_mapping(df.schema))
     actions = to_es_actions(df, index, id_col, revision)
     actions.foreachPartition(ship)
     time.sleep(settle_seconds)

@@ -254,6 +254,35 @@ def make_es_ship(
     return ship
 
 
+def make_es_ensure_index(
+    hosts: str, *, auth: tuple[str, str] | None = None, session=None, **rkw
+) -> Callable[[str, dict], bool]:
+    """``ensure(index, mappings)`` for ``sinks/es.py:publish``: HEAD the
+    index and PUT it with the generated mappings when absent — the
+    reference's ``dump_to_es`` creates the index from the mapper class's
+    generated mapping before the bulk load (es_utils.py:46-57 wires
+    ``SRMMappingGenerator`` in as ``mapper_cls``). Driver-side, one call
+    per publish. Returns True when the index was created."""
+
+    def ensure(index: str, mappings: dict) -> bool:
+        s = session or _new_session()
+        url = f"{hosts.rstrip('/')}/{index}"
+        head = request_with_retry(
+            url, method="HEAD", session=s, auth=auth,
+            accept_statuses=(404,), **rkw,
+        )
+        if head.status_code != 404:
+            return False
+        request_json(
+            url, method="PUT", session=s,
+            headers={"Content-Type": "application/json"},
+            data=json.dumps({"mappings": mappings}), auth=auth, **rkw,
+        )
+        return True
+
+    return ensure
+
+
 def make_es_sweep(
     hosts: str, *, auth: tuple[str, str] | None = None, session=None, **rkw
 ) -> Callable[[str, dict], dict]:

@@ -276,6 +276,27 @@ class TestTransports:
         assert kw["headers"]["Authorization"] == "Bearer KEY"
         assert "method" not in kw["json"] and kw["json"]["typecast"] is True
 
+    def test_es_ensure_index_creates_only_when_absent(self):
+        import json as _json
+
+        from srm_etl_spark.transports import make_es_ensure_index
+
+        # absent index: HEAD 404 -> PUT {mappings}
+        s = _Session([_Resp(404), _Resp(200, {"acknowledged": True})])
+        ensure = make_es_ensure_index("http://es:9200/", session=s)
+        mappings = {"properties": {"revision": {"type": "keyword"}}}
+        assert ensure("cards", mappings) is True
+        (m1, u1, _), (m2, u2, kw2) = s.calls
+        assert (m1, u1) == ("HEAD", "http://es:9200/cards")
+        assert (m2, u2) == ("PUT", "http://es:9200/cards")
+        assert _json.loads(kw2["data"]) == {"mappings": mappings}
+
+        # existing index: HEAD 200 -> no PUT
+        s2 = _Session([_Resp(200)])
+        ensure2 = make_es_ensure_index("http://es:9200", session=s2)
+        assert ensure2("cards", mappings) is False
+        assert len(s2.calls) == 1
+
     def test_es_ship_posts_one_ndjson_bulk_per_partition(self):
         from collections import namedtuple
 

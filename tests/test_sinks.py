@@ -14,6 +14,7 @@ from pyspark.sql.types import (
 )
 
 from srm_etl_spark.sinks import es_mapping, revision_sweep_body, to_es_actions
+from srm_etl_spark.sinks.es import publish_mapping
 from srm_etl_spark.sinks.files import geojson_features, sitemap_documents, write_sitemaps
 
 
@@ -131,6 +132,15 @@ def test_es_mapping_golden_card_schema():
     assert m["address_parts"]["type"] == "object"
     assert m["address_parts"]["properties"]["num"] == {"type": "long", "index": True}
 
+    # the publish-time mapping adds the revision stamp as an explicit keyword
+    # (reference adds the field with es:keyword before dump, es_utils.py:67 —
+    # the sweep's term query must not depend on dynamic mapping)
+    pm = publish_mapping(schema)["properties"]
+    assert pm["revision"] == {"type": "keyword"}
+    assert {k: v for k, v in pm.items() if k != "revision"} == m
+    # and the document mapping itself is not mutated by the publish variant
+    assert "revision" not in es_mapping(schema)["properties"]
+
 
 def test_es_actions_and_sweep(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
@@ -143,6 +153,29 @@ def test_es_actions_and_sweep(spark):
     assert doc["revision"] == "rev123"
     sweep = revision_sweep_body("rev123")
     assert sweep["query"]["bool"]["must_not"] == [{"term": {"revision": "rev123"}}]
+
+
+def test_publish_ensures_index_with_revision_mapping(spark):
+    """publish(ensure=...) creates the index from publish_mapping BEFORE the
+    bulk load (the reference's dump_to_es wires SRMMappingGenerator in as
+    mapper_cls, es_utils.py:46-57) — so the sweep's term query always hits
+    an explicit keyword-mapped revision field."""
+    from srm_etl_spark.sinks.es import publish
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, service_name string")
+    ensured: list = []
+    publish(
+        df, "cards", "doc_id",
+        ship=lambda rows: None,
+        sweep=lambda i, b: None,
+        ensure=lambda i, m: ensured.append((i, m)),
+        settle_seconds=0,
+    )
+    assert ensured == [("cards", publish_mapping(df.schema))]
+    props = ensured[0][1]["properties"]
+    assert props["revision"] == {"type": "keyword"}
+    # suffix auto-rule flows through to the publish-time mapping too
+    assert props["service_name"]["fields"] == {"hebrew": {"type": "text", "analyzer": "hebrew"}}
 
 
 def test_write_clustered_disjoint_ranges(spark, tmp_path):

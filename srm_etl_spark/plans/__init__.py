@@ -28,6 +28,7 @@ from .queries_ext18 import EXT18_REGISTRY
 from .queries_ext19 import EXT19_REGISTRY
 from .queries_ext20 import EXT20_REGISTRY
 from .queries_ext21 import EXT21_REGISTRY
+from .queries_ext22 import EXT22_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -50,6 +51,7 @@ REGISTRY.update(EXT18_REGISTRY)
 REGISTRY.update(EXT19_REGISTRY)
 REGISTRY.update(EXT20_REGISTRY)
 REGISTRY.update(EXT21_REGISTRY)
+REGISTRY.update(EXT22_REGISTRY)
 
 # Driver-window rotation, round 9: the driver's correctness gate only
 # verifies the FIRST 50 registry entries. After round 8 every registry entry
@@ -57,14 +59,16 @@ REGISTRY.update(EXT21_REGISTRY)
 # STALEST-gated queries each round. q06-q50 were last driver-gated in rounds
 # 1-4 on much older trees (and the r8 float-mean/envelope fixes touched code
 # under q31/q44's families), so this round re-gates that whole head (45
-# queries), the two round-9 additions (q158 composed derive DAG, q159
-# publish fan-out), and the three next-stalest entries (q51-q53, round 4) as
-# the forward edge of the next rotation. Displaced entries keep their
-# committed local verification (CORRECTNESS_LOCAL_r9.txt, full-registry run
-# from the final tree).
+# queries), the three round-9 additions (q158 composed derive DAG, q159
+# publish fan-out, q160 composed training-corpus pipeline — each new query
+# displaces the newest forward-edge entry, per the standing rule), and the
+# two next-stalest entries (q51-q52, round 4) as the forward edge of the
+# next rotation. Displaced entries keep their committed local verification
+# (CORRECTNESS_LOCAL_r9.txt, full-registry run from the final tree).
 _WINDOW = [
     "q158_derive_staged",
     "q159_publish_fanout",
+    "q160_training_corpus_staged",
     "q06_upsert_status",
     "q07_collect_set_join",
     "q08_count_per_key",
@@ -112,7 +116,6 @@ _WINDOW = [
     "q50_salted_join_agg",
     "q51_upsert_diff",
     "q52_band_join",
-    "q53_stream_tumbling",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

@@ -70,19 +70,25 @@ def scaled_emb(spark, k: int):
     )
 
 
-_SCALED_DIRS: dict[int, str] = {}
+_SCALED_DIRS: dict[tuple[int, bool], str] = {}
 
 
-def scaled_sf_dir(spark, k: int) -> str:
+def scaled_sf_dir(spark, k: int, full: bool = False) -> str:
     """A synthetic k-x copy of the WAREHOUSE for the composed verticals
     (q129/q133 probe): supplier/customer/part/orders replicated with
     distinct keys (pk*k + replica), the other tables symlinked as-is.
     Single parquet FILE per table (load_table sniffs schemas with pyarrow,
-    which wants a file path). Built once per (session, k)."""
+    which wants a file path). Built once per (session, k, full).
+
+    ``full=True`` additionally replicates LINEITEM with all three FKs remapped
+    coherently (l_orderkey/l_partkey/l_suppkey -> key*k + replica), so
+    fact-side joins (services from lineitem x part, meser rows) grow k x too —
+    the axis the derive-DAG probe needs. The default keeps lineitem symlinked
+    (the entities/meser probes' historical axis: dims grow, facts don't)."""
     if k == 1:
         return SF
-    if k in _SCALED_DIRS:
-        return _SCALED_DIRS[k]
+    if (k, full) in _SCALED_DIRS:
+        return _SCALED_DIRS[(k, full)]
     import glob  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
@@ -98,15 +104,21 @@ def scaled_sf_dir(spark, k: int) -> str:
         "part": "p_partkey",
         "orders": "o_orderkey",
     }
-    for t in ["region", "nation", "lineitem", "events", "documents", "embeddings"]:
+    multikeys: dict[str, list[str]] = {}
+    if full:
+        multikeys["lineitem"] = ["l_orderkey", "l_partkey", "l_suppkey"]
+    passthrough = ["region", "nation", "events", "documents", "embeddings"]
+    if not full:
+        passthrough.append("lineitem")
+    for t in passthrough:
         os.symlink(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
-    for t, key in keys.items():
+    for t, ks in {**{t: [key] for t, key in keys.items()}, **multikeys}.items():
         df = load_table(spark, SF, t, spread=False)
         scaled = df.withColumn(
             "_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
         ).select(
             *[
-                (F.col(key) * k + F.col("_r")).alias(key) if c == key else F.col(c)
+                (F.col(c) * k + F.col("_r")).alias(c) if c in ks else F.col(c)
                 for c in df.columns
             ]
         )
@@ -114,7 +126,7 @@ def scaled_sf_dir(spark, k: int) -> str:
         scaled.coalesce(1).write.mode("overwrite").parquet(tmp)
         shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{out}/{t}.parquet")
         shutil.rmtree(tmp)
-    _SCALED_DIRS[k] = out
+    _SCALED_DIRS[(k, full)] = out
     return out
 
 
@@ -229,6 +241,24 @@ def probes(spark):
 
         return q133_meser_staged(spark, scaled_sf_dir(spark, k))
 
+    def p_derive_staged(k):
+        # the COMPOSED §3.1 vertical (q158 shape): staging pull ->
+        # flat_branches -> flat_services -> flat_table -> card_data ->
+        # autocomplete in one lineage. full=True scales LINEITEM coherently
+        # with the dims so the service-side fact joins grow k x as well —
+        # this is the probe where a cross-stage handoff knee would show
+        from srm_etl_spark.plans.queries_ext21 import q158_derive_staged  # noqa: PLC0415
+
+        return q158_derive_staged(spark, scaled_sf_dir(spark, k, full=True))
+
+    def p_publish_fanout(k):
+        # the derive TAIL (q159 shape): one persisted card surface feeding
+        # ES action lines + sitemap chunks + SQL rows; shares the k-x derive
+        # memo with p_derive_staged, so this isolates the fan-out cost
+        from srm_etl_spark.plans.queries_ext21 import q159_publish_fanout  # noqa: PLC0415
+
+        return q159_publish_fanout(spark, scaled_sf_dir(spark, k, full=True))
+
     def p_bf_bcast(k):
         # the broadcast-join fallback of brute_force_topk_arrow
         # (similarity.py:159-167): scale axis = QUERY-set size (2000*k
@@ -271,6 +301,8 @@ def probes(spark):
         "substr_spans": p_substr_spans,
         "entities_staged": p_entities_staged,
         "meser_staged": p_meser_staged,
+        "derive_staged": p_derive_staged,
+        "publish_fanout": p_publish_fanout,
         "bf_topk_bcast": p_bf_bcast,
         "pq_topk_bcast": p_pq_bcast,
     }

@@ -58,6 +58,79 @@ def curate_corpus(docs: DataFrame, budget: int = 2048) -> dict[str, DataFrame]:
     return {"raw": docs, "deduped": deduped, "quality": quality, "packed": packed}
 
 
+def training_corpus_stages(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    budget: int = 2048,
+    quota_k: int = 15,
+    persist: bool = True,
+) -> dict[str, DataFrame]:
+    """The FULL training-corpus pipeline as one lineage: exact dedup →
+    MinHash-LSH near-dup removal (md5 family, oracle-reproducible) →
+    C4/Gopher quality gate → trigram decontamination vs ``eval_df`` →
+    per-(source, lang) quality quota → per-language sequence packing.
+
+    Returns every stage; q160 phases them into one hash-gated result.
+    ``persist=True`` pins the five intermediate frames (each feeds both its
+    own phase leg and the next stage); pass ``persist=False`` when a single
+    consumer will drive the chain end-to-end (e.g. the scaling probe, where
+    a pinned frame would turn the second rep into a cache scan)."""
+    from ..functions.text import normalized_text, quality_score, with_quality_flags  # noqa: PLC0415
+    from ..operators.decontaminate import contamination_report  # noqa: PLC0415
+    from ..operators.dedup import minhash_dedup  # noqa: PLC0415
+    from ..operators.windows import top_k_per_group  # noqa: PLC0415
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if persist:
+            from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df
+
+    exact = _pin(
+        docs.withColumn("_norm", normalized_text(F.col("text")))
+        .groupBy("_norm")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by(F.struct("lang", "source", "text"), F.col("doc_id")).alias("_k"),
+        )
+        .select(
+            "doc_id",
+            F.col("_k.lang").alias("lang"),
+            F.col("_k.source").alias("source"),
+            F.col("_k.text").alias("text"),
+        )
+    )
+    near = _pin(
+        minhash_dedup(
+            exact, "text", "doc_id",
+            num_hashes=16, bands=4, jaccard_threshold=0.7, hash_family="md5",
+        )
+    )
+    qual = _pin(with_quality_flags(near, "text").filter(F.col("keep")))
+    dirty = contamination_report(qual, eval_df, n=3, min_overlap=2).select("doc_id")
+    clean = _pin(qual.join(dirty, "doc_id", "left_anti"))
+    scored = clean.select(
+        "doc_id", "source", "lang", "text", quality_score(F.col("text")).alias("quality")
+    )
+    kept = _pin(
+        top_k_per_group(
+            scored, ["source", "lang"],
+            [F.col("quality").desc(), F.col("doc_id").asc()], k=quota_k,
+        )
+    )
+    sized = kept.select("doc_id", "lang", _bpe_tokens(F.col("text")).alias("n_tokens"))
+    packed = pack_sequences(sized, "n_tokens", [F.asc("doc_id")], budget, strata=["lang"])
+    seqs = packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    return {
+        "exact": exact, "near": near, "quality": qual,
+        "clean": clean, "kept": kept, "seqs": seqs,
+    }
+
+
 def curation_funnel(docs: DataFrame, budget: int = 2048) -> DataFrame:
     """(stage, n_rows, n_tokens) per pipeline stage — the audit manifest."""
     stages = curate_corpus(docs, budget)

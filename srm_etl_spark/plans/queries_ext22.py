@@ -25,7 +25,6 @@ once and every phase leg reuses them — the union adds no recomputation.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from .queries import _NORM, _STOP_SQL, QueryDef, _t
 from .queries_ext6 import _BPE_SQL
@@ -46,67 +45,14 @@ def q160_training_corpus_staged(spark, sf_dir):
     `operators/decontaminate.py`, quota `operators/windows.py`, packing
     `operators/packing.py` — the md5 hash family keeps the LSH leg
     oracle-reproducible exactly as q26 does)."""
-    from ..functions.text import normalized_text, quality_score, with_quality_flags  # noqa: PLC0415
-    from ..operators.decontaminate import contamination_report  # noqa: PLC0415
-    from ..operators.dedup import minhash_dedup  # noqa: PLC0415
-    from ..operators.packing import pack_sequences  # noqa: PLC0415
-    from ..operators.windows import top_k_per_group  # noqa: PLC0415
-    from ..pipelines.curation import _bpe_tokens  # noqa: PLC0415
+    from ..pipelines.curation import training_corpus_stages  # noqa: PLC0415
 
     d = _t(spark, sf_dir, "documents")
     ev = d.filter(F.col("doc_id") % 37 == 0)          # held-out benchmark slice
     raw = d.filter(F.col("doc_id") % 37 != 0)         # the ingested corpus
-
-    # stage 1: exact dedup — min-id keeper per normalized-content group
-    exact = (
-        raw.withColumn("_norm", normalized_text(F.col("text")))
-        .groupBy("_norm")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min_by(F.struct("lang", "source", "text"), F.col("doc_id")).alias("_k"),
-        )
-        .select(
-            "doc_id",
-            F.col("_k.lang").alias("lang"),
-            F.col("_k.source").alias("source"),
-            F.col("_k.text").alias("text"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    # stage 2: MinHash-LSH near-dup removal OVER THE EXACT SURVIVORS
-    near = minhash_dedup(
-        exact, "text", "doc_id",
-        num_hashes=16, bands=4, jaccard_threshold=0.7, hash_family="md5",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    # stage 3: C4/Gopher quality gate (integer-exact flags)
-    qual = (
-        with_quality_flags(near, "text")
-        .filter(F.col("keep"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    # stage 4: decontamination — drop docs sharing >= 2 distinct word
-    # trigrams with the eval slice (eval grams broadcast)
-    dirty = contamination_report(qual, ev, n=3, min_overlap=2).select("doc_id")
-    clean = qual.join(dirty, "doc_id", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
-
-    # stage 5: per-(source, lang) quota — 15 best by quality score
-    scored = clean.select(
-        "doc_id", "source", "lang", "text", quality_score(F.col("text")).alias("quality")
-    )
-    kept = top_k_per_group(
-        scored, ["source", "lang"], [F.col("quality").desc(), F.col("doc_id").asc()], k=15
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    # stage 6: sequence packing per language stratum (budget 2048)
-    sized = kept.select("doc_id", "lang", _bpe_tokens(F.col("text")).alias("n_tokens"))
-    packed = pack_sequences(sized, "n_tokens", [F.asc("doc_id")], 2048, strata=["lang"])
-    seqs = packed.groupBy("lang", "seq_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("sum_tokens"),
-    )
+    st = training_corpus_stages(raw, ev)
+    exact, near, qual = st["exact"], st["near"], st["quality"]
+    clean, kept, seqs = st["clean"], st["kept"], st["seqs"]
 
     def doc_phase(df, name, *sig_cols):
         return df.select(

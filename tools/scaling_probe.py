@@ -71,6 +71,33 @@ def scaled_emb(spark, k: int):
 
 
 _SCALED_DIRS: dict[tuple[int, bool], str] = {}
+_SCALED_DOC_DIRS: dict[int, str] = {}
+
+
+def scaled_docs_dir(spark, k: int) -> str:
+    """A k-x DOCUMENTS corpus as an sf-dir (single parquet file, other
+    tables symlinked): the scale axis for the composed training-corpus
+    pipeline (q160), whose only input is the documents table. Replicas get
+    distinct ids and a per-replica token so the exact-dedup stage doesn't
+    collapse the clones."""
+    if k == 1:
+        return SF
+    if k in _SCALED_DOC_DIRS:
+        return _SCALED_DOC_DIRS[k]
+    import glob  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    out = tempfile.mkdtemp(prefix=f"srm_docs_{k}x_")
+    for t in ["region", "nation", "supplier", "customer", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        os.symlink(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
+    tmp = os.path.join(out, "_docs_dir")
+    scaled_docs(spark, k).coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{out}/documents.parquet")
+    shutil.rmtree(tmp)
+    _SCALED_DOC_DIRS[k] = out
+    return out
 
 
 def scaled_sf_dir(spark, k: int, full: bool = False) -> str:
@@ -259,6 +286,23 @@ def probes(spark):
 
         return q159_publish_fanout(spark, scaled_sf_dir(spark, k, full=True))
 
+    def p_corpus_staged(k):
+        # the COMPOSED LLM-pipeline vertical (q160 shape): exact dedup ->
+        # md5 MinHash-LSH near-dup -> quality gate -> decontamination ->
+        # quota -> packing in one lineage, with k-x documents. LSH banding
+        # is the stage that would go quadratic if the bucketing broke —
+        # this probe drives the whole chain through the final packing stage.
+        # persist=False: the probe's single consumer drives the chain
+        # end-to-end; q160's phase pins would turn a second rep into a
+        # cache scan and flatten the scale signal
+        from srm_etl_spark.pipelines.curation import training_corpus_stages  # noqa: PLC0415
+        from srm_etl_spark.plans.queries import _t  # noqa: PLC0415
+
+        d = _t(spark, scaled_docs_dir(spark, k), "documents")
+        ev = d.filter(F.col("doc_id") % 37 == 0)
+        raw = d.filter(F.col("doc_id") % 37 != 0)
+        return training_corpus_stages(raw, ev, persist=False)["seqs"]
+
     def p_bf_bcast(k):
         # the broadcast-join fallback of brute_force_topk_arrow
         # (similarity.py:159-167): scale axis = QUERY-set size (2000*k
@@ -303,6 +347,7 @@ def probes(spark):
         "meser_staged": p_meser_staged,
         "derive_staged": p_derive_staged,
         "publish_fanout": p_publish_fanout,
+        "corpus_staged": p_corpus_staged,
         "bf_topk_bcast": p_bf_bcast,
         "pq_topk_bcast": p_pq_bcast,
     }

@@ -84,6 +84,26 @@ def quality_score(text: Column) -> Column:
     return F.round((length_ok + punct_ok + word_len_ok) / 3.0, 4)
 
 
+def quality_score_from_counts(
+    n_tokens: Column, n_punct: Column, nonspace: Column, total_word_chars: Column
+) -> Column:
+    """:func:`quality_score` computed from already-materialized counts —
+    bit-identical arithmetic, zero re-tokenization.
+
+    ``with_quality_flags`` leaves n_tokens / n_punct / total_word_chars on
+    the frame; a pipeline stage downstream of the quality gate should score
+    from those (plus one cheap nonspace strip) instead of re-running the
+    tokenizer and both regex passes over every document."""
+    length_ok = F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
+    pr = F.when(nonspace == 0, F.lit(0.0)).otherwise(n_punct / nonspace)
+    punct_ok = F.lit(1.0) - F.least(pr * 4.0, F.lit(1.0))
+    wl = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        total_word_chars.cast("double") / n_tokens
+    )
+    word_len_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((length_ok + punct_ok + word_len_ok) / 3.0, 4)
+
+
 def with_text_features(df, text_col: str = "text"):
     """Add token_count / punct_ratio / stopword_ratio / mean_word_length /
     quality_score as staged columns (one tokenization, reused).

@@ -72,19 +72,25 @@ def training_corpus_stages(
 
     Returns every stage; q160 phases them into one hash-gated result.
     ``persist=True`` pins the five intermediate frames (each feeds both its
-    own phase leg and the next stage); pass ``persist=False`` when a single
-    consumer will drive the chain end-to-end (e.g. the scaling probe, where
-    a pinned frame would turn the second rep into a cache scan)."""
-    from ..functions.text import normalized_text, quality_score, with_quality_flags  # noqa: PLC0415
+    own phase leg and the next stage) in the LRU-bounded session pool —
+    warm repeats reuse the cache, and a long session can't accumulate
+    unbounded relations. Pass ``persist=False`` when a single consumer will
+    drive the chain end-to-end (e.g. the scaling probe, where a pinned frame
+    would turn the second rep into a cache scan)."""
+    from ..functions.text import (  # noqa: PLC0415
+        normalized_text,
+        quality_score_from_counts,
+        with_quality_flags,
+    )
     from ..operators.decontaminate import contamination_report  # noqa: PLC0415
     from ..operators.dedup import minhash_dedup  # noqa: PLC0415
+    from ..operators.session_cache import keep_persisted_pooled  # noqa: PLC0415
     from ..operators.windows import top_k_per_group  # noqa: PLC0415
 
     def _pin(df: DataFrame) -> DataFrame:
         if persist:
-            from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
-
-            return df.persist(StorageLevel.MEMORY_AND_DISK)
+            # 10 slots = the 5 pins for the two most recent datasets
+            return keep_persisted_pooled(df, "training_corpus", max_slots=10)
         return df
 
     exact = _pin(
@@ -110,8 +116,14 @@ def training_corpus_stages(
     qual = _pin(with_quality_flags(near, "text").filter(F.col("keep")))
     dirty = contamination_report(qual, eval_df, n=3, min_overlap=2).select("doc_id")
     clean = _pin(qual.join(dirty, "doc_id", "left_anti"))
+    # score from the counts the quality gate already materialized (one
+    # tokenization, reused); only nonspace needs one cheap strip
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
     scored = clean.select(
-        "doc_id", "source", "lang", "text", quality_score(F.col("text")).alias("quality")
+        "doc_id", "source", "lang", "text",
+        quality_score_from_counts(
+            F.col("n_tokens"), F.col("n_punct"), nonspace, F.col("total_word_chars")
+        ).alias("quality"),
     )
     kept = _pin(
         top_k_per_group(

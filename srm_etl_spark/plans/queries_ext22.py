@@ -28,13 +28,9 @@ from pyspark.sql import functions as F
 
 from .queries import _NORM, _STOP_SQL, QueryDef, _t
 from .queries_ext6 import _BPE_SQL
+from .queries_ext21 import _s
 
 EXT22_REGISTRY: dict[str, QueryDef] = {}
-
-
-def _s(c):
-    col = F.col(c) if isinstance(c, str) else c
-    return F.coalesce(col.cast("string"), F.lit(""))
 
 
 def q160_training_corpus_staged(spark, sf_dir):
@@ -85,9 +81,16 @@ WITH raw AS (
 ), normed AS (
   SELECT doc_id, lang, source, text, {_NORM.format(c='text')} AS norm FROM raw
 ), exact AS (
-  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
-         arg_min(source, doc_id) AS source, arg_min(text, doc_id) AS text, norm
-  FROM normed GROUP BY norm
+  -- keeper assembled as ONE struct (per-column arg_min would skip a NULL
+  -- field on the min-id row and frankenrow it from another group member)
+  SELECT doc_id, k.lang AS lang, k.source AS source, k.text AS text, norm
+  FROM (
+    SELECT min(doc_id) AS doc_id,
+           arg_min(struct_pack(lang := lang, source := source, text := text),
+                   doc_id) AS k,
+           norm
+    FROM normed GROUP BY norm
+  )
 ), toksrc AS (
   SELECT doc_id, list_filter(string_split(norm, ' '), t -> t != '') AS tok
   FROM exact WHERE norm != ''

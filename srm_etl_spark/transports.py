@@ -273,11 +273,24 @@ def make_es_ensure_index(
         )
         if head.status_code != 404:
             return False
-        request_json(
+        # HEAD→PUT race: a concurrent publisher can create the index between
+        # the two calls; ES then answers 400 resource_already_exists_exception.
+        # The desired state (index exists) is satisfied — accept that one
+        # error type and re-raise anything else a 400 carries.
+        resp = request_with_retry(
             url, method="PUT", session=s,
             headers={"Content-Type": "application/json"},
-            data=json.dumps({"mappings": mappings}), auth=auth, **rkw,
+            data=json.dumps({"mappings": mappings}), auth=auth,
+            accept_statuses=(400,), **rkw,
         )
+        if resp.status_code == 400:
+            try:
+                err_type = resp.json().get("error", {}).get("type", "")
+            except ValueError:
+                err_type = ""
+            if err_type != "resource_already_exists_exception":
+                resp.raise_for_status()
+            return False
         return True
 
     return ensure

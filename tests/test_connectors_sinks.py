@@ -297,6 +297,24 @@ class TestTransports:
         assert ensure2("cards", mappings) is False
         assert len(s2.calls) == 1
 
+        # HEAD->PUT race: a concurrent publisher created the index between
+        # the calls; the already-exists 400 is the desired state, not an error
+        s3 = _Session([
+            _Resp(404),
+            _Resp(400, {"error": {"type": "resource_already_exists_exception"}}),
+        ])
+        ensure3 = make_es_ensure_index("http://es:9200", session=s3)
+        assert ensure3("cards", mappings) is False
+
+        # any other 400 still raises
+        s4 = _Session([
+            _Resp(404),
+            _Resp(400, {"error": {"type": "mapper_parsing_exception"}}),
+        ])
+        ensure4 = make_es_ensure_index("http://es:9200", session=s4)
+        with pytest.raises(RuntimeError, match="400"):
+            ensure4("cards", mappings)
+
     def test_es_ship_posts_one_ndjson_bulk_per_partition(self):
         from collections import namedtuple
 

@@ -53,7 +53,12 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        # SPARK_GRAFT_AQE=0 disables adaptive execution for the invariance
+        # sweep: results must be identical with and without runtime re-plan
+        .config(
+            "spark.sql.adaptive.enabled",
+            "false" if os.environ.get("SPARK_GRAFT_AQE") == "0" else "true",
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -303,6 +303,41 @@ def probes(spark):
         raw = d.filter(F.col("doc_id") % 37 != 0)
         return training_corpus_stages(raw, ev, persist=False)["seqs"]
 
+    def p_skew_join(k):
+        # the skew path (operators/skew.py, q50's operator) under a REAL
+        # heavy hitter: one key owns ~half the k-x fact side (the reference's
+        # welfare-ministry org shape, SURVEY §4.2). salted_join spreads the
+        # hot key over 32 buckets; sub-linear growth here means the hot
+        # partition never becomes the critical path
+        from srm_etl_spark.operators.skew import salted_join  # noqa: PLC0415
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_suppkey", "l_quantity"
+        )
+        if k > 1:
+            li = li.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))).select(
+                (F.col("l_orderkey") * k + F.col("_r")).alias("l_orderkey"),
+                "l_suppkey",
+                "l_quantity",
+            )
+        big = li.select(
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+            .otherwise(F.col("l_suppkey"))
+            .alias("skey"),
+            "l_orderkey",
+            "l_quantity",
+        )
+        s = spark.read.parquet(f"{SF}/supplier.parquet").select(
+            F.col("s_suppkey").alias("skey"), "s_name"
+        )
+        dim = s.unionByName(
+            spark.createDataFrame([(0, "HOT")], "skey long, s_name string")
+        )
+        joined = salted_join(big, dim, on="skey", salt=32, salt_by="l_orderkey")
+        return joined.groupBy("s_name").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+        )
+
     def p_bf_bcast(k):
         # the broadcast-join fallback of brute_force_topk_arrow
         # (similarity.py:159-167): scale axis = QUERY-set size (2000*k
@@ -348,6 +383,7 @@ def probes(spark):
         "derive_staged": p_derive_staged,
         "publish_fanout": p_publish_fanout,
         "corpus_staged": p_corpus_staged,
+        "skew_join": p_skew_join,
         "bf_topk_bcast": p_bf_bcast,
         "pq_topk_bcast": p_pq_bcast,
     }

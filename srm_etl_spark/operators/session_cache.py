@@ -14,10 +14,20 @@ is bounded to one frame per slot.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
+_log = logging.getLogger(__name__)
+
 _SLOTS: dict[str, DataFrame] = {}
+
+# Pool membership is EXPLICIT (pool name -> {semantic_hash: frame}), never
+# key-prefix matching: a pool whose name prefixes another ('training' vs
+# 'training_corpus') must not scan or evict the other pool's pins, and named
+# keep_persisted slots must never be counted against a pool's LRU budget.
+_POOLS: dict[str, dict[int, DataFrame]] = {}
 
 
 def keep_persisted(df: DataFrame, slot: str) -> DataFrame:
@@ -41,31 +51,40 @@ def keep_persisted_pooled(df: DataFrame, pool: str, max_slots: int = 8) -> DataF
     semantic hash, e.g. the enumerate_rows ranged pins): a long session can
     enumerate many distinct frames, and unbounded per-plan slots would
     accumulate MEMORY_AND_DISK relations forever. The pool keeps at most
-    ``max_slots`` frames per prefix, LRU: reusing a slot refreshes it,
+    ``max_slots`` frames per pool, LRU: reusing a slot refreshes it,
     inserting past the cap unpersists (non-blocking) and drops the
     least-recently-used one. Distinct frames enumerated concurrently within
     one operator call still each get their own pin (max_slots >= the operator
-    fan-out), so the resample-desync protection is preserved."""
-    slot = f"{pool}_{df.semanticHash()}"
-    prev = _SLOTS.get(slot)
+    fan-out), so the resample-desync protection is preserved; callers whose
+    correctness DEPENDS on a pin staying alive until a deferred action runs
+    (enumerate_rows_scalable) plumb their own ``max_slots`` sized to the
+    number of frames they may hold open, and every eviction is logged so a
+    desync would be diagnosable rather than silent."""
+    slots = _POOLS.setdefault(pool, {})
+    key = df.semanticHash()
+    prev = slots.get(key)
     if prev is not None:
         try:
             if df.sameSemantics(prev):
-                # refresh LRU position
-                _SLOTS[slot] = _SLOTS.pop(slot)
+                # refresh LRU position (dict preserves insertion order)
+                slots[key] = slots.pop(key)
                 return prev
             prev.unpersist(blocking=False)
         except Exception:  # noqa: BLE001, S110 — prior session may be gone
             pass
-        _SLOTS.pop(slot, None)
-    pool_keys = [k for k in _SLOTS if k.startswith(f"{pool}_")]
-    while len(pool_keys) >= max_slots:
-        victim = pool_keys.pop(0)  # dict preserves insertion = LRU order
-        evicted = _SLOTS.pop(victim)
+        slots.pop(key, None)
+    while len(slots) >= max_slots:
+        victim = next(iter(slots))  # least-recently-used
+        evicted = slots.pop(victim)
+        _log.warning(
+            "session_cache pool %r evicting LRU pin %s (pool at cap %d); "
+            "deferred actions on that frame will recompute un-pinned",
+            pool, victim, max_slots,
+        )
         try:
             evicted.unpersist(blocking=False)
         except Exception:  # noqa: BLE001, S110
             pass
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _SLOTS[slot] = df
+    slots[key] = df
     return df

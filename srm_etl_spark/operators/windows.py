@@ -38,6 +38,7 @@ def enumerate_rows_scalable(
     order_by: list,
     out_col: str = "score",
     num_partitions: int | None = None,
+    max_pinned_frames: int = 8,
 ) -> DataFrame:
     """W1 at scale: global 0-based index with NO single-partition sort.
 
@@ -72,10 +73,17 @@ def enumerate_rows_scalable(
     # must not evict each other's pin mid-computation (a shared slot would
     # reintroduce the resample bug for the first frame's deferred action),
     # but a long session enumerating MANY distinct frames must not
-    # accumulate unbounded cached relations either.
+    # accumulate unbounded cached relations either. ``max_pinned_frames``
+    # sizes the pool for the caller: it must be >= the number of enumerated
+    # frames the caller may hold with actions still pending, because an
+    # evicted pin recomputes with RESAMPLED range boundaries and the
+    # driver-collected offsets below would silently desync (the pool logs
+    # every eviction for exactly this diagnosis).
     from .session_cache import keep_persisted_pooled  # noqa: PLC0415
 
-    ranged = keep_persisted_pooled(ranged, "enumerate_ranged")
+    ranged = keep_persisted_pooled(
+        ranged, "enumerate_ranged", max_slots=max_pinned_frames
+    )
     counts = {
         r["_pid"]: r["n"]
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

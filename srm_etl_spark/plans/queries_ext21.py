@@ -194,13 +194,16 @@ EXT21_REGISTRY["q158_derive_staged"] = QueryDef(
 # q159 — publish fan-out: one persisted card surface → ES + sitemap + SQL
 # --------------------------------------------------------------------------
 
-# the reference's six single-column card indexes (to_sql.py:30-45), mapped to
-# the engine card surface's column names; card_id's index is named here but
-# the column itself stays out of the row payload (sha1 — pinned by unit
-# tests, not oracle-expressible)
+# the reference's six single-column card indexes (to_sql.py:34-41:
+# service_name, organization_id, organization_kind, branch_city,
+# national_service, card_id), under the engine surface's column names
+# (``organization`` IS the organization id — staging_fixtures). card_id's
+# index is named here but the column itself stays out of the row payload
+# (sha1 — pinned by unit tests, not oracle-expressible); organization_kind is
+# carried onto the surface from flat_branches for exactly this index.
 _CARD_INDEX_FIELDS = [
-    "service_name", "organization", "branch_city", "national_service",
-    "branch_id", "card_id",
+    "service_name", "organization", "organization_kind", "branch_city",
+    "national_service", "card_id",
 ]
 
 
@@ -225,11 +228,17 @@ def q159_publish_fanout(spark, sf_dir):
     from ..sinks.files import sitemap_documents  # noqa: PLC0415
     from ..sinks.jdbc import index_ddl  # noqa: PLC0415
 
-    cards = run_derive(spark, sf_dir)["card_data"]
+    stages = run_derive(spark, sf_dir)
+    cards = stages["card_data"]
+    # organization_kind lives on flat_branches (branch_id is its PK); the
+    # reference's card dump carries it (to_sql.py:37 indexes it), so the
+    # publish surface joins it back — a broadcast of a 2-column dim slice.
+    kind = stages["flat_branches"].select("branch_id", "organization_kind")
     surface = keep_persisted(
-        cards.select(
+        cards.join(F.broadcast(kind), "branch_id").select(
             "card_key", "service_id", "service_name", "branch_id",
-            "branch_city", "organization_name", "national_service",
+            "branch_city", "organization", "organization_kind",
+            "organization_name", "national_service",
         ),
         "publish_surface",
     )
@@ -252,7 +261,8 @@ def q159_publish_fanout(spark, sf_dir):
         F.col("card_key").alias("key"),
         F.concat_ws(
             "|", _s("service_id"), _s("service_name"), _s("branch_id"),
-            _s("branch_city"), _s("organization_name"), _s("national_service"),
+            _s("branch_city"), _s("organization"), _s("organization_kind"),
+            _s("organization_name"), _s("national_service"),
         ).alias("payload"),
     )
     ddl = spark.createDataFrame(
@@ -274,9 +284,10 @@ _Q159_DDL_SQL = "\nUNION ALL\n".join(
 
 Q159_SQL = _DERIVE_CTES + """
 , surface AS (
-  SELECT card_key, service_id, service_name, branch_id, branch_city,
-         organization_name, national_service
-  FROM cards
+  SELECT c.card_key, c.service_id, c.service_name, c.branch_id, c.branch_city,
+         c.organization, f.organization_kind, c.organization_name,
+         c.national_service
+  FROM cards c JOIN fb f ON c.branch_id = f.branch_id
 ),
 sm_idx AS (
   SELECT 'https://example.org/c/' || card_key AS url,
@@ -291,6 +302,8 @@ SELECT 'es' AS phase,
          || '","service_name":"' || service_name
          || '","branch_id":"' || branch_id
          || '","branch_city":"' || branch_city
+         || '","organization":"' || organization
+         || '","organization_kind":"' || organization_kind
          || '","organization_name":"' || organization_name
          || '","national_service":' || CAST(national_service AS VARCHAR)
          || ',"revision":"r9"}' AS payload
@@ -305,7 +318,8 @@ FROM sm_idx GROUP BY file_index
 UNION ALL
 SELECT 'sql', card_key,
        concat_ws('|', service_id, service_name, branch_id, branch_city,
-                 organization_name, CAST(national_service AS VARCHAR))
+                 organization, organization_kind, organization_name,
+                 CAST(national_service AS VARCHAR))
 FROM surface
 UNION ALL
 """ + _Q159_DDL_SQL

@@ -72,20 +72,25 @@ def es_mapping(schema: StructType) -> dict:
         md = f.metadata or {}
         hint = md.get("es:type")
         if isinstance(dtype, StructType):
+            # recurse, then FALL THROUGH to the shared hint block below: the
+            # reference applies keyword/autocomplete/index/hebrew rules after
+            # _convert_type on every field regardless of its base type
+            # (es_utils.py:27-42), so struct columns get the name-suffix
+            # hebrew multi-field and es:index/es:keyword overrides too.
             entry: dict = {"type": "object", "properties": es_mapping(dtype)["properties"]}
-            props[f.name] = entry
-            continue
-        if hint == "geopoint":
+        elif hint == "geopoint":
             entry = {"type": "geo_point"}
         elif hint == "any":
             item = md.get("es:itemType", "string")
             entry = dict(_SPARK_TO_ES.get(item, {"type": "text"}))
         else:
             entry = dict(_SPARK_TO_ES.get(dtype.typeName(), {"type": "text"}))
+        # type OVERRIDES mutate in place (reference sets prop['type'], keeping
+        # sibling keys like a struct's recursed ``properties``)
         if md.get("es:keyword") or hint == "keyword":
-            entry = {"type": "keyword"}
+            entry["type"] = "keyword"
         if md.get("es:autocomplete") or hint == "autocomplete":
-            entry = {"type": "search_as_you_type"}
+            entry["type"] = "search_as_you_type"
         if dtype.typeName() in _INDEXED_NUMERICS or hint == "geopoint":
             entry["index"] = True
         if (

@@ -82,6 +82,15 @@ def test_es_mapping_from_metadata():
                 "address",
                 StructType([StructField("city", StringType()), StructField("n", LongType())]),
             ),
+            # struct fields get the SAME post-conversion hint treatment as
+            # leaves (reference applies its rules after _convert_type on every
+            # field, es_utils.py:27-42): the name-suffix rule and es:index
+            # both reach object entries.
+            StructField(
+                "branch_details",
+                StructType([StructField("unit", StringType())]),
+                metadata={"es:index": False},
+            ),
         ]
     )
     m = es_mapping(schema)["properties"]
@@ -97,6 +106,11 @@ def test_es_mapping_from_metadata():
     assert m["score"] == {"type": "double", "index": True}
     assert m["tags"] == {"type": "keyword"}  # ES is array-transparent
     assert m["address"]["properties"]["n"] == {"type": "long", "index": True}
+    bd = m["branch_details"]
+    assert bd["type"] == "object"
+    assert bd["index"] is False  # es:index honored on struct entries
+    assert bd["fields"] == {"hebrew": {"type": "text", "analyzer": "hebrew"}}
+    assert bd["properties"]["unit"] == {"type": "text"}
 
 
 def test_es_mapping_golden_card_schema():

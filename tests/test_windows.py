@@ -73,8 +73,7 @@ def test_keep_persisted_pooled_bounds_slot_count(spark):
     pinned = []
     for f in frames:
         pinned.append(sc.keep_persisted_pooled(f, "test_pool", max_slots=2))
-    pool_keys = [k for k in sc._SLOTS if k.startswith("test_pool_")]
-    assert len(pool_keys) == 2  # 3 oldest evicted
+    assert len(sc._POOLS["test_pool"]) == 2  # 3 oldest evicted
     # surviving slots are the two most recent, still usable
     assert pinned[-1].count() == 14
     # re-pinning the most recent frame reuses the SAME persisted object
@@ -82,8 +81,14 @@ def test_keep_persisted_pooled_bounds_slot_count(spark):
     assert again is pinned[-1]
     # evicted frames were unpersisted
     assert not pinned[0].storageLevel.useMemory
-    for k in pool_keys:
-        sc._SLOTS.pop(k).unpersist(blocking=False)
+    # a pool whose name PREFIXES another must not see or evict its pins
+    other = sc.keep_persisted_pooled(spark.range(3), "test_pool_extra", max_slots=1)
+    assert len(sc._POOLS["test_pool"]) == 2
+    assert len(sc._POOLS["test_pool_extra"]) == 1
+    other.unpersist(blocking=False)
+    sc._POOLS.pop("test_pool_extra", None)
+    for df in sc._POOLS.pop("test_pool").values():
+        df.unpersist(blocking=False)
 
 
 def test_pack_sequences_budget_semantics(spark):

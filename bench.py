@@ -52,20 +52,43 @@ def main() -> None:
             total += best
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     payload = {
         "metric": "operator-inventory total runtime",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
-    # The driver's BENCH_r{N}.json capture truncates stdout (r4 lost q01-q56
-    # per-query times), so also persist the FULL parsed map to a committed
-    # artifact — the only way a future round's judge can diff every query.
+    # The driver's BENCH_r{N}.json capture keeps only the LAST 2000 chars of
+    # stdout and json-parses them (r4-r9: the full-name map blew the cap, so
+    # `parsed` came back null and `tail` held an arbitrary 66-query suffix).
+    # Persist the FULL map (3-decimal, full names) to a committed artifact,
+    # and print ONE COMPACT line that fits the cap: qNN keys (unique — the
+    # registry numbers queries), 2-decimal values, n_queries as a
+    # truncation tripwire.
     out_file = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_latest.json")
     with open(out_file, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
-    print(json.dumps(payload))
+    import re  # noqa: PLC0415
+
+    compact = {
+        "metric": "operator-inventory total runtime",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {
+            re.match(r"q\d+", k).group(0) if re.match(r"q\d+", k) else k: round(v, 2)
+            for k, v in timings.items()
+        },
+        "sf": sf_val,
+        "n_queries": len(timings),
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1990:  # still too big for the driver's 2000-char tail:
+        # keep every query but drop to 1 decimal before sacrificing coverage
+        compact["queries"] = {k: round(v, 1) for k, v in compact["queries"].items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -91,6 +91,7 @@ def flat_branches(
         "lat",
         "lon",
         "national_service",
+        F.col("last_modified").alias("branch_last_modified"),
         "organization_branch_count",
     )
 
@@ -110,6 +111,7 @@ def flat_services(services: DataFrame, flat_branches_df: DataFrame) -> DataFrame
             F.col("name").alias("service_name"),
             F.col("description").alias("service_description"),
             F.col("boost").alias("service_boost"),
+            F.col("last_modified").alias("service_last_modified"),
             "organization",
             "responses",
             "situations",
@@ -224,6 +226,8 @@ def card_data_full(
         "national_service",
         "lat",
         "lon",
+        "service_last_modified",
+        "branch_last_modified",
         # direct ids — the reference computes rs_score / categories on the
         # mapped DIRECT ids; parent expansion lands in separate columns
         # (to_dp.py:835-836) which card_data() carries

@@ -51,6 +51,11 @@ def organizations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Supplier").alias("short_name"),
         F.when(k % 7 == 0, F.lit(GOV_KIND)).otherwise(F.lit("company")).alias("kind"),
         F.when(k % 4 == 0, hotline).otherwise(local).alias("phone"),
+        # every 3rd org has no description — the orgs ES surface carries the
+        # field as-is (to_es.py:304), so both shapes must flow through
+        F.when(k % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("ארגון "), F.col("s_name")))
+        .alias("description"),
         F.lit("ACTIVE").alias("status"),
     )
 
@@ -92,6 +97,19 @@ def branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("רחוב "), (F.col("c_custkey") % 90 + 1).cast("string")).alias(
             "address"
         ),
+        # Airtable rows carry a last-modified stamp; every 3rd branch has
+        # none, so the cards ES flow's max-of-parseable-dates enrichment
+        # (to_es.py:85-94) exercises the null leg. ISO date strings: max()
+        # on the fixed format equals max() on the parsed datetimes.
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.format_string(
+                "2024-%02d-%02d",
+                F.col("c_custkey") % 12 + 1,
+                F.col("c_custkey") % 28 + 1,
+            )
+        )
+        .alias("last_modified"),
         F.when(F.col("c_acctbal") < 0, "INACTIVE").otherwise("ACTIVE").alias("status"),
     )
 
@@ -138,6 +156,46 @@ def services(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("situations"),
             description.alias("description"),
             ((k % 3).cast("double") * 0.25).alias("boost"),
+            # every 4th service has no stamp (see branches.last_modified)
+            F.when(k % 4 == 0, F.lit(None).cast("string"))
+            .otherwise(
+                F.format_string("2024-%02d-%02d", k % 12 + 1, k % 25 + 2)
+            )
+            .alias("last_modified"),
             F.lit("ACTIVE").alias("status"),
         )
     )
+
+
+def _taxonomy_dim(services_df: DataFrame, arr_col: str, name_prefix: str) -> DataFrame:
+    """Taxonomy dimension rows derived from the ids the services actually
+    carry (parents included): the engine twin of the reference's curated
+    Airtable Responses/Situations tables (SURVEY §1.3) — id, display name,
+    synonyms, breadcrumbs, status. Deterministic: name/synonyms/breadcrumbs
+    are pure functions of the id; every id whose length % 7 == 0 is INACTIVE
+    so the publish flows' status filter (to_es.py:232/274) has rows to drop."""
+    from ..functions.taxonomy import update_taxonomy_with_parents  # noqa: PLC0415
+
+    ids = services_df.select(
+        F.explode(update_taxonomy_with_parents(F.col(arr_col))).alias("id")
+    ).distinct()
+    seg = F.split("id", ":")
+    return ids.select(
+        "id",
+        F.concat(F.lit(name_prefix), F.element_at(seg, -1)).alias("name"),
+        F.replace(F.col("id"), F.lit(":"), F.lit(" ")).alias("synonyms"),
+        F.array_join(F.slice(seg, 1, F.size(seg) - 1), " / ").alias("breadcrumbs"),
+        F.when(F.length("id") % 7 == 0, F.lit("INACTIVE"))
+        .otherwise(F.lit("ACTIVE"))
+        .alias("status"),
+    )
+
+
+def responses_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Responses taxonomy table (reference AIRTABLE_RESPONSE_TABLE)."""
+    return _taxonomy_dim(services(spark, sf_dir), "responses", "מענה ")
+
+
+def situations_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Situations taxonomy table (reference AIRTABLE_SITUATION_TABLE)."""
+    return _taxonomy_dim(services(spark, sf_dir), "situations", "מצב ")

@@ -1081,7 +1081,9 @@ WITH orgs AS (
               THEN '1' || lpad(CAST(s_suppkey % 800 AS VARCHAR), 3, '0')
               ELSE '0' || CAST((s_suppkey % 6) + 2 AS VARCHAR) || '-'
                        || lpad(CAST(s_suppkey % 9000000 AS VARCHAR), 7, '0')
-         END AS organization_phone
+         END AS organization_phone,
+         CASE WHEN s_suppkey % 3 = 0 THEN NULL
+              ELSE 'ארגון ' || s_name END AS organization_description
   FROM supplier
 ), locs AS (
   SELECT 'loc-' || CAST(n_nationkey AS VARCHAR) AS location, n_name AS city,
@@ -1096,13 +1098,16 @@ WITH orgs AS (
          'loc-' || CAST(c_nationkey AS VARCHAR) AS location,
          c_name AS name,
          'רחוב ' || CAST(c_custkey % 90 + 1 AS VARCHAR) AS address,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL
+              ELSE printf('2024-%02d-%02d', c_custkey % 12 + 1, c_custkey % 28 + 1)
+         END AS last_modified,
          CASE WHEN c_acctbal < 0 THEN 'INACTIVE' ELSE 'ACTIVE' END AS status
   FROM customer
 ), fb0 AS (
   SELECT b.id, b.organization, o.organization_name, o.organization_short_name,
          o.organization_kind, o.organization_phone, b.location,
          b.name, l.city, b.address || ' ' || l.city AS branch_address,
-         l.lat, l.lon, l.national_service
+         l.lat, l.lon, l.national_service, b.last_modified AS branch_last_modified
   FROM brs b LEFT JOIN locs l ON b.location = l.location
   JOIN orgs o ON b.organization = o.organization
   WHERE upper(trim(b.status)) = 'ACTIVE'
@@ -1113,6 +1118,7 @@ WITH orgs AS (
   SELECT id AS branch_id, organization, organization_name, organization_short_name,
          organization_kind, organization_phone, location,
          name AS branch_name, city AS branch_city, branch_address, lat, lon, national_service,
+         branch_last_modified,
          count(*) OVER (PARTITION BY organization) AS organization_branch_count
   FROM fb1 WHERE rn = 1
 ), freq AS (
@@ -1134,7 +1140,10 @@ WITH orgs AS (
          CASE WHEN p_partkey % 5 = 0 THEN NULL
               WHEN p_partkey % 5 = 1 THEN 'srv'
               ELSE p_name END AS description,
-         CAST(p_partkey % 3 AS DOUBLE) * 0.25 AS boost
+         CAST(p_partkey % 3 AS DOUBLE) * 0.25 AS boost,
+         CASE WHEN p_partkey % 4 = 0 THEN NULL
+              ELSE printf('2024-%02d-%02d', p_partkey % 12 + 1, p_partkey % 25 + 2)
+         END AS last_modified
   FROM part JOIN owner ON p_partkey = l_partkey
 ), bpo AS (
   SELECT organization, list_sort(list_distinct(list(branch_id))) AS org_branches
@@ -1142,7 +1151,9 @@ WITH orgs AS (
 ), fs AS (
   SELECT s.id AS service_id, s.name AS service_name, s.organization,
          s.response0, s.response1, s.situation0, s.situation1,
-         s.description, s.boost, unnest(b.org_branches) AS branch_id
+         s.description, s.boost,
+         s.last_modified AS service_last_modified,
+         unnest(b.org_branches) AS branch_id
   FROM svcs s JOIN bpo b ON s.organization = b.organization
 ), cards AS (
   SELECT f.branch_id || f.service_id AS card_key,

@@ -1,0 +1,166 @@
+"""The five-index ES publish composition — Spark shape of the reference's
+``operators/derive/to_es.py:340-350`` (``operator()``): one derive output
+feeds five index surfaces:
+
+- **cards**   (``data_api_es_flow``, to_es.py:78-115): the full card surface
+  plus ``score`` (card_score, computed in ``derive.card_data_full``) and
+  ``airtable_last_modified`` = max of the parseable service/branch stamps
+  (to_es.py:85-94's ``filter(None)`` + ``max``).
+- **places**  (``load_locations_to_es_flow``, to_es.py:163-206): the location
+  bounds datapackage concatenated with four hand-curated PREDEFINED regions
+  (U1), ``query`` = the longest display name, ``score`` = bbox area × a
+  per-place-kind weight.
+- **responses** (``load_responses_to_es_flow``, to_es.py:209-248): card
+  response ids parent-expanded and counted per id (A1 over U4), joined onto
+  the Responses taxonomy table, ACTIVE + counted only, ``score = count``.
+- **situations** (``load_situations_to_es_flow``, to_es.py:251-289): same
+  over situation ids.
+- **organizations** (``load_organizations_to_es_flow``, to_es.py:292-320):
+  cards counted per organization, org name/description/kind joined on,
+  ``score = 10 × count``.
+- **autocomplete** (``load_autocomplete_to_es_flow``, to_es.py:323-337): the
+  autocomplete corpus keyed by its slug id (``set_primary_key(['id'])`` —
+  ES collapses duplicate _ids, modeled as a deterministic keeper), with the
+  backup surface's ``limit_rows=10000`` as a rank gate.
+
+Scale shape: the card surface is persisted ONCE by the caller and every
+count leg is a single hash aggregate over it (map-side combinable, shuffle
+bounded by |taxonomy| / |orgs|); the dimension joins broadcast; places is
+dimension-sized end-to-end. The only global sort is the autocomplete rank —
+protocol-capped at 10⁴ rows by the reference's own limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.taxonomy import update_taxonomy_with_parents
+
+# reference to_es.py:179-184 — hand-curated region entries (domain constants,
+# shared-literal no-drift discipline)
+PREDEFINED_PLACES = [
+    ("גוש_דן", ["גוש דן"], [34.6, 31.8, 35.1, 32.181], "region"),
+    ("איזור_ירושלים", ["איזור ירושלים"], [34.9, 31.7, 35.3, 31.9], "region"),
+    ("איזור_הצפון", ["איזור הצפון"], [34.5, 32.5, 35.8, 33.3], "region"),
+    ("איזור_באר_שבע", ["איזור באר-שבע"], [34.5, 30.8, 35.5, 31.5], "region"),
+]
+
+# reference to_es.py:165-167 — per-place-kind score weights (unknown kinds
+# default to 1 via scores.get(place, 1))
+PLACE_SCORES = {"region": 200, "city": 100, "town": 50, "village": 10, "hamlet": 5}
+
+_PLACE_KINDS = ["region", "city", "town", "village", "hamlet", "suburb"]
+
+
+def cards_api_surface(cards_full: DataFrame) -> DataFrame:
+    """data_api enrichment (to_es.py:84-94): ``airtable_last_modified`` is the
+    max of the present stamps — Spark's ``greatest`` skips nulls, exactly the
+    reference's ``max(filter(None, [...]))`` (null only when both absent).
+    The stamps are fixed-format ISO dates, so string max == datetime max."""
+    return cards_full.withColumn(
+        "airtable_last_modified",
+        F.greatest("service_last_modified", "branch_last_modified"),
+    )
+
+
+def places_source(locations: DataFrame) -> DataFrame:
+    """Location-bounds rows shaped like the bounds datapackage the reference
+    downloads (to_es.py:164, 186-192): key, display-name array, [W,S,E,N]
+    bounds, place kind. Deterministic from the locations dimension; the kind
+    cycles through one more value than the score map knows so the
+    ``scores.get(place, 1)`` default is exercised."""
+    nk = F.substring("key", 5, 10).cast("int")
+    return locations.select(
+        F.concat(F.lit("place-"), nk.cast("string")).alias("key"),
+        F.array(F.col("city"), F.concat(F.lit("איזור "), F.col("city"))).alias("name"),
+        F.array(
+            F.col("lon") - 0.1, F.col("lat") - 0.1,
+            F.col("lon") + 0.1, F.col("lat") + 0.1,
+        ).alias("bounds"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in _PLACE_KINDS]), (nk % 6) + 1
+        ).alias("place"),
+    )
+
+
+def places_surface(spark: SparkSession, locations: DataFrame) -> DataFrame:
+    """U1 + U3 + query/score (to_es.py:169-201): bounds rows concatenated with
+    the PREDEFINED literals; ``query`` = the longest name (reference sorts by
+    length desc and takes the head — ties broken by value here so the keeper
+    is deterministic under any partitioning); ``score`` = bbox area × 100000
+    × the place-kind weight."""
+    pre = spark.createDataFrame(
+        PREDEFINED_PLACES,
+        "key string, name array<string>, bounds array<double>, place string",
+    )
+    allp = places_source(locations).unionByName(pre)
+    named = allp.select("key", F.explode("name").alias("nm"))
+    q = named.groupBy("key").agg(
+        F.min_by("nm", F.struct(-F.length("nm"), F.col("nm"))).alias("query")
+    )
+    size = (
+        (F.element_at("bounds", 3) - F.element_at("bounds", 1))
+        * (F.element_at("bounds", 4) - F.element_at("bounds", 2))
+        * F.lit(100000.0)
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for k, v in PLACE_SCORES.items() for x in (k, v)]
+    )
+    weight = F.coalesce(wmap[F.col("place")], F.lit(1)).cast("double")
+    return allp.join(F.broadcast(q), "key").withColumn("score", size * weight)
+
+
+def taxonomy_count_surface(
+    cards: DataFrame, dim: DataFrame, id_arr_col: str
+) -> DataFrame:
+    """The responses/situations publish surface (to_es.py:216-248/258-289):
+    per-card ids parent-expanded (helpers.update_taxonomy_with_parents),
+    unwound and counted per id; the taxonomy table joins the count on; rows
+    must be ACTIVE **and counted** (the reference's two filter_rows); score
+    is the count. One hash aggregate (shuffle ≤ |taxonomy|) + one broadcast
+    join."""
+    ids = cards.select(
+        F.explode(update_taxonomy_with_parents(F.col(id_arr_col))).alias("id")
+    )
+    counts = ids.groupBy("id").agg(F.count(F.lit(1)).alias("count"))
+    return (
+        dim.join(counts, "id", "left")
+        .filter((F.col("status") == "ACTIVE") & F.col("count").isNotNull())
+        .select(
+            "id", "name", "synonyms", "breadcrumbs", "count",
+            F.col("count").cast("double").alias("score"),
+        )
+    )
+
+
+def organizations_surface(cards: DataFrame, organizations: DataFrame) -> DataFrame:
+    """Active-organizations surface (to_es.py:292-320): cards counted per
+    organization id (join_with_self), org fields joined onto the counts
+    (half-outer: a count row keeps nulls if the org dim lacks it), score =
+    10 × count."""
+    counts = cards.groupBy(F.col("organization").alias("id")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    dim = organizations.select("id", "name", "description", "kind")
+    return counts.join(F.broadcast(dim), "id", "left").withColumn(
+        "score", (F.col("count") * 10).cast("double")
+    )
+
+
+def autocomplete_publish(corpus: DataFrame, limit_rows: int = 10000) -> DataFrame:
+    """The autocomplete index load (to_es.py:323-337): the corpus keyed by its
+    slug id — ``set_primary_key(['id'])`` means ES collapses duplicate _ids,
+    modeled as a deterministic keeper (min by query text) — plus the backup
+    flow's ``limit_rows=10000`` as a rank gate in query order. The global
+    row_number is protocol-capped by the limit itself (10⁴ rows after the
+    per-id collapse), the same whitelisted single-partition shape as the
+    sitemap's chunk ordering."""
+    keeper = F.min_by(
+        F.struct("query", "n", "score", "importance", "low"), F.col("query")
+    )
+    per_id = corpus.groupBy("qid").agg(keeper.alias("_k")).select("qid", "_k.*")
+    w = Window.orderBy("query")
+    return per_id.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= limit_rows
+    )

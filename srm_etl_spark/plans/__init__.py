@@ -29,6 +29,7 @@ from .queries_ext19 import EXT19_REGISTRY
 from .queries_ext20 import EXT20_REGISTRY
 from .queries_ext21 import EXT21_REGISTRY
 from .queries_ext22 import EXT22_REGISTRY
+from .queries_ext23 import EXT23_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -52,6 +53,7 @@ REGISTRY.update(EXT19_REGISTRY)
 REGISTRY.update(EXT20_REGISTRY)
 REGISTRY.update(EXT21_REGISTRY)
 REGISTRY.update(EXT22_REGISTRY)
+REGISTRY.update(EXT23_REGISTRY)
 
 # Driver-window rotation, round 9: the driver's correctness gate only
 # verifies the FIRST 50 registry entries. After round 8 every registry entry

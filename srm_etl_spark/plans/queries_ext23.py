@@ -1,0 +1,257 @@
+"""Round-10 extension queries: the remaining composed reference surfaces.
+
+q161 — the five-index ES publish composition (reference
+       ``operators/derive/to_es.py:340-350``): ONE derive output feeding the
+       cards / places / responses / situations / organizations / autocomplete
+       index surfaces, every surface's FULL ROW-SET phase-labeled and
+       hash-gated in one result — the q158/q159 composition pattern applied
+       to the last uncomposed reference entry point. The ES wire shape
+       itself (bulk action lines, mapping, revision swap) is certified
+       separately (q122/q153/q159); this certifies the five DOCUMENT
+       surfaces and their shared-lineage handoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import _DERIVE_CTES, QueryDef, _parents_sql
+from .queries_ext6 import _Q75_CARD_SCORE_SQL, Q74_SQL
+from .queries_ext21 import _s
+
+EXT23_REGISTRY: dict[str, QueryDef] = {}
+
+
+def q161_es_publish_surfaces(spark, sf_dir):
+    """All five ES index surfaces from one persisted card projection
+    (pipelines/es_publish.py; reference flows cited per leg there). The card
+    surface — card_data_full plus the airtable_last_modified enrichment — is
+    session-persisted once; the cards leg projects it, the three count legs
+    each run one hash aggregate over it, places is dimension-sized, and the
+    autocomplete leg reuses run_derive's persisted flat_table. The union is
+    per-leg maps — no recomputation across legs."""
+    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    from ..pipelines import staging_fixtures as FIX  # noqa: PLC0415
+    from ..pipelines.autocomplete import (  # noqa: PLC0415
+        autocomplete_corpus,
+        autocomplete_input,
+        city_bounds,
+    )
+    from ..pipelines.derive import run_derive  # noqa: PLC0415
+    from ..pipelines.es_publish import (  # noqa: PLC0415
+        autocomplete_publish,
+        cards_api_surface,
+        organizations_surface,
+        places_surface,
+        taxonomy_count_surface,
+    )
+
+    st = run_derive(spark, sf_dir)
+    surface = keep_persisted(
+        cards_api_surface(st["card_data_full"]).select(
+            "card_key", "card_score", "airtable_last_modified", "service_name",
+            "branch_city", "organization", "response_ids", "situation_ids",
+        ),
+        "es_five_surface",
+    )
+    locs = FIX.locations(spark, sf_dir)
+    places = places_surface(spark, locs)
+    resp = taxonomy_count_surface(
+        surface, FIX.responses_dim(spark, sf_dir), "response_ids"
+    )
+    sit = taxonomy_count_surface(
+        surface, FIX.situations_dim(spark, sf_dir), "situation_ids"
+    )
+    orgs = organizations_surface(surface, FIX.organizations(spark, sf_dir))
+    ac = autocomplete_publish(
+        autocomplete_corpus(autocomplete_input(st["flat_table"]), city_bounds(locs))
+    )
+
+    legs = [
+        surface.select(
+            F.lit("10_cards").alias("phase"),
+            F.concat(F.lit("card:"), F.col("card_key")).alias("key"),
+            F.concat_ws(
+                "|",
+                F.format_string("%.6f", F.col("card_score")),
+                _s("airtable_last_modified"), _s("service_name"),
+                _s("branch_city"), _s("organization"),
+            ).alias("sig"),
+        ),
+        places.select(
+            F.lit("20_places").alias("phase"),
+            F.concat(F.lit("pl:"), F.col("key")).alias("key"),
+            F.concat_ws(
+                "|",
+                _s("query"), _s("place"),
+                F.format_string("%.4f", F.col("score")),
+                F.format_string(
+                    "[%.5f,%.5f,%.5f,%.5f]",
+                    F.element_at("bounds", 1), F.element_at("bounds", 2),
+                    F.element_at("bounds", 3), F.element_at("bounds", 4),
+                ),
+            ).alias("sig"),
+        ),
+        resp.select(
+            F.lit("30_responses").alias("phase"),
+            F.concat(F.lit("r:"), F.col("id")).alias("key"),
+            F.concat_ws(
+                "|", _s("name"), _s("synonyms"), _s("breadcrumbs"), _s("count")
+            ).alias("sig"),
+        ),
+        sit.select(
+            F.lit("40_situations").alias("phase"),
+            F.concat(F.lit("s:"), F.col("id")).alias("key"),
+            F.concat_ws(
+                "|", _s("name"), _s("synonyms"), _s("breadcrumbs"), _s("count")
+            ).alias("sig"),
+        ),
+        orgs.select(
+            F.lit("50_orgs").alias("phase"),
+            F.concat(F.lit("o:"), F.col("id")).alias("key"),
+            F.concat_ws(
+                "|", _s("name"), _s("description"), _s("kind"), _s("count"),
+                _s(F.col("count") * 10),
+            ).alias("sig"),
+        ),
+        ac.select(
+            F.lit("60_autocomplete").alias("phase"),
+            F.concat(F.lit("ac:"), F.col("qid")).alias("key"),
+            F.concat_ws(
+                "|", _s("query"), _s("n"),
+                F.format_string("%.6f", F.col("score")),
+                _s("low"), _s("rank"),
+            ).alias("sig"),
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+_PLACE_SCORE_SQL = """CASE place WHEN 'region' THEN 200 WHEN 'city' THEN 100
+       WHEN 'town' THEN 50 WHEN 'village' THEN 10 WHEN 'hamlet' THEN 5
+       ELSE 1 END"""
+
+_LM_SQL = """CASE WHEN f.service_last_modified IS NULL AND f.branch_last_modified IS NULL
+       THEN NULL
+       ELSE greatest(coalesce(f.service_last_modified, f.branch_last_modified),
+                     coalesce(f.branch_last_modified, f.service_last_modified)) END"""
+
+Q161_SQL = _DERIVE_CTES + f"""
+, cardsf AS (
+  SELECT f.branch_id || f.service_id AS card_key,
+         f.service_id, f.service_name, f.description AS service_description,
+         f.boost AS service_boost, f.service_last_modified,
+         fb.branch_last_modified, fb.branch_city,
+         f.organization, fb.organization_kind, fb.organization_phone,
+         fb.organization_branch_count, fb.national_service,
+         [f.response0, f.response1] AS response_ids,
+         [f.situation0, f.situation1] AS situation_ids
+  FROM fs f JOIN fb ON f.branch_id = fb.branch_id
+  WHERE (fb.lon > 33.0 AND fb.lon < 37.0 AND fb.lat > 29.3 AND fb.lat < 33.3)
+     OR coalesce(fb.national_service, false)
+), placesrc AS (
+  SELECT 'place-' || CAST(nk AS VARCHAR) AS key,
+         [city, 'איזור ' || city] AS name,
+         [lon - 0.1, lat - 0.1, lon + 0.1, lat + 0.1] AS bounds,
+         (['region','city','town','village','hamlet','suburb'])[nk % 6 + 1] AS place
+  FROM (SELECT CAST(substr(location, 5) AS INT) AS nk, city, lat, lon FROM locs)
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('גוש_דן', ['גוש דן'], [34.6, 31.8, 35.1, 32.181], 'region'),
+    ('איזור_ירושלים', ['איזור ירושלים'], [34.9, 31.7, 35.3, 31.9], 'region'),
+    ('איזור_הצפון', ['איזור הצפון'], [34.5, 32.5, 35.8, 33.3], 'region'),
+    ('איזור_באר_שבע', ['איזור באר-שבע'], [34.5, 30.8, 35.5, 31.5], 'region')
+  ) p(key, name, bounds, place)
+), placeq AS (
+  SELECT key, nm AS query FROM (
+    SELECT key, nm,
+           row_number() OVER (PARTITION BY key ORDER BY length(nm) DESC, nm ASC) AS rn
+    FROM (SELECT key, unnest(name) AS nm FROM placesrc)
+  ) WHERE rn = 1
+), rparents AS (
+  SELECT DISTINCT unnest(list_distinct(list_concat(
+    {_parents_sql('response0')}, {_parents_sql('response1')}))) AS id
+  FROM svcs
+), sparents AS (
+  SELECT DISTINCT unnest(list_distinct(list_concat(
+    {_parents_sql('situation0')}, {_parents_sql('situation1')}))) AS id
+  FROM svcs
+), rcounts AS (
+  SELECT id, count(*) AS cnt FROM (
+    SELECT unnest(list_distinct(list_concat(
+      {_parents_sql('response_ids[1]')}, {_parents_sql('response_ids[2]')}))) AS id
+    FROM cardsf
+  ) GROUP BY id
+), scounts AS (
+  SELECT id, count(*) AS cnt FROM (
+    SELECT unnest(list_distinct(list_concat(
+      {_parents_sql('situation_ids[1]')}, {_parents_sql('situation_ids[2]')}))) AS id
+    FROM cardsf
+  ) GROUP BY id
+), ocounts AS (
+  SELECT organization AS id, count(*) AS cnt FROM cardsf GROUP BY organization
+), ac_pub AS (
+  SELECT qid, query, n, score, low FROM (
+    SELECT qid, query, n, score, low,
+           row_number() OVER (PARTITION BY qid ORDER BY query ASC) AS rn
+    FROM (""" + Q74_SQL + f""")
+  ) WHERE rn = 1
+), ac_ranked AS (
+  SELECT qid, query, n, score, low,
+         row_number() OVER (ORDER BY query) AS rank
+  FROM ac_pub
+)
+SELECT '10_cards' AS phase, 'card:' || f.card_key AS key,
+       concat_ws('|', printf('%.6f', {_Q75_CARD_SCORE_SQL}),
+                 coalesce({_LM_SQL}, ''), f.service_name,
+                 coalesce(f.branch_city, ''), f.organization) AS sig
+FROM cardsf f
+CROSS JOIN LATERAL (SELECT CASE WHEN coalesce(f.organization_branch_count, 1) <= 0 THEN 1.0
+                                ELSE CAST(coalesce(f.organization_branch_count, 1) AS DOUBLE) END AS bc) AS bc
+UNION ALL
+SELECT '20_places', 'pl:' || p.key,
+       concat_ws('|', q.query, p.place,
+                 printf('%.4f', (p.bounds[3] - p.bounds[1]) * (p.bounds[4] - p.bounds[2])
+                                * 100000.0 * ({_PLACE_SCORE_SQL})),
+                 printf('[%.5f,%.5f,%.5f,%.5f]',
+                        p.bounds[1], p.bounds[2], p.bounds[3], p.bounds[4]))
+FROM placesrc p JOIN placeq q ON p.key = q.key
+UNION ALL
+SELECT '30_responses', 'r:' || d.id,
+       concat_ws('|', 'מענה ' || string_split(d.id, ':')[-1],
+                 replace(d.id, ':', ' '),
+                 array_to_string(string_split(d.id, ':')[1:len(string_split(d.id, ':')) - 1], ' / '),
+                 CAST(c.cnt AS VARCHAR))
+FROM rparents d JOIN rcounts c ON d.id = c.id
+WHERE length(d.id) % 7 != 0
+UNION ALL
+SELECT '40_situations', 's:' || d.id,
+       concat_ws('|', 'מצב ' || string_split(d.id, ':')[-1],
+                 replace(d.id, ':', ' '),
+                 array_to_string(string_split(d.id, ':')[1:len(string_split(d.id, ':')) - 1], ' / '),
+                 CAST(c.cnt AS VARCHAR))
+FROM sparents d JOIN scounts c ON d.id = c.id
+WHERE length(d.id) % 7 != 0
+UNION ALL
+SELECT '50_orgs', 'o:' || oc.id,
+       concat_ws('|', coalesce(o.organization_name, ''),
+                 coalesce(o.organization_description, ''),
+                 coalesce(o.organization_kind, ''),
+                 CAST(oc.cnt AS VARCHAR), CAST(oc.cnt * 10 AS VARCHAR))
+FROM ocounts oc LEFT JOIN orgs o ON oc.id = o.organization
+UNION ALL
+SELECT '60_autocomplete', 'ac:' || qid,
+       concat_ws('|', query, CAST(n AS VARCHAR), printf('%.6f', score),
+                 CAST(low AS VARCHAR), CAST(rank AS VARCHAR))
+FROM ac_ranked WHERE rank <= 10000
+"""
+
+EXT23_REGISTRY["q161_es_publish_surfaces"] = QueryDef(
+    q161_es_publish_surfaces, Q161_SQL,
+    "five-index ES publish composed: cards + places + responses + situations "
+    "+ organizations + autocomplete from one persisted derive output (K3 U1 "
+    "A1 U4 J6 to_es.py:340-350)",
+)

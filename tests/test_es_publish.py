@@ -1,0 +1,103 @@
+"""Unit tests for the five-index ES publish flows (pipelines/es_publish.py,
+reference operators/derive/to_es.py). The composed surface is oracle-gated as
+q161; these pin the per-flow edge semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from srm_etl_spark.pipelines.es_publish import (
+    autocomplete_publish,
+    cards_api_surface,
+    organizations_surface,
+    places_surface,
+    taxonomy_count_surface,
+)
+
+
+def test_airtable_last_modified_max_of_present(spark):
+    # reference to_es.py:85-94: max over the PARSEABLE stamps, null when
+    # both absent — filter(None) + max
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-05", "2024-03-01"),
+            ("b", None, "2024-02-02"),
+            ("c", "2024-07-09", None),
+            ("d", None, None),
+        ],
+        "card_key string, service_last_modified string, branch_last_modified string",
+    )
+    got = {
+        r["card_key"]: r["airtable_last_modified"]
+        for r in cards_api_surface(df).collect()
+    }
+    assert got == {"a": "2024-03-01", "b": "2024-02-02", "c": "2024-07-09", "d": None}
+
+
+def test_places_surface_query_score_and_predefined(spark):
+    # one location row; bounds [W,S,E,N] = lon/lat ± 0.1; kind from nk % 6
+    locs = spark.createDataFrame(
+        [("loc-1", "תל אביב", 32.0, 34.0, False)],
+        "key string, city string, lat double, lon double, national_service boolean",
+    )
+    rows = {r["key"]: r for r in places_surface(spark, locs).collect()}
+    # 1 fixture row + the reference's 4 PREDEFINED regions (to_es.py:179-184)
+    assert len(rows) == 5
+    p = rows["place-1"]
+    assert p["query"] == "איזור תל אביב"  # longest display name wins
+    assert p["place"] == "city"  # nk % 6 == 1
+    # score = (E-W)*(N-S)*100000 * weight(city=100)
+    assert p["score"] == pytest.approx(0.2 * 0.2 * 100000 * 100)
+    gd = rows["גוש_דן"]
+    assert gd["query"] == "גוש דן" and gd["place"] == "region"
+    assert gd["score"] == pytest.approx((35.1 - 34.6) * (32.181 - 31.8) * 100000 * 200)
+
+
+def test_taxonomy_count_surface_filters(spark):
+    # ACTIVE + counted only (the reference's two filter_rows, to_es.py:232-233);
+    # counts are parent-expanded per card
+    cards = spark.createDataFrame(
+        [(["x:a:b"],), (["x:a:c"],)], "ids array<string>"
+    )
+    dim = spark.createDataFrame(
+        [
+            ("x:a", "n1", "s1", "b1", "ACTIVE"),
+            ("x:a:b", "n2", "s2", "b2", "ACTIVE"),
+            ("x:a:c", "n3", "s3", "b3", "INACTIVE"),  # active filter drops
+            ("x:zz", "n4", "s4", "b4", "ACTIVE"),     # never counted -> drops
+        ],
+        "id string, name string, synonyms string, breadcrumbs string, status string",
+    )
+    got = {r["id"]: r["count"] for r in taxonomy_count_surface(cards, dim, "ids").collect()}
+    assert got == {"x:a": 2, "x:a:b": 1}
+
+
+def test_organizations_surface_score(spark):
+    cards = spark.createDataFrame([("o1",), ("o1",), ("o2",)], "organization string")
+    orgs = spark.createDataFrame(
+        [("o1", "Org One", None, "company")],
+        "id string, name string, description string, kind string",
+    )
+    got = {r["id"]: r for r in organizations_surface(cards, orgs).collect()}
+    assert got["o1"]["count"] == 2 and got["o1"]["score"] == 20.0
+    # half-outer: a counted org missing from the dim keeps nulls (reference
+    # DF.join keeps unmatched target rows)
+    assert got["o2"]["name"] is None and got["o2"]["score"] == 10.0
+
+
+def test_autocomplete_publish_id_collapse_and_limit(spark):
+    corpus = spark.createDataFrame(
+        [
+            ("a b", "a_b", 3, 1.0, 0, False),
+            ("a-b", "a_b", 2, 2.0, 1, True),   # same slug id -> collapses
+            ("zz", "zz", 1, 0.5, 0, False),
+            ("mm", "mm", 1, 0.5, 0, False),
+        ],
+        "query string, qid string, n long, score double, importance int, low boolean",
+    )
+    out = autocomplete_publish(corpus, limit_rows=2).collect()
+    by_qid = {r["qid"]: r for r in out}
+    # keeper is deterministic (min by query text): 'a b' < 'a-b' in UTF-8
+    assert by_qid["a_b"]["query"] == "a b" and by_qid["a_b"]["n"] == 3
+    # rank gate in query order: 'a b' (1), 'mm' (2); 'zz' cut by the limit
+    assert set(by_qid) == {"a_b", "mm"}
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]

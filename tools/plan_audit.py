@@ -85,6 +85,12 @@ SINGLE_PARTITION_OK = {
                                 # protocol-capped global URL ordering q105
                                 # whitelists; the ES/SQL legs stay
                                 # partitioned on the persisted card surface
+    "q161_es_publish_surfaces", # the autocomplete LEG's limit_rows rank
+                                # (reference to_es.py:333 caps at 10^4 rows
+                                # AFTER the per-id collapse — protocol-capped
+                                # like the sitemap ordering); the cards/count
+                                # legs stay partitioned on the persisted
+                                # surface
 }
 
 

@@ -92,6 +92,8 @@ def flat_branches(
         "lon",
         "national_service",
         F.col("last_modified").alias("branch_last_modified"),
+        F.col("operating_unit").alias("branch_operating_unit"),
+        F.col("location_accurate").alias("branch_location_accurate"),
         "organization_branch_count",
     )
 
@@ -228,6 +230,8 @@ def card_data_full(
         "lon",
         "service_last_modified",
         "branch_last_modified",
+        "branch_operating_unit",
+        "branch_location_accurate",
         # direct ids — the reference computes rs_score / categories on the
         # mapped DIRECT ids; parent expansion lands in separate columns
         # (to_dp.py:835-836) which card_data() carries

@@ -97,6 +97,27 @@ def branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("רחוב "), (F.col("c_custkey") % 90 + 1).cast("string")).alias(
             "address"
         ),
+        # 4 of 5 branches name an operating unit — the mapbox point title
+        # coalesces unit -> org short name -> org name (to_mapbox.py:69-71).
+        # The unit repeats per location (nation-keyed) and is > 20 chars, so
+        # per-location points get a truncated unit mode title while the
+        # national point (many distinct units, each a sliver) falls back to
+        # the short-name mode — both title paths live.
+        F.when(
+            F.col("c_custkey") % 5 != 0,
+            F.concat(
+                F.lit("יחידת רווחה אזורית מספר "), F.col("c_nationkey").cast("string")
+            ),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("operating_unit"),
+        # geocoding accuracy: whole nations on the % 5 == 2 stripe are
+        # inaccurate (their points land in the inaccurate tileset dump,
+        # to_mapbox.py:193-195) and a sparse per-branch stripe elsewhere
+        # exercises the point-level max-aggregation's mixing
+        ((F.col("c_nationkey") % 5 != 2) & (F.col("c_custkey") % 53 != 0)).alias(
+            "location_accurate"
+        ),
         # Airtable rows carry a last-modified stamp; every 3rd branch has
         # none, so the cards ES flow's max-of-parseable-dates enrichment
         # (to_es.py:85-94) exercises the null leg. ISO date strings: max()

@@ -1098,6 +1098,10 @@ WITH orgs AS (
          'loc-' || CAST(c_nationkey AS VARCHAR) AS location,
          c_name AS name,
          'רחוב ' || CAST(c_custkey % 90 + 1 AS VARCHAR) AS address,
+         CASE WHEN c_custkey % 5 != 0
+              THEN 'יחידת רווחה אזורית מספר ' || CAST(c_nationkey AS VARCHAR)
+         END AS operating_unit,
+         (c_nationkey % 5 != 2 AND c_custkey % 53 != 0) AS location_accurate,
          CASE WHEN c_custkey % 3 = 0 THEN NULL
               ELSE printf('2024-%02d-%02d', c_custkey % 12 + 1, c_custkey % 28 + 1)
          END AS last_modified,
@@ -1107,7 +1111,9 @@ WITH orgs AS (
   SELECT b.id, b.organization, o.organization_name, o.organization_short_name,
          o.organization_kind, o.organization_phone, b.location,
          b.name, l.city, b.address || ' ' || l.city AS branch_address,
-         l.lat, l.lon, l.national_service, b.last_modified AS branch_last_modified
+         l.lat, l.lon, l.national_service, b.last_modified AS branch_last_modified,
+         b.operating_unit AS branch_operating_unit,
+         b.location_accurate AS branch_location_accurate
   FROM brs b LEFT JOIN locs l ON b.location = l.location
   JOIN orgs o ON b.organization = o.organization
   WHERE upper(trim(b.status)) = 'ACTIVE'
@@ -1118,7 +1124,7 @@ WITH orgs AS (
   SELECT id AS branch_id, organization, organization_name, organization_short_name,
          organization_kind, organization_phone, location,
          name AS branch_name, city AS branch_city, branch_address, lat, lon, national_service,
-         branch_last_modified,
+         branch_last_modified, branch_operating_unit, branch_location_accurate,
          count(*) OVER (PARTITION BY organization) AS organization_branch_count
   FROM fb1 WHERE rn = 1
 ), freq AS (

@@ -255,3 +255,167 @@ EXT23_REGISTRY["q161_es_publish_surfaces"] = QueryDef(
     "+ organizations + autocomplete from one persisted derive output (K3 U1 "
     "A1 U4 J6 to_es.py:340-350)",
 )
+
+
+# --------------------------------------------------------------------------
+# q162 — mapbox geo_data + points flows composed (to_mapbox.py:97-249)
+# --------------------------------------------------------------------------
+
+def q162_mapbox_geo_flow(spark, sf_dir):
+    """The mapbox derive composition (pipelines/mapbox.py): one persisted
+    per-card records frame feeds the per-point geo_data surface (mode title
+    with truncation/+N/* rules, mode response category, service/branch
+    counts, single-card card id), its accurate/inaccurate duplicate split
+    (U2), the per-card ES points projection and the 4-column clusters
+    subset — all four phase-labeled full row-sets in one result."""
+    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    from ..pipelines.derive import run_derive  # noqa: PLC0415
+    from ..pipelines.mapbox import (  # noqa: PLC0415
+        geo_data_surface,
+        geo_point_records,
+        points_surface,
+    )
+
+    recs = keep_persisted(
+        geo_point_records(run_derive(spark, sf_dir)["card_data_full"]),
+        "mapbox_records",
+    )
+    pts = points_surface(recs)
+    geo = geo_data_surface(recs)
+
+    def pt_leg(phase, *sig_cols):
+        return pts.select(
+            F.lit(phase).alias("phase"),
+            F.concat(F.lit("pt:"), F.col("card_key")).alias("key"),
+            F.concat_ws("|", *[_s(c) for c in sig_cols]).alias("sig"),
+        )
+
+    def geo_leg(phase, flag):
+        half = geo.filter(F.col("branch_location_accurate") == flag)
+        return half.select(
+            F.lit(phase).alias("phase"),
+            F.concat(F.lit("g:"), F.col("point_id")).alias("key"),
+            F.concat_ws(
+                "|", _s("title"), _s("full_title"), _s("response_category"),
+                _s("service_count"), _s("branch_count"), _s("card_id"),
+                _s("branch_geometry"),
+            ).alias("sig"),
+        )
+
+    legs = [
+        pt_leg(
+            "10_points", "point_id", "response_category", "response_categories",
+            "response_ids", "situation_ids", "organization", "branch_geometry",
+        ),
+        pts.select(
+            F.lit("20_clusters").alias("phase"),
+            F.concat(F.lit("cl:"), F.col("card_key")).alias("key"),
+            F.concat_ws(
+                "|", _s("branch_geometry"), _s("response_categories"), _s("point_id")
+            ).alias("sig"),
+        ),
+        geo_leg("30_geo_accurate", True),  # noqa: FBT003
+        geo_leg("40_geo_inaccurate", False),  # noqa: FBT003
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+Q162_SQL = _DERIVE_CTES + f"""
+, cardsg AS (
+  SELECT f.branch_id || f.service_id AS card_key,
+         fb.lat, fb.lon,
+         coalesce(fb.branch_operating_unit, fb.organization_short_name,
+                  fb.organization_name) AS bname,
+         fb.branch_location_accurate,
+         f.organization,
+         CASE WHEN coalesce(fb.national_service, false) THEN 'national_service'
+              ELSE replace(printf('%08.5f%08.5f', fb.lon, fb.lat), '.', '') END AS point_id,
+         [f.response0, f.response1] AS response_ids,
+         [f.situation0, f.situation1] AS situation_ids
+  FROM fs f JOIN fb ON f.branch_id = fb.branch_id
+  WHERE ((fb.lon > 33.0 AND fb.lon < 37.0 AND fb.lat > 29.3 AND fb.lat < 33.3)
+     OR coalesce(fb.national_service, false))
+    AND fb.lat IS NOT NULL AND fb.lon IS NOT NULL
+), gcat AS (
+  SELECT c.card_key, string_split(r.r, ':')[2] AS category,
+         list_position(c.response_ids, r.r) AS r_pos
+  FROM cardsg c CROSS JOIN unnest(c.response_ids) AS r(r)
+), gcatc AS (
+  SELECT card_key, category, count(*) AS n, min(r_pos) AS first_pos
+  FROM gcat GROUP BY 1, 2
+), gmode AS (
+  SELECT card_key, category AS response_category FROM gcatc
+  QUALIFY row_number() OVER (PARTITION BY card_key
+                             ORDER BY n DESC, first_pos ASC, category ASC) = 1
+), gcards AS (
+  SELECT c.*, m.response_category,
+         printf('[%.5f,%.5f]', c.lon, c.lat) AS geo,
+         array_to_string(list_transform(c.response_ids,
+                                        r -> string_split(r, ':')[2]), ',') AS cats
+  FROM cardsg c JOIN gmode m USING (card_key)
+), gpts AS (
+  SELECT point_id, count(*) AS service_count,
+         bool_or(branch_location_accurate) AS accurate,
+         min(card_key) AS first_ck,
+         count(DISTINCT bname) AS branch_count,
+         arg_min(struct_pack(lon := lon, lat := lat), card_key) AS g
+  FROM gcards GROUP BY point_id
+), gname AS (
+  SELECT point_id, bname AS bn FROM (
+    SELECT point_id, bname, count(*) AS n, min(card_key) AS fck
+    FROM gcards GROUP BY 1, 2
+  ) QUALIFY row_number() OVER (PARTITION BY point_id ORDER BY n DESC, fck ASC) = 1
+), gpcat AS (
+  SELECT point_id, category FROM (
+    SELECT point_id, response_category AS category, count(*) AS n,
+           min(card_key) AS fck
+    FROM gcards GROUP BY 1, 2
+  ) QUALIFY row_number() OVER (PARTITION BY point_id ORDER BY n DESC, fck ASC) = 1
+), gsurf AS (
+  SELECT p.point_id,
+         printf('[%.5f,%.5f]', p.g.lon, p.g.lat) AS geo,
+         p.accurate, c.category AS response_category,
+         CASE WHEN length(n.bn) > 20 THEN substr(n.bn, 1, 20) || '…' ELSE n.bn END AS tbn,
+         n.bn, p.service_count, p.branch_count,
+         CASE WHEN p.service_count = 1 THEN p.first_ck END AS card_id
+  FROM gpts p JOIN gname n USING (point_id) JOIN gpcat c USING (point_id)
+), gtitled AS (
+  SELECT *,
+         CASE WHEN branch_count > 1 THEN tbn || '  +' || CAST(branch_count - 1 AS VARCHAR)
+              WHEN NOT accurate THEN tbn || '*' ELSE tbn END AS title,
+         CASE WHEN branch_count > 1 THEN bn || '  +' || CAST(branch_count - 1 AS VARCHAR)
+              WHEN NOT accurate THEN bn || '*' ELSE bn END AS full_title
+  FROM gsurf
+)
+SELECT '10_points' AS phase, 'pt:' || card_key AS key,
+       concat_ws('|', point_id, response_category, cats,
+                 array_to_string(response_ids, ','),
+                 array_to_string(situation_ids, ','), organization, geo) AS sig
+FROM gcards
+UNION ALL
+SELECT '20_clusters', 'cl:' || card_key,
+       concat_ws('|', geo, cats, point_id)
+FROM gcards
+UNION ALL
+SELECT '30_geo_accurate', 'g:' || point_id,
+       concat_ws('|', title, full_title, response_category,
+                 CAST(service_count AS VARCHAR), CAST(branch_count AS VARCHAR),
+                 coalesce(card_id, ''), geo)
+FROM gtitled WHERE accurate
+UNION ALL
+SELECT '40_geo_inaccurate', 'g:' || point_id,
+       concat_ws('|', title, full_title, response_category,
+                 CAST(service_count AS VARCHAR), CAST(branch_count AS VARCHAR),
+                 coalesce(card_id, ''), geo)
+FROM gtitled WHERE NOT accurate
+"""
+
+EXT23_REGISTRY["q162_mapbox_geo_flow"] = QueryDef(
+    q162_mapbox_geo_flow, Q162_SQL,
+    "mapbox derive composed: per-point geo_data (mode title/category, "
+    "accurate split) + ES points + clusters from one persisted records frame "
+    "(W3 A2 A5 U2 F21 to_mapbox.py:97-249)",
+)

@@ -419,3 +419,188 @@ EXT23_REGISTRY["q162_mapbox_geo_flow"] = QueryDef(
     "accurate split) + ES points + clusters from one persisted records frame "
     "(W3 A2 A5 U2 F21 to_mapbox.py:97-249)",
 )
+
+
+# --------------------------------------------------------------------------
+# q163 — OSM place-bounds generator twin (data-analysis/osm/generate_places.py)
+# --------------------------------------------------------------------------
+
+def q163_place_bounds(spark, sf_dir):
+    """The place-bounds generator end-to-end (pipelines/places_osm.py):
+    hstore parse → Hebrew-name harvest + fix chain → rank/landuse/population
+    gate → per-key merge → official fuzzy handshake → include_anyways filter
+    → union bbox. Two phases: the merged per-key surface and the final
+    package rows. The oracle derives the EXPECTED fixed names as literals,
+    so the hash gates the whole normalization chain as a golden test (the
+    engine parses and fixes; the oracle knows the answers)."""
+    from ..pipelines.places_osm import (  # noqa: PLC0415
+        generate_place_bounds,
+        official_places,
+        osm_features,
+    )
+
+    st = generate_place_bounds(
+        osm_features(spark, sf_dir), official_places(spark, sf_dir)
+    )
+    bounds_fmt = F.format_string(
+        "[%.5f,%.5f,%.5f,%.5f]",
+        F.col("minlon"), F.col("minlat"), F.col("maxlon"), F.col("maxlat"),
+    )
+    merged_leg = st["merged"].select(
+        F.lit("10_merged").alias("phase"),
+        F.concat(F.lit("m:"), F.col("key")).alias("key"),
+        F.concat_ws(
+            "|", _s("place"), _s("landuse"), _s("population"),
+            F.array_join("name", ","), _s("n_features"), bounds_fmt,
+        ).alias("sig"),
+    )
+    places_leg = st["places"].select(
+        F.lit("20_bounds").alias("phase"),
+        F.concat(F.lit("p:"), F.col("key")).alias("key"),
+        F.concat_ws(
+            "|", _s("place"), F.array_join("name", ","), _s("population"),
+            _s("official"),
+            F.format_string(
+                "[%.5f,%.5f,%.5f,%.5f]",
+                F.element_at("bounds", 1), F.element_at("bounds", 2),
+                F.element_at("bounds", 3), F.element_at("bounds", 4),
+            ),
+        ).alias("sig"),
+    )
+    return merged_leg.unionByName(places_leg)
+
+
+_OSM_FIXED_BASE = """CASE idx
+  WHEN 0 THEN 'חיפה' WHEN 1 THEN 'קריית גת' WHEN 2 THEN 'נווה צדק'
+  WHEN 3 THEN 'הרצליה' WHEN 4 THEN 'תל אביב-יפו' WHEN 5 THEN 'עין ״גדי״'
+  WHEN 7 THEN 'אום אל-פחם' WHEN 8 THEN 'מועצה אזורית גלבוע'
+  WHEN 9 THEN 'שוהם' WHEN 11 THEN 'אבו גוש' WHEN 12 THEN 'גבעת שמואל' END"""
+
+# the alias runs through the SAME chain but lands differently: no שהם
+# special (exact match only), no ייה suffix rewrite mid-string, and the
+# 'מועצה אזורית גלבוע עילית' variant trips the >20-char rejection
+_OSM_FIXED_ALIAS = """CASE WHEN NOT has_alias THEN NULL ELSE CASE idx
+  WHEN 0 THEN 'חיפה עילית' WHEN 1 THEN 'קריית גת עילית'
+  WHEN 2 THEN 'נווה צדק עילית' WHEN 3 THEN 'הרצלייה עילית'
+  WHEN 4 THEN 'תל אביב-יפו עילית' WHEN 5 THEN 'עין ״גדי״ עילית'
+  WHEN 7 THEN 'אום אל-פחם עילית' WHEN 9 THEN 'שהם עילית'
+  WHEN 11 THEN 'אבו גוש עילית' WHEN 12 THEN 'גבעת שמואל עילית' END END"""
+
+# DuckDB's levenshtein counts BYTES while Spark's counts characters — on
+# Hebrew (2-byte UTF-8) the distances diverge. Character levenshtein is
+# invariant under any per-character bijection, so the oracle maps the Hebrew
+# alphabet (+finals, geresh/gershayim) onto single-byte ASCII before scoring;
+# the engine scores the originals. Lengths are character counts on both sides.
+_HEB_CHARS = "אבגדהוזחטיכךלמםנןסעפףצץקרשת׳״"
+_HEB_ASCII = "abcdefghijklmnopqrstuvwxyz123"
+
+
+def _ascii_sql(col: str) -> str:
+    out = col
+    for h, a in zip(_HEB_CHARS, _HEB_ASCII):
+        out = f"replace({out}, '{h}', '{a}')"
+    return out
+
+
+_OSM_ANYWAYS = (
+    "len(list_filter(name, n -> starts_with(n, 'מועצה אזורית') "
+    "OR starts_with(n, 'א-') OR starts_with(n, 'אבו ') OR starts_with(n, 'אום ') "
+    "OR starts_with(n, 'אל ') OR starts_with(n, 'אל-') OR starts_with(n, 'גבעת '))) > 0"
+)
+
+Q163_SQL = f"""
+WITH feats AS (
+  SELECT c_custkey AS fid, c_custkey AS ck, n_nationkey AS nk,
+         CAST(c_custkey % 13 AS INT) AS idx, c_custkey % 2 = 0 AS has_alias
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+), named AS (
+  SELECT fid, ck, nk,
+         list_sort(list_distinct(list_filter(
+           [{_OSM_FIXED_BASE}, {_OSM_FIXED_ALIAS}], x -> x IS NOT NULL))) AS name,
+         CASE WHEN ck % 7 < 5
+              THEN (['city','town','village','hamlet','suburb'])[CAST(ck % 7 AS INT) + 1]
+         END AS place,
+         CASE WHEN ck % 5 = 3 THEN 'residential' END AS landuse,
+         CASE WHEN ck % 11 = 4 THEN CAST((ck * 7) % 9000 + 100 AS VARCHAR) END AS population,
+         33.2 + (nk % 12) * 0.3 + (ck % 10) * 0.01 AS lon0,
+         29.5 + (nk % 10) * 0.35 AS lat0,
+         ck % 6 = 0 AS multi
+  FROM feats
+), rows_f AS (
+  SELECT *, array_to_string(regexp_extract_all(array_to_string(name, ' '), '[א-ת]+'), '_') AS key,
+         lon0 AS minlon, lat0 AS minlat,
+         CASE WHEN multi THEN lon0 + 0.5 + 0.02 ELSE lon0 + 0.02 END AS maxlon,
+         CASE WHEN multi THEN lat0 + 0.25 + 0.03 ELSE lat0 + 0.03 END AS maxlat
+  FROM named
+  WHERE (place IN ('city','town','village','hamlet') OR landuse = 'residential'
+         OR population IS NOT NULL)
+    AND len(name) > 0
+), merged0 AS (
+  -- keeper as ONE struct: per-column arg_min would skip a NULL field on the
+  -- min-fid row and frankenrow the keeper from several group members
+  SELECT key,
+         arg_min(struct_pack(place := place, landuse := landuse,
+                             population := population, name := name),
+                 fid) AS f,
+         count(*) AS n_features,
+         min(minlon) AS minlon, min(minlat) AS minlat,
+         max(maxlon) AS maxlon, max(maxlat) AS maxlat
+  FROM rows_f GROUP BY key
+), merged AS (
+  SELECT key, f.place AS place, f.landuse AS landuse,
+         f.population AS population, f.name AS name,
+         n_features, minlon, minlat, maxlon, maxlat
+  FROM merged0
+), officials AS (
+  SELECT DISTINCT CASE n_nationkey % 10
+    WHEN 0 THEN 'חיפה' WHEN 1 THEN 'קריית גת' WHEN 2 THEN 'נווה צדק'
+    WHEN 3 THEN 'הרצליה' WHEN 4 THEN 'תל אביב-יפו' WHEN 5 THEN 'אום אל-פחם'
+    WHEN 6 THEN 'שוהם' WHEN 7 THEN 'אבו גוש' WHEN 8 THEN 'חיפא'
+    WHEN 9 THEN 'גבעת שמואלל' END AS official
+  FROM nation WHERE n_nationkey % 9 != 8
+), cand0 AS (
+  SELECT m.key, o.official, CAST(floor(
+           100.0 * (greatest(length(u.nm), length(o.official))
+                    - levenshtein({_ascii_sql('u.nm')}, {_ascii_sql('o.official')}))
+           / greatest(length(u.nm), length(o.official))) AS INT) AS score
+  FROM merged m, unnest(m.name) AS u(nm), officials o
+), cand AS (
+  SELECT key, official, max(score) AS score FROM cand0
+  WHERE score >= 86 GROUP BY key, official
+), top AS (
+  SELECT official, max(struct_pack(s := score, k := key)) AS t
+  FROM cand GROUP BY official
+), chosen AS (
+  SELECT key, official FROM (
+    SELECT c.key, c.official, c.score,
+           row_number() OVER (PARTITION BY c.key ORDER BY c.score DESC, c.official ASC) AS rn
+    FROM cand c JOIN top t ON c.official = t.official
+    WHERE c.score >= 87 AND t.t.s >= 87 AND c.key = t.t.k
+  ) WHERE rn = 1
+), places AS (
+  SELECT m.*, ch.official
+  FROM merged m LEFT JOIN chosen ch ON m.key = ch.key
+  WHERE ch.official IS NOT NULL
+     OR m.place IN ('city','town','village','hamlet')
+     OR {_OSM_ANYWAYS}
+)
+SELECT '10_merged' AS phase, 'm:' || key AS key,
+       concat_ws('|', coalesce(place, ''), coalesce(landuse, ''),
+                 coalesce(population, ''), array_to_string(name, ','),
+                 CAST(n_features AS VARCHAR),
+                 printf('[%.5f,%.5f,%.5f,%.5f]', minlon, minlat, maxlon, maxlat)) AS sig
+FROM merged
+UNION ALL
+SELECT '20_bounds', 'p:' || key,
+       concat_ws('|', coalesce(place, ''), array_to_string(name, ','),
+                 coalesce(population, ''), coalesce(official, ''),
+                 printf('[%.5f,%.5f,%.5f,%.5f]', minlon, minlat, maxlon, maxlat))
+FROM places
+"""
+
+EXT23_REGISTRY["q163_place_bounds"] = QueryDef(
+    q163_place_bounds, Q163_SQL,
+    "OSM place-bounds generator twin: hstore parse + Hebrew name-fix chain + "
+    "per-key union bbox + official fuzzy handshake + include_anyways "
+    "(generate_places.py, golden-name oracle)",
+)

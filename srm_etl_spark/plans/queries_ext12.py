@@ -510,6 +510,19 @@ def q117_late_data_drops(spark, sf_dir):
             )
         )
 
+    # SPARK_GRAFT_STREAM_RECOVERY=1 swaps in the kill-and-resume harness
+    # (stop after batch 2 of 3, restart from the checkpoint) — a standing
+    # invariance axis: the oracle is unchanged, so the hash gate proves the
+    # recovered run emits exactly the uninterrupted run's set.
+    import os  # noqa: PLC0415
+
+    if os.environ.get("SPARK_GRAFT_STREAM_RECOVERY") == "1":
+        from ..streaming.events import replay_with_recovery  # noqa: PLC0415
+
+        out, _progress = replay_with_recovery(
+            spark, batches, build, f"q117_rec_{next(_Q117_ID)}", stop_after=2
+        )
+        return out
     out, _progress = replay_in_batches(
         spark, batches, build, f"q117_sink_{next(_Q117_ID)}"
     )

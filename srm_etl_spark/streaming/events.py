@@ -426,3 +426,89 @@ def replay_in_batches(
     progress = list(q.recentProgress)
     spark.catalog.dropTempView(name)
     return spark.read.parquet(out_path), progress
+
+
+def replay_with_recovery(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    build,
+    name: str,
+    stop_after: int = 2,
+    mode: str = "append",
+    timeout_sec: int = 300,
+):
+    """Kill-and-resume twin of :func:`replay_in_batches`: certifies that a
+    checkpointed streaming plan emits the SAME set whether it runs
+    uninterrupted or is stopped mid-replay and restarted.
+
+    Run 1 sees only the first ``stop_after`` batch files — its availableNow
+    trigger drains what exists (watermark advanced, eligible state finalized)
+    and terminates, standing in for a crash/redeploy after those
+    micro-batches committed. The remaining files then land in the source dir
+    and a SECOND query restarts from the same checkpoint: the file source's
+    seen-files log skips the processed batches, and watermark + operator
+    state resume from the state store — late-drop and dedup decisions are
+    identical to the uninterrupted run's, because availableNow advances the
+    watermark the same way a no-more-data lull does. Output flows through a
+    parquet FILE sink whose commit log is tied to the checkpoint's batch ids,
+    so rows are exactly-once across the restart. Returns
+    (lazy result DataFrame, [run1 progress, run2 progress]).
+    """
+    import glob as _glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import time as _time  # noqa: PLC0415
+
+    from ..session import scratch_dir  # noqa: PLC0415
+
+    if not 0 < stop_after < len(batches):
+        raise ValueError("stop_after must split the batch list")
+    base = scratch_dir(f"srm_recover_{name}")
+    data = os.path.join(base, "stream")
+    out_path = os.path.join(base, "result")
+    ckpt = os.path.join(base, "checkpoint")
+    os.makedirs(data)
+    now = _time.time()
+    schema = batches[0].schema
+    staged = []
+    for i, b in enumerate(batches):
+        d = os.path.join(base, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        (src,) = _glob.glob(os.path.join(d, "*.parquet"))
+        staged.append(src)
+
+    def land(i: int) -> None:
+        dst = os.path.join(data, f"batch{i}.parquet")
+        shutil.copy(staged[i], dst)
+        t = now - 100 * (len(batches) - i)  # same order pin as replay_in_batches
+        os.utime(dst, (t, t))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data)
+        )
+        q = (
+            build(stream)
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError(
+                f"replay_with_recovery[{name}]: run did not finish within {timeout_sec}s"
+            )
+        return list(q.recentProgress)
+
+    for i in range(stop_after):
+        land(i)
+    p1 = run()  # "crash" after the first stop_after micro-batches committed
+    for i in range(stop_after, len(batches)):
+        land(i)
+    p2 = run()  # resume from the checkpoint
+    return spark.read.parquet(out_path), [p1, p2]

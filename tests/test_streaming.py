@@ -335,3 +335,28 @@ def test_replay_in_batches_late_drops(spark, sf_dir):
     )
     assert out.exceptAll(pred).count() == 0
     assert pred.exceptAll(out).count() == 0
+
+
+def test_checkpoint_recovery_matches_uninterrupted(spark, sf_dir):
+    """Kill-and-resume invariance (streaming/events.py:replay_with_recovery):
+    q117's windowed late-drop replay and q157's watermarked dedup replay,
+    stopped after batch 2 of 3 and restarted from the checkpoint, must emit
+    exactly the uninterrupted runs' sets — watermark and operator state
+    resume from the state store, the file sink's commit log keeps rows
+    exactly-once across the restart."""
+    import os
+
+    from srm_etl_spark.plans import REGISTRY
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for name in ("q117_late_data_drops", "q157_stream_dedup"):
+        plain = rows(REGISTRY[name].spark(spark, sf_dir))
+        os.environ["SPARK_GRAFT_STREAM_RECOVERY"] = "1"
+        try:
+            recovered = rows(REGISTRY[name].spark(spark, sf_dir))
+        finally:
+            os.environ.pop("SPARK_GRAFT_STREAM_RECOVERY", None)
+        assert recovered == plain, f"{name}: recovery changed the emitted set"
+        assert len(recovered) > 0

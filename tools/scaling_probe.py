@@ -74,6 +74,21 @@ _SCALED_DIRS: dict[tuple[int, bool], str] = {}
 _SCALED_DOC_DIRS: dict[int, str] = {}
 
 
+def _cache_slot(name: str) -> tuple[str, bool]:
+    """(path, ready) for a scaled corpus under the suite-shared cache dir —
+    per-probe subprocesses rebuild nothing the suite already built. The
+    ``.ready`` marker commits a build atomically (a crashed half-build is
+    rebuilt, never trusted)."""
+    import tempfile  # noqa: PLC0415
+
+    base = os.environ.get("SPARK_GRAFT_SCALED_CACHE") or tempfile.mkdtemp(
+        prefix="srm_scaled_cache_"
+    )
+    os.environ["SPARK_GRAFT_SCALED_CACHE"] = base
+    path = os.path.join(base, name)
+    return path, os.path.exists(os.path.join(path, ".ready"))
+
+
 def scaled_docs_dir(spark, k: int) -> str:
     """A k-x DOCUMENTS corpus as an sf-dir (single parquet file, other
     tables symlinked): the scale axis for the composed training-corpus
@@ -86,16 +101,19 @@ def scaled_docs_dir(spark, k: int) -> str:
         return _SCALED_DOC_DIRS[k]
     import glob  # noqa: PLC0415
     import shutil  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
 
-    out = tempfile.mkdtemp(prefix=f"srm_docs_{k}x_")
-    for t in ["region", "nation", "supplier", "customer", "part", "orders",
-              "lineitem", "events", "embeddings"]:
-        os.symlink(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
-    tmp = os.path.join(out, "_docs_dir")
-    scaled_docs(spark, k).coalesce(1).write.mode("overwrite").parquet(tmp)
-    shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{out}/documents.parquet")
-    shutil.rmtree(tmp)
+    out, ready = _cache_slot(f"docs_{k}x")
+    if not ready:
+        os.makedirs(out, exist_ok=True)
+        for t in ["region", "nation", "supplier", "customer", "part", "orders",
+                  "lineitem", "events", "embeddings"]:
+            if not os.path.lexists(f"{out}/{t}.parquet"):
+                os.symlink(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
+        tmp = os.path.join(out, "_docs_dir")
+        scaled_docs(spark, k).coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{out}/documents.parquet")
+        shutil.rmtree(tmp)
+        open(os.path.join(out, ".ready"), "w").close()  # noqa: SIM115
     _SCALED_DOC_DIRS[k] = out
     return out
 
@@ -118,13 +136,16 @@ def scaled_sf_dir(spark, k: int, full: bool = False) -> str:
         return _SCALED_DIRS[(k, full)]
     import glob  # noqa: PLC0415
     import shutil  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
 
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from srm_etl_spark.sources.tables import load_table  # noqa: PLC0415
 
-    out = tempfile.mkdtemp(prefix=f"srm_scaled_{k}x_")
+    out, ready = _cache_slot(f"wh_{k}x{'_full' if full else ''}")
+    if ready:
+        _SCALED_DIRS[(k, full)] = out
+        return out
+    os.makedirs(out, exist_ok=True)
     keys = {
         "supplier": "s_suppkey",
         "customer": "c_custkey",
@@ -138,7 +159,8 @@ def scaled_sf_dir(spark, k: int, full: bool = False) -> str:
     if not full:
         passthrough.append("lineitem")
     for t in passthrough:
-        os.symlink(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
+        if not os.path.lexists(f"{out}/{t}.parquet"):
+            os.symlink(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
     for t, ks in {**{t: [key] for t, key in keys.items()}, **multikeys}.items():
         df = load_table(spark, SF, t, spread=False)
         scaled = df.withColumn(
@@ -153,6 +175,7 @@ def scaled_sf_dir(spark, k: int, full: bool = False) -> str:
         scaled.coalesce(1).write.mode("overwrite").parquet(tmp)
         shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{out}/{t}.parquet")
         shutil.rmtree(tmp)
+    open(os.path.join(out, ".ready"), "w").close()  # noqa: SIM115
     _SCALED_DIRS[(k, full)] = out
     return out
 
@@ -368,7 +391,7 @@ def probes(spark):
         queries = scaled_emb(spark, k).filter(F.col("vec_id") % 16 == 0)  # 125*k
         return pq_topk_broadcast(codes, books, queries, k=5)
 
-    return {
+    out = {
         "exact_dedup": p_dedup,
         "minhash_sigs": p_minhash,
         "chunking": p_chunk,
@@ -387,41 +410,92 @@ def probes(spark):
         "bf_topk_bcast": p_bf_bcast,
         "pq_topk_bcast": p_pq_bcast,
     }
+    assert list(out) == _PROBE_NAMES  # the parent schedules by this list
+    return out
+
+
+# the parent process schedules per-probe subprocesses from this list without
+# paying a Spark session of its own
+_PROBE_NAMES = [
+    "exact_dedup", "minhash_sigs", "chunking", "quality_quota", "pagerank_2it",
+    "ivf_topk", "entity_res", "semantic_dedup", "substr_spans",
+    "entities_staged", "meser_staged", "derive_staged", "publish_fanout",
+    "corpus_staged", "skew_join", "bf_topk_bcast", "pq_topk_bcast",
+]
+
+
+def run_one(name: str, scales: list[int]) -> None:
+    """Child mode: run ONE probe in this (fresh) Spark session and print its
+    times as a parseable line. Isolating every probe in its own JVM kills
+    the full-suite artifact the round-9 verdict flagged — 15 prior probes'
+    accumulated GC/cache pressure inflating a later probe's 16x point."""
+    import json  # noqa: PLC0415
+
+    from srm_etl_spark.session import get_spark  # noqa: PLC0415
+
+    spark = get_spark("scaling-probe")
+    spark.read.parquet(f"{SF}/documents.parquet").count()
+    fn = probes(spark)[name]
+    times = []
+    for k in scales:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(k).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times.append(best)
+        print(f"{name} x{k}: {best:.2f}s", flush=True)
+    print("PROBE_RESULT " + json.dumps({"name": name, "times": times}), flush=True)
 
 
 def main() -> None:
-    from srm_etl_spark.session import get_spark  # noqa: PLC0415
+    import json  # noqa: PLC0415
+    import subprocess  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
 
     scales = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
+    one = os.environ.get("SPARK_GRAFT_PROBE_ONE")
+    if one:
+        run_one(one, scales)
+        return
+
     # SPARK_GRAFT_PROBES=a,b runs a subset (and skips the SCALING.md write —
     # the committed table is always a full-suite run)
     subset = {
         s for s in os.environ.get("SPARK_GRAFT_PROBES", "").split(",") if s
     }
-    spark = get_spark("scaling-probe")
-    spark.read.parquet(f"{SF}/documents.parquet").count()
+    names = [n for n in _PROBE_NAMES if not subset or n in subset]
+    cache = os.environ.get("SPARK_GRAFT_SCALED_CACHE") or tempfile.mkdtemp(
+        prefix="srm_scaled_cache_"
+    )
     table = {}
-    for name, fn in probes(spark).items():
-        if subset and name not in subset:
-            continue
-        times = []
-        for k in scales:
-            best = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(k).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            times.append(best)
-            print(f"{name} x{k}: {best:.2f}s", flush=True)
-        table[name] = times
+    for name in names:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_PROBE_ONE"] = name
+        env["SPARK_GRAFT_SCALED_CACHE"] = cache  # share built corpora
+        proc = subprocess.run(  # noqa: S603
+            [sys.executable, os.path.abspath(__file__), *map(str, scales)],
+            env=env, capture_output=True, text=True, check=False,
+        )
+        sys.stdout.write(proc.stdout)
+        result = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("PROBE_RESULT "):
+                result = json.loads(line[len("PROBE_RESULT "):])
+        if proc.returncode != 0 or result is None:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"probe {name} failed (rc={proc.returncode})")
+        table[result["name"]] = result["times"]
 
     lines = [
         "# SCALING — measured operator scaling at synthetic 1x/4x/16x (sf0.1 base)",
         "",
         "Replicated corpora (distinct ids + per-replica content perturbation);",
-        "min-of-2 warm, local[32]. `ratio` = t(16x)/t(1x); linear scaling with",
-        "fixed overheads gives ratio <= 16 — super-linear growth is a red flag.",
+        "min-of-2 warm; EACH PROBE IN ITS OWN FRESH SPARK SESSION (subprocess",
+        "JVM), local[32] — no cross-probe GC or cache pollution. `ratio` =",
+        "t(16x)/t(1x); linear scaling with fixed overheads gives ratio <= 16 —",
+        "super-linear growth is a red flag.",
         "",
         "| probe | " + " | ".join(f"{k}x" for k in scales) + " | ratio |",
         "|---|" + "---|" * (len(scales) + 1),

@@ -55,69 +55,67 @@ REGISTRY.update(EXT21_REGISTRY)
 REGISTRY.update(EXT22_REGISTRY)
 REGISTRY.update(EXT23_REGISTRY)
 
-# Driver-window rotation, round 9: the driver's correctness gate only
-# verifies the FIRST 50 registry entries. After round 8 every registry entry
-# has been driver-gated at least once; from here the window rotates to the
-# STALEST-gated queries each round. q06-q50 were last driver-gated in rounds
-# 1-4 on much older trees (and the r8 float-mean/envelope fixes touched code
-# under q31/q44's families), so this round re-gates that whole head (45
-# queries), the three round-9 additions (q158 composed derive DAG, q159
-# publish fan-out, q160 composed training-corpus pipeline — each new query
-# displaces the newest forward-edge entry, per the standing rule), and the
-# two next-stalest entries (q51-q52, round 4) as the forward edge of the
-# next rotation. Displaced entries keep their committed local verification
-# (CORRECTNESS_LOCAL_r9.txt, full-registry run from the final tree).
+# Driver-window rotation, round 10: the gate verifies the FIRST 50 registry
+# entries. This round's window = the three NEW composed certifications (q161
+# five-index ES publish, q162 mapbox geo flow, q163 OSM place-bounds twin),
+# the two queries whose code changed this round (q159 gained
+# organization_kind + the reference's true index set; q117/q157 gained the
+# checkpoint-recovery hook — q157 rides the q150-q157 band), and the
+# stalest-gated bands the round-9 verdict prescribed: q53-q77 (r7-era gates)
+# and q126-q137 + q150-q156 (rounds 5-8). Displaced entries keep their
+# committed local verification (CORRECTNESS_LOCAL_r10.txt, full-registry run
+# from the final tree).
 _WINDOW = [
-    "q158_derive_staged",
+    "q161_es_publish_surfaces",
+    "q162_mapbox_geo_flow",
+    "q163_place_bounds",
     "q159_publish_fanout",
-    "q160_training_corpus_staged",
-    "q06_upsert_status",
-    "q07_collect_set_join",
-    "q08_count_per_key",
-    "q09_two_level_agg",
-    "q10_mode_priority",
-    "q11_window_topk",
-    "q12_group_count_window",
-    "q13_latest_per_user",
-    "q14_dedup_composite_key",
-    "q15_union_parties",
-    "q16_explode_tokens",
-    "q17_sessionize",
-    "q18_date_math",
-    "q19_score_math",
-    "q20_surrogate_ids",
-    "q21_taxonomy_parents",
-    "q22_exact_dedup",
-    "q23_text_features",
-    "q24_lang_id",
-    "q25_fingerprint",
-    "q26_minhash_dedup",
-    "q27_simhash_pairs",
-    "q28_jaccard_pairs",
-    "q29_topk_cosine",
-    "q30_lsh_topk",
-    "q31_centroids",
-    "q32_tumbling_window",
-    "q33_filter_with_stats",
-    "q34_derive_flat_branches",
-    "q35_derive_cards",
-    "q36_card_search",
-    "q37_clean_contacts",
-    "q38_fuzzy_nation_match",
-    "q39_idf_scores",
-    "q40_autocomplete_templates",
-    "q41_json_props",
-    "q42_geo_points",
-    "q43_age_groups",
-    "q44_enumerate_topn",
-    "q45_embedding_near_dup",
-    "q46_taxonomy_fix",
-    "q47_sliding_window",
-    "q48_asof_last_purchase",
-    "q49_token_stats",
-    "q50_salted_join_agg",
-    "q51_upsert_diff",
-    "q52_band_join",
+    "q117_late_data_drops",
+    "q53_stream_tumbling",
+    "q54_multimodal_decode",
+    "q55_percentiles",
+    "q56_rollup_revenue",
+    "q57_html_text_clean",
+    "q58_address_parts",
+    "q59_implements_merge",
+    "q60_stream_running_totals",
+    "q61_ivf_topk",
+    "q62_dup_clusters",
+    "q63_sketch_agg",
+    "q64_stream_join",
+    "q65_redact_pii",
+    "q66_quality_flags",
+    "q67_repetition_stats",
+    "q68_stratified_sample",
+    "q69_bloom_semi_join",
+    "q70_zorder_key",
+    "q71_passage_dedup",
+    "q72_bigram_stats",
+    "q73_stream_enrich",
+    "q74_autocomplete_flow",
+    "q75_card_surface",
+    "q76_sequence_packing",
+    "q77_bm25_search",
+    "q126_entities_org_enrich",
+    "q127_entities_branches",
+    "q128_entities_services",
+    "q129_entities_staged",
+    "q130_entities_unknown_tags",
+    "q131_meser_sanitize",
+    "q132_meser_transform",
+    "q133_meser_staged",
+    "q134_external_mde",
+    "q135_curation_import",
+    "q136_entities_incremental",
+    "q137_meser_streaming_staging",
+    "q150_deploy",
+    "q151_dym_rerank",
+    "q152_homepage_query",
+    "q153_es_revision_swap",
+    "q154_backup_package",
+    "q155_bpe_priority_vocab",
+    "q156_ivf_partitioned",
+    "q157_stream_dedup",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

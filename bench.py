@@ -83,10 +83,18 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
     }
+    # shrink until the line fits the 2000-char tail: fewer decimals first,
+    # then (last resort) drop the fastest queries — n_queries stays the full
+    # count so a truncated map is self-evident, never silent
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1990:  # still too big for the driver's 2000-char tail:
-        # keep every query but drop to 1 decimal before sacrificing coverage
-        compact["queries"] = {k: round(v, 1) for k, v in compact["queries"].items()}
+    for nd in (1, 0):
+        if len(line) <= 1990:
+            break
+        compact["queries"] = {k: round(v, nd) for k, v in compact["queries"].items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1990 and compact["queries"]:
+        keep = sorted(compact["queries"], key=compact["queries"].get, reverse=True)
+        compact["queries"] = {k: compact["queries"][k] for k in keep[: len(keep) - 10]}
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

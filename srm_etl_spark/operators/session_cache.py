@@ -46,7 +46,9 @@ def keep_persisted(df: DataFrame, slot: str) -> DataFrame:
     return df
 
 
-def keep_persisted_pooled(df: DataFrame, pool: str, max_slots: int = 8) -> DataFrame:
+def keep_persisted_pooled(
+    df: DataFrame, pool: str, max_slots: int = 8, warn_on_evict: bool = False
+) -> DataFrame:
     """:func:`keep_persisted` for slots keyed by PLAN (one slot per distinct
     semantic hash, e.g. the enumerate_rows ranged pins): a long session can
     enumerate many distinct frames, and unbounded per-plan slots would
@@ -76,10 +78,16 @@ def keep_persisted_pooled(df: DataFrame, pool: str, max_slots: int = 8) -> DataF
     while len(slots) >= max_slots:
         victim = next(iter(slots))  # least-recently-used
         evicted = slots.pop(victim)
-        _log.warning(
-            "session_cache pool %r evicting LRU pin %s (pool at cap %d); "
-            "deferred actions on that frame will recompute un-pinned",
+        # routine LRU churn logs at DEBUG; callers whose correctness depends
+        # on a pin outliving a deferred action (enumerate_rows_scalable's
+        # range-boundary pins) pass warn_on_evict=True so THEIR evictions
+        # stand out instead of drowning in benign pool turnover
+        _log.log(
+            logging.WARNING if warn_on_evict else logging.DEBUG,
+            "session_cache pool %r evicting LRU pin %s (pool at cap %d)%s",
             pool, victim, max_slots,
+            "; deferred actions on that frame will recompute un-pinned"
+            if warn_on_evict else "",
         )
         try:
             evicted.unpersist(blocking=False)

@@ -82,7 +82,8 @@ def enumerate_rows_scalable(
     from .session_cache import keep_persisted_pooled  # noqa: PLC0415
 
     ranged = keep_persisted_pooled(
-        ranged, "enumerate_ranged", max_slots=max_pinned_frames
+        ranged, "enumerate_ranged", max_slots=max_pinned_frames,
+        warn_on_evict=True,
     )
     counts = {
         r["_pid"]: r["n"]

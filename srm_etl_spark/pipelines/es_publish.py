@@ -50,8 +50,6 @@ PREDEFINED_PLACES = [
 # default to 1 via scores.get(place, 1))
 PLACE_SCORES = {"region": 200, "city": 100, "town": 50, "village": 10, "hamlet": 5}
 
-_PLACE_KINDS = ["region", "city", "town", "village", "hamlet", "suburb"]
-
 
 def cards_api_surface(cards_full: DataFrame) -> DataFrame:
     """data_api enrichment (to_es.py:84-94): ``airtable_last_modified`` is the
@@ -64,32 +62,16 @@ def cards_api_surface(cards_full: DataFrame) -> DataFrame:
     )
 
 
-def places_source(locations: DataFrame) -> DataFrame:
-    """Location-bounds rows shaped like the bounds datapackage the reference
-    downloads (to_es.py:164, 186-192): key, display-name array, [W,S,E,N]
-    bounds, place kind. Deterministic from the locations dimension; the kind
-    cycles through one more value than the score map knows so the
-    ``scores.get(place, 1)`` default is exercised."""
-    nk = F.substring("key", 5, 10).cast("int")
-    return locations.select(
-        F.concat(F.lit("place-"), nk.cast("string")).alias("key"),
-        F.array(F.col("city"), F.concat(F.lit("איזור "), F.col("city"))).alias("name"),
-        F.array(
-            F.col("lon") - 0.1, F.col("lat") - 0.1,
-            F.col("lon") + 0.1, F.col("lat") + 0.1,
-        ).alias("bounds"),
-        F.element_at(
-            F.array(*[F.lit(p) for p in _PLACE_KINDS]), (nk % 6) + 1
-        ).alias("place"),
-    )
-
-
 def places_surface(spark: SparkSession, locations: DataFrame) -> DataFrame:
     """U1 + U3 + query/score (to_es.py:169-201): bounds rows concatenated with
     the PREDEFINED literals; ``query`` = the longest name (reference sorts by
     length desc and takes the head — ties broken by value here so the keeper
     is deterministic under any partitioning); ``score`` = bbox area × 100000
-    × the place-kind weight."""
+    × the place-kind weight. The bounds rows come from the shared fixture
+    layer (staging_fixtures.places_source — the stand-in for the downloaded
+    bounds datapackage, to_es.py:164)."""
+    from .staging_fixtures import places_source  # noqa: PLC0415
+
     pre = spark.createDataFrame(
         PREDEFINED_PLACES,
         "key string, name array<string>, bounds array<double>, place string",
@@ -138,7 +120,10 @@ def organizations_surface(cards: DataFrame, organizations: DataFrame) -> DataFra
     """Active-organizations surface (to_es.py:292-320): cards counted per
     organization id (join_with_self), org fields joined onto the counts
     (half-outer: a count row keeps nulls if the org dim lacks it), score =
-    10 × count."""
+    10 × count. NOTE the reference applies no status filter here — "active"
+    means HAS CARDS: the derive DAG only builds cards for ACTIVE orgs
+    (flat_branches' org gate), so an inactive org has no count row and
+    drops from the counts-driven join by construction."""
     counts = cards.groupBy(F.col("organization").alias("id")).agg(
         F.count(F.lit(1)).alias("count")
     )

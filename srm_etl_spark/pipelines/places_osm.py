@@ -303,12 +303,17 @@ def generate_place_bounds(
         F.max("_maxlon").alias("maxlon"), F.max("_maxlat").alias("maxlat"),
     ).select("key", "_first.*", "n_features", "minlon", "minlat", "maxlon", "maxlat")
 
-    # fuzzy official matching over the merged rows (generate_places.py:75-95)
+    # fuzzy official matching over the merged rows (generate_places.py:75-95).
+    # Score computed ONCE per (name, official) pair — a ratio in the join
+    # predicate would be re-evaluated by the downstream aggregate (no CSE
+    # across join condition and agg), doubling the dominant levenshtein work.
     cand = (
         merged.select("key", F.explode("name").alias("nm"))
-        .join(F.broadcast(officials), _ratio(F.col("nm"), F.col("official")) >= cutoff)
+        .crossJoin(F.broadcast(officials))
+        .withColumn("score", _ratio(F.col("nm"), F.col("official")))
+        .filter(F.col("score") >= cutoff)
         .groupBy("key", "official")
-        .agg(F.max(_ratio(F.col("nm"), F.col("official"))).alias("score"))
+        .agg(F.max("score").alias("score"))
     )
     # per-official winner: max (score, key) — the reference's reverse-sorted
     # tuple head (ties go to the GREATER key) — accepted at >= accept

@@ -212,6 +212,30 @@ def _taxonomy_dim(services_df: DataFrame, arr_col: str, name_prefix: str) -> Dat
     )
 
 
+_PLACE_KINDS = ["region", "city", "town", "village", "hamlet", "suburb"]
+
+
+def places_source(locations: DataFrame) -> DataFrame:
+    """Location-bounds rows shaped like the bounds datapackage the reference
+    downloads (to_es.py:164, 186-192): key, display-name array, [W,S,E,N]
+    bounds, place kind. Deterministic from the locations dimension; the kind
+    cycles through one more value than the places score map knows so the
+    ``scores.get(place, 1)`` default is exercised
+    (pipelines/es_publish.py:PLACE_SCORES)."""
+    nk = F.substring("key", 5, 10).cast("int")
+    return locations.select(
+        F.concat(F.lit("place-"), nk.cast("string")).alias("key"),
+        F.array(F.col("city"), F.concat(F.lit("איזור "), F.col("city"))).alias("name"),
+        F.array(
+            F.col("lon") - 0.1, F.col("lat") - 0.1,
+            F.col("lon") + 0.1, F.col("lat") + 0.1,
+        ).alias("bounds"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in _PLACE_KINDS]), (nk % 6) + 1
+        ).alias("place"),
+    )
+
+
 def responses_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Responses taxonomy table (reference AIRTABLE_RESPONSE_TABLE)."""
     return _taxonomy_dim(services(spark, sf_dir), "responses", "מענה ")

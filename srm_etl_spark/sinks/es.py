@@ -63,6 +63,13 @@ def es_mapping(schema: StructType) -> dict:
       ``fields.hebrew`` multi-field (text + hebrew analyzer) alongside the
       base type, so both ``card.name`` and ``card.name.hebrew`` resolve;
     - ``es:index: false`` disables indexing (engine extension).
+
+    Struct fields share the hint block for parity (the reference applies
+    its rules after _convert_type regardless of base type). Caveat carried
+    over with that parity: a keyword/autocomplete/hebrew hint ON a struct
+    column produces a mapping ES itself would reject (``fields`` on an
+    object type) — the reference's schemas never combine those, and neither
+    should callers here; the generator mirrors, it does not police.
     """
     props: dict = {}
     for f in schema.fields:

@@ -74,11 +74,27 @@ _SCALED_DIRS: dict[tuple[int, bool], str] = {}
 _SCALED_DOC_DIRS: dict[int, str] = {}
 
 
+def _generator_fingerprint() -> str:
+    """Hash of the corpus-generator sources + the base SF dir: a cached
+    corpus is only trusted if the code that would rebuild it is unchanged —
+    a stale cache would silently feed SCALING.md data the current
+    generators no longer produce."""
+    import hashlib  # noqa: PLC0415
+    import inspect  # noqa: PLC0415
+
+    src = "".join(
+        inspect.getsource(f) for f in (scaled_docs, scaled_emb, scaled_sf_dir, scaled_docs_dir)
+    )
+    return hashlib.sha256((SF + "\n" + src).encode()).hexdigest()[:16]
+
+
 def _cache_slot(name: str) -> tuple[str, bool]:
     """(path, ready) for a scaled corpus under the suite-shared cache dir —
     per-probe subprocesses rebuild nothing the suite already built. The
-    ``.ready`` marker commits a build atomically (a crashed half-build is
-    rebuilt, never trusted)."""
+    ``.ready`` marker commits a build atomically AND records the generator
+    fingerprint: a marker from different generator code (or another base SF)
+    is not trusted — the slot is rebuilt from scratch."""
+    import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
     base = os.environ.get("SPARK_GRAFT_SCALED_CACHE") or tempfile.mkdtemp(
@@ -86,7 +102,14 @@ def _cache_slot(name: str) -> tuple[str, bool]:
     )
     os.environ["SPARK_GRAFT_SCALED_CACHE"] = base
     path = os.path.join(base, name)
-    return path, os.path.exists(os.path.join(path, ".ready"))
+    marker = os.path.join(path, ".ready")
+    fp = _generator_fingerprint()
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == fp:
+                return path, True
+        shutil.rmtree(path)  # stale: built by different generator code
+    return path, False
 
 
 def scaled_docs_dir(spark, k: int) -> str:
@@ -113,7 +136,8 @@ def scaled_docs_dir(spark, k: int) -> str:
         scaled_docs(spark, k).coalesce(1).write.mode("overwrite").parquet(tmp)
         shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{out}/documents.parquet")
         shutil.rmtree(tmp)
-        open(os.path.join(out, ".ready"), "w").close()  # noqa: SIM115
+        with open(os.path.join(out, ".ready"), "w") as fh:
+            fh.write(_generator_fingerprint())
     _SCALED_DOC_DIRS[k] = out
     return out
 
@@ -175,7 +199,8 @@ def scaled_sf_dir(spark, k: int, full: bool = False) -> str:
         scaled.coalesce(1).write.mode("overwrite").parquet(tmp)
         shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{out}/{t}.parquet")
         shutil.rmtree(tmp)
-    open(os.path.join(out, ".ready"), "w").close()  # noqa: SIM115
+    with open(os.path.join(out, ".ready"), "w") as fh:
+        fh.write(_generator_fingerprint())
     _SCALED_DIRS[(k, full)] = out
     return out
 
@@ -466,9 +491,10 @@ def main() -> None:
         s for s in os.environ.get("SPARK_GRAFT_PROBES", "").split(",") if s
     }
     names = [n for n in _PROBE_NAMES if not subset or n in subset]
-    cache = os.environ.get("SPARK_GRAFT_SCALED_CACHE") or tempfile.mkdtemp(
-        prefix="srm_scaled_cache_"
-    )
+    cache = os.environ.get("SPARK_GRAFT_SCALED_CACHE")
+    own_cache = cache is None
+    if own_cache:
+        cache = tempfile.mkdtemp(prefix="srm_scaled_cache_")
     table = {}
     for name in names:
         env = dict(os.environ)
@@ -507,6 +533,10 @@ def main() -> None:
             + " | ".join(f"{t:.2f}s" for t in times)
             + f" | {ratio:.1f}x |"
         )
+    if own_cache:
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(cache, ignore_errors=True)  # multi-GB scaled corpora
     out = "\n".join(lines) + "\n"
     if not subset:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

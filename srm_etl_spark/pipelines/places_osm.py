@@ -268,18 +268,31 @@ def generate_place_bounds(
     """The full generator: returns ``merged`` (the per-key join_with_self
     surface, generate_places.py:166-173) and ``places`` (the final
     official-matched, filtered, bounds-annotated package rows, :209-223)."""
-    props = parse_hstore(F.col("tags"))
-    rows = features.select(
-        "fid", "geometry",
-        props.alias("props"),
-    ).select(
+    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+
+    # the parsed tag map is referenced FOUR times below (three scalar
+    # extracts + the name harvest) — same projection-collapse duplication as
+    # ``name``, so the parse gets its own barrier too
+    parsed = keep_persisted(
+        features.select("fid", "geometry", parse_hstore(F.col("tags")).alias("props")),
+        "places_osm_parsed",
+    )
+    named = parsed.select(
         "fid", "geometry",
         F.element_at("props", "place").alias("place"),
         F.element_at("props", "landuse").alias("landuse"),
         F.element_at("props", "population").alias("population"),
         names_from_tags(F.col("props")).alias("name"),
     )
-    rows = rows.filter(
+    # pin the frame IMMEDIATELY after the name computation: ``name`` is a
+    # DEEP expression (hstore parse -> per-value fix chain, too large for
+    # whole-stage codegen) and Catalyst's projection collapse would inline
+    # it once per downstream reference (the gate filter, the key, the output
+    # column — measured ~3x re-evaluation of the dominant per-row work).
+    # Persisting the bare named rows evaluates it exactly once; everything
+    # below reads the cached column.
+    named = keep_persisted(named, "places_osm_named")
+    rows = named.filter(
         F.col("place").isin(*RANKS)
         | (F.col("landuse") == "residential")
         | (F.col("population").isNotNull() & (F.col("population") != ""))
@@ -302,6 +315,13 @@ def generate_place_bounds(
         F.min("_minlon").alias("minlon"), F.min("_minlat").alias("minlat"),
         F.max("_maxlon").alias("maxlon"), F.max("_maxlat").alias("maxlat"),
     ).select("key", "_first.*", "n_features", "minlon", "minlat", "maxlon", "maxlat")
+    # merged has THREE consumers (the merged surface itself, the fuzzy
+    # candidate scan, and the final official join) — without a persist each
+    # one re-runs the scan + group-by (measured 37.8 s at sf0.1 with both
+    # pins missing: the whole pipeline re-derived per leg). Post-merge it is
+    # key-count-sized (10²-10³ rows); this pin is the reference's
+    # checkpoint() (generate_places.py:175) made explicit.
+    merged = keep_persisted(merged, "places_osm_merged")
 
     # fuzzy official matching over the merged rows (generate_places.py:75-95).
     # Score computed ONCE per (name, official) pair — a ratio in the join

@@ -133,6 +133,78 @@ def organizations_surface(cards: DataFrame, organizations: DataFrame) -> DataFra
     )
 
 
+def operator_publish_all(
+    spark: SparkSession,
+    sf_dir: str,
+    ship_factory,
+    sweep,
+    ensure=None,
+    settle_seconds: int = 0,
+) -> dict[str, str]:
+    """The reference's ``to_es.operator()`` (to_es.py:340-350) end-to-end:
+    build every surface from ONE derive run and push each through the full
+    publish protocol (ensure mapping → bulk-ship partitions → revision
+    sweep) into its index. ``ship_factory(index)`` returns the per-index
+    bulk transport (HTTP in production, a spool recorder in tests);
+    ``sweep``/``ensure`` as in :func:`srm_etl_spark.sinks.es.publish`.
+    Returns {index: revision}.
+
+    The six index names are the reference's own (srm__cards srm__places
+    srm__responses srm__situations srm__orgs srm__autocomplete). The derive
+    DAG runs once (run_derive memo + the shared persisted card projection);
+    each publish streams from it."""
+    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    from ..pipelines import staging_fixtures as FIX  # noqa: PLC0415
+    from ..pipelines.autocomplete import (  # noqa: PLC0415
+        autocomplete_corpus,
+        autocomplete_input,
+        city_bounds,
+    )
+    from ..pipelines.derive import run_derive  # noqa: PLC0415
+    from ..sinks.es import publish  # noqa: PLC0415
+
+    st = run_derive(spark, sf_dir)
+    cards = keep_persisted(
+        cards_api_surface(st["card_data_full"]).select(
+            "card_id", "card_key", "service_id", "service_name", "branch_city",
+            "organization", "organization_name", "national_service",
+            "card_score", "airtable_last_modified",
+            "response_ids", "situation_ids",
+        ),
+        "es_operator_cards",
+    )
+    locs = FIX.locations(spark, sf_dir)
+    surfaces = [
+        ("srm__cards", cards, "card_id"),
+        ("srm__places", places_surface(spark, locs), "key"),
+        (
+            "srm__responses",
+            taxonomy_count_surface(cards, FIX.responses_dim(spark, sf_dir), "response_ids"),
+            "id",
+        ),
+        (
+            "srm__situations",
+            taxonomy_count_surface(cards, FIX.situations_dim(spark, sf_dir), "situation_ids"),
+            "id",
+        ),
+        ("srm__orgs", organizations_surface(cards, FIX.organizations(spark, sf_dir)), "id"),
+        (
+            "srm__autocomplete",
+            autocomplete_publish(
+                autocomplete_corpus(autocomplete_input(st["flat_table"]), city_bounds(locs))
+            ),
+            "qid",
+        ),
+    ]
+    revisions: dict[str, str] = {}
+    for index, df, id_col in surfaces:
+        revisions[index] = publish(
+            df, index, id_col, ship_factory(index), sweep,
+            settle_seconds=settle_seconds, ensure=ensure,
+        )
+    return revisions
+
+
 def autocomplete_publish(corpus: DataFrame, limit_rows: int = 10000) -> DataFrame:
     """The autocomplete index load (to_es.py:323-337): the corpus keyed by its
     slug id — ``set_primary_key(['id'])`` means ES collapses duplicate _ids,

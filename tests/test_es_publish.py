@@ -101,3 +101,57 @@ def test_autocomplete_publish_id_collapse_and_limit(spark):
     # rank gate in query order: 'a b' (1), 'mm' (2); 'zz' cut by the limit
     assert set(by_qid) == {"a_b", "mm"}
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_operator_publish_all_six_indexes(spark, tmp_path):
+    """The reference's to_es.operator() orchestration (to_es.py:340-350): one
+    derive run pushes all six indexes through the full publish protocol —
+    ensure(mapping) before load, bulk partitions shipped, one revision sweep
+    per index keeping exactly that publish's revision."""
+    import json
+    import os
+
+    from srm_etl_spark.pipelines.es_publish import operator_publish_all
+    from srm_etl_spark.sinks.es import recording_sweep, spool_ship, sweep_revision
+
+    spools = {}
+
+    def ship_factory(index):
+        d = tmp_path / index
+        d.mkdir()
+        spools[index] = str(d)
+        return spool_ship(str(d))
+
+    sweeps = []
+    ensured = []
+
+    def ensure(index, mappings):
+        ensured.append((index, mappings))
+
+    revs = operator_publish_all(
+        spark, "/root/testdata/sf0.001", ship_factory, recording_sweep(sweeps),
+        ensure=ensure, settle_seconds=0,
+    )
+    expected = {
+        "srm__cards", "srm__places", "srm__responses",
+        "srm__situations", "srm__orgs", "srm__autocomplete",
+    }
+    assert set(revs) == expected
+    # every index got a mapping BEFORE its load, with the revision keyword
+    # the sweep's term query depends on (es_utils.py:67)
+    assert {i for i, _ in ensured} == expected
+    for _, m in ensured:
+        assert m["properties"]["revision"] == {"type": "keyword"}
+    # every index swept exactly once, keeping its own publish's revision
+    assert len(sweeps) == 6
+    assert {i: sweep_revision(b) for i, b in sweeps} == revs
+    # every spool holds bulk pairs addressed to its index, stamped with the
+    # publish revision
+    for index, d in spools.items():
+        lines = []
+        for f in os.listdir(d):
+            lines += open(os.path.join(d, f), encoding="utf-8").read().splitlines()
+        assert lines, f"{index}: empty bulk spool"
+        action, doc = lines[0].split("\t")
+        assert json.loads(action)["index"]["_index"] == index
+        assert json.loads(doc)["revision"] == revs[index]

@@ -64,7 +64,8 @@ REGISTRY.update(EXT23_REGISTRY)
 # stalest-gated bands the round-9 verdict prescribed: q53-q77 (r7-era gates)
 # and q126-q137 + q150-q156 (rounds 5-8). Displaced entries keep their
 # committed local verification (CORRECTNESS_LOCAL_r10.txt, full-registry run
-# from the final tree).
+# from the final tree). q164 (DSIR, added mid-round) displaces q150_deploy
+# (r8-gated — the least-stale member) per the standing displacement rule.
 _WINDOW = [
     "q161_es_publish_surfaces",
     "q162_mapbox_geo_flow",
@@ -108,7 +109,7 @@ _WINDOW = [
     "q135_curation_import",
     "q136_entities_incremental",
     "q137_meser_streaming_staging",
-    "q150_deploy",
+    "q164_dsir_selection",
     "q151_dym_rerank",
     "q152_homepage_query",
     "q153_es_revision_swap",

@@ -604,3 +604,104 @@ EXT23_REGISTRY["q163_place_bounds"] = QueryDef(
     "per-key union bbox + official fuzzy handshake + include_anyways "
     "(generate_places.py, golden-name oracle)",
 )
+
+
+# --------------------------------------------------------------------------
+# q164 — DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169)
+# --------------------------------------------------------------------------
+
+def q164_dsir_selection(spark, sf_dir):
+    """DSIR over the documents corpus (operators/dsir.py): target = the
+    held-out %37 slice (q160's eval split), raw = the rest; hashed
+    uni+bigram features over 256 buckets, add-one-smoothed target/source
+    multinomials, per-doc importance log-weights via a b-ascending sorted
+    fold, Gumbel top-k=200 with hash-derived (deterministic) draws. The
+    emitted logw AND sampling key certify both the evidence and the draw."""
+    from ..operators.dsir import dsir_select  # noqa: PLC0415
+    from .queries import _t  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 37 == 0)
+    raw = d.filter(F.col("doc_id") % 37 != 0)
+    out = dsir_select(raw, target, "text", "doc_id", k=200, num_buckets=256)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.format_string("%.6f", F.col("logw")).alias("logw"),
+        F.format_string("%.6f", F.col("key")).alias("key"),
+    )
+
+
+from .queries import _NORM  # noqa: E402
+
+_DSIR_B = 256
+
+Q164_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, {_NORM.format(c='text')} AS norm FROM documents WHERE doc_id % 37 != 0
+), tgt AS (
+  SELECT doc_id, {_NORM.format(c='text')} AS norm FROM documents WHERE doc_id % 37 = 0
+), rtoks AS (
+  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t != '') AS t FROM raw
+), ttoks AS (
+  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t != '') AS t FROM tgt
+), rgrams AS (
+  SELECT doc_id, unnest(list_concat(t,
+    CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i + 1]) END)) AS gram
+  FROM rtoks
+), tgrams AS (
+  SELECT doc_id, unnest(list_concat(t,
+    CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i + 1]) END)) AS gram
+  FROM ttoks
+), rbuckets AS (
+  SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % {_DSIR_B} AS bucket,
+         count(*) AS n
+  FROM rgrams GROUP BY 1, 2
+), tbuckets AS (
+  SELECT CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % {_DSIR_B} AS bucket,
+         count(*) AS n
+  FROM tgrams GROUP BY 1
+), totals AS (
+  SELECT (SELECT coalesce(sum(n), 0) FROM tbuckets) AS tot_t,
+         (SELECT coalesce(sum(n), 0) FROM rbuckets) AS tot_s
+), ratio AS (
+  SELECT s.bucket,
+         ln((CAST(coalesce(t.n, 0) AS DOUBLE) + 1.0)
+            / CAST(x.tot_t + {_DSIR_B} AS DOUBLE))
+         - ln((CAST(s.n AS DOUBLE) + 1.0)
+              / CAST(x.tot_s + {_DSIR_B} AS DOUBLE)) AS logr
+  FROM (SELECT bucket, sum(n) AS n FROM rbuckets GROUP BY bucket) s
+  LEFT JOIN tbuckets t ON s.bucket = t.bucket
+  CROSS JOIN totals x
+), perdoc AS (
+  -- b-ascending left fold with a 0.0 seed: the engine's deterministic
+  -- summation order reproduced exactly (list_reduce folds left)
+  SELECT b.doc_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(
+               list(struct_pack(b := b.bucket, v := CAST(b.n AS DOUBLE) * r.logr)
+                    ORDER BY b.bucket),
+               x -> x.v)),
+           (a, v) -> a + v) AS logw
+  FROM rbuckets b JOIN ratio r ON b.bucket = r.bucket
+  GROUP BY b.doc_id
+), scored AS (
+  SELECT r.doc_id, coalesce(p.logw, 0.0) AS logw,
+         coalesce(p.logw, 0.0)
+         + (-ln(-ln(CAST(CAST('0x' || substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                    / {float(1 << 52)}))) AS key
+  FROM raw r LEFT JOIN perdoc p ON r.doc_id = p.doc_id
+)
+SELECT doc_id, printf('%.6f', logw) AS logw, printf('%.6f', key) AS key
+FROM (SELECT doc_id, logw, key FROM scored ORDER BY key DESC LIMIT 200)
+"""
+
+EXT23_REGISTRY["q164_dsir_selection"] = QueryDef(
+    q164_dsir_selection, Q164_SQL,
+    "LLM-pipeline: DSIR importance resampling — hashed n-gram multinomials, "
+    "importance log-weights, deterministic Gumbel top-k (arXiv:2302.03169)",
+)

@@ -112,8 +112,18 @@ def dsir_select(
     """The full DSIR selection: returns the k raw documents with the highest
     Gumbel-perturbed importance weights, with ``logw`` and the sampling
     ``key`` attached (both the evidence and the draw are certified)."""
-    src = hashed_ngram_buckets(raw, text_col, id_col, num_buckets)
-    tgt = hashed_ngram_buckets(target, text_col, id_col, num_buckets)
+    from .session_cache import keep_persisted  # noqa: PLC0415
+
+    # the source bucket counts are consumed THREE times (the q-model sum,
+    # the total-gram collect, and the per-doc scoring fold) and the target
+    # counts twice — pin both so the gram explode + md5 bucketing (the
+    # dominant per-row work) runs once per corpus, not per consumer
+    src = keep_persisted(
+        hashed_ngram_buckets(raw, text_col, id_col, num_buckets), "dsir_src"
+    )
+    tgt = keep_persisted(
+        hashed_ngram_buckets(target, text_col, id_col, num_buckets), "dsir_tgt"
+    )
     ratios = bucket_log_ratios(tgt, src, num_buckets)
     rmap = F.create_map(*[F.lit(x) for b, r in ratios for x in (b, r)])
     per_doc = src.groupBy("id").agg(

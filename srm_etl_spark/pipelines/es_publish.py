@@ -18,16 +18,18 @@ feeds five index surfaces:
 - **organizations** (``load_organizations_to_es_flow``, to_es.py:292-320):
   cards counted per organization, org name/description/kind joined on,
   ``score = 10 × count``.
-- **autocomplete** (``load_autocomplete_to_es_flow``, to_es.py:323-337): the
+- **autocomplete** (``load_autocomplete_to_es_flow``, to_es.py:323-331): the
   autocomplete corpus keyed by its slug id (``set_primary_key(['id'])`` —
-  ES collapses duplicate _ids, modeled as a deterministic keeper), with the
-  backup surface's ``limit_rows=10000`` as a rank gate.
+  ES collapses duplicate _ids, modeled as a deterministic keeper). The
+  published ES load is UNLIMITED; ``limit_rows=10000`` belongs only to the
+  reference's second flow (to_es.py:333) whose CKAN dump is a commented-out
+  backup — exposed here as the explicit backup-only ``limit_rows`` arg.
 
 Scale shape: the card surface is persisted ONCE by the caller and every
 count leg is a single hash aggregate over it (map-side combinable, shuffle
 bounded by |taxonomy| / |orgs|); the dimension joins broadcast; places is
-dimension-sized end-to-end. The only global sort is the autocomplete rank —
-protocol-capped at 10⁴ rows by the reference's own limit.
+dimension-sized end-to-end. No global sort anywhere on the published path —
+the backup flow's rank gate is the only one, and only when requested.
 """
 
 from __future__ import annotations
@@ -64,12 +66,14 @@ def cards_api_surface(cards_full: DataFrame) -> DataFrame:
 
 def places_surface(spark: SparkSession, locations: DataFrame) -> DataFrame:
     """U1 + U3 + query/score (to_es.py:169-201): bounds rows concatenated with
-    the PREDEFINED literals; ``query`` = the longest name (reference sorts by
-    length desc and takes the head — ties broken by value here so the keeper
-    is deterministic under any partitioning); ``score`` = bbox area × 100000
-    × the place-kind weight. The bounds rows come from the shared fixture
-    layer (staging_fixtures.places_source — the stand-in for the downloaded
-    bounds datapackage, to_es.py:164)."""
+    the PREDEFINED literals; ``query`` = the longest name. The reference's
+    ``sorted(name, key=len, reverse=True)[0]`` is a STABLE sort, so a length
+    tie resolves to the first name in array order — reproduced exactly with
+    the array position as the tie-break (min_by over (-length, pos): both
+    deterministic under any partitioning AND parity-exact on ties).
+    ``score`` = bbox area × 100000 × the place-kind weight. The bounds rows
+    come from the shared fixture layer (staging_fixtures.places_source — the
+    stand-in for the downloaded bounds datapackage, to_es.py:164)."""
     from .staging_fixtures import places_source  # noqa: PLC0415
 
     pre = spark.createDataFrame(
@@ -77,9 +81,9 @@ def places_surface(spark: SparkSession, locations: DataFrame) -> DataFrame:
         "key string, name array<string>, bounds array<double>, place string",
     )
     allp = places_source(locations).unionByName(pre)
-    named = allp.select("key", F.explode("name").alias("nm"))
+    named = allp.select("key", F.posexplode("name").alias("pos", "nm"))
     q = named.groupBy("key").agg(
-        F.min_by("nm", F.struct(-F.length("nm"), F.col("nm"))).alias("query")
+        F.min_by("nm", F.struct(-F.length("nm"), F.col("pos"))).alias("query")
     )
     size = (
         (F.element_at("bounds", 3) - F.element_at("bounds", 1))
@@ -205,18 +209,24 @@ def operator_publish_all(
     return revisions
 
 
-def autocomplete_publish(corpus: DataFrame, limit_rows: int = 10000) -> DataFrame:
-    """The autocomplete index load (to_es.py:323-337): the corpus keyed by its
+def autocomplete_publish(corpus: DataFrame, limit_rows: int | None = None) -> DataFrame:
+    """The autocomplete index load (to_es.py:323-331): the corpus keyed by its
     slug id — ``set_primary_key(['id'])`` means ES collapses duplicate _ids,
-    modeled as a deterministic keeper (min by query text) — plus the backup
-    flow's ``limit_rows=10000`` as a rank gate in query order. The global
-    row_number is protocol-capped by the limit itself (10⁴ rows after the
-    per-id collapse), the same whitelisted single-partition shape as the
-    sitemap's chunk ordering."""
+    modeled as a deterministic keeper (min by query text). The published ES
+    surface is UNLIMITED (the reference's first flow has no ``limit_rows``),
+    so the default path is one hash aggregate on qid — fully partitioned, no
+    global sort, no silent row drops past 10⁴.
+
+    ``limit_rows`` reproduces the reference's SECOND flow (to_es.py:333) — a
+    backup datapackage whose CKAN dump is commented out — as an explicit
+    opt-in: a rank gate in query order. Only that path carries the
+    single-partition row_number, protocol-capped by the limit itself."""
     keeper = F.min_by(
         F.struct("query", "n", "score", "importance", "low"), F.col("query")
     )
     per_id = corpus.groupBy("qid").agg(keeper.alias("_k")).select("qid", "_k.*")
+    if limit_rows is None:
+        return per_id
     w = Window.orderBy("query")
     return per_id.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= limit_rows

@@ -120,7 +120,7 @@ def q161_es_publish_surfaces(spark, sf_dir):
             F.concat_ws(
                 "|", _s("query"), _s("n"),
                 F.format_string("%.6f", F.col("score")),
-                _s("low"), _s("rank"),
+                _s("low"),
             ).alias("sig"),
         ),
     ]
@@ -166,10 +166,14 @@ Q161_SQL = _DERIVE_CTES + f"""
     ('איזור_באר_שבע', ['איזור באר-שבע'], [34.5, 30.8, 35.5, 31.5], 'region')
   ) p(key, name, bounds, place)
 ), placeq AS (
+  -- stable-sort parity: longest name, ties by ARRAY POSITION (the
+  -- reference's sorted(key=len, reverse=True) stability)
   SELECT key, nm AS query FROM (
     SELECT key, nm,
-           row_number() OVER (PARTITION BY key ORDER BY length(nm) DESC, nm ASC) AS rn
-    FROM (SELECT key, unnest(name) AS nm FROM placesrc)
+           row_number() OVER (PARTITION BY key ORDER BY length(nm) DESC, pos ASC) AS rn
+    FROM (SELECT key, unnest(name) AS nm,
+                 generate_subscripts(name, 1) AS pos
+          FROM placesrc)
   ) WHERE rn = 1
 ), rparents AS (
   SELECT DISTINCT unnest(list_distinct(list_concat(
@@ -199,10 +203,6 @@ Q161_SQL = _DERIVE_CTES + f"""
            row_number() OVER (PARTITION BY qid ORDER BY query ASC) AS rn
     FROM (""" + Q74_SQL + f""")
   ) WHERE rn = 1
-), ac_ranked AS (
-  SELECT qid, query, n, score, low,
-         row_number() OVER (ORDER BY query) AS rank
-  FROM ac_pub
 )
 SELECT '10_cards' AS phase, 'card:' || f.card_key AS key,
        concat_ws('|', printf('%.6f', {_Q75_CARD_SCORE_SQL}),
@@ -245,8 +245,8 @@ FROM ocounts oc LEFT JOIN orgs o ON oc.id = o.organization
 UNION ALL
 SELECT '60_autocomplete', 'ac:' || qid,
        concat_ws('|', query, CAST(n AS VARCHAR), printf('%.6f', score),
-                 CAST(low AS VARCHAR), CAST(rank AS VARCHAR))
-FROM ac_ranked WHERE rank <= 10000
+                 CAST(low AS VARCHAR))
+FROM ac_pub
 """
 
 EXT23_REGISTRY["q161_es_publish_surfaces"] = QueryDef(

@@ -84,7 +84,7 @@ def test_organizations_surface_score(spark):
     assert got["o2"]["name"] is None and got["o2"]["score"] == 10.0
 
 
-def test_autocomplete_publish_id_collapse_and_limit(spark):
+def test_autocomplete_publish_id_collapse_unlimited(spark):
     corpus = spark.createDataFrame(
         [
             ("a b", "a_b", 3, 1.0, 0, False),
@@ -94,13 +94,63 @@ def test_autocomplete_publish_id_collapse_and_limit(spark):
         ],
         "query string, qid string, n long, score double, importance int, low boolean",
     )
-    out = autocomplete_publish(corpus, limit_rows=2).collect()
+    # the PUBLISHED surface (reference to_es.py:325-331): unlimited, no rank
+    out = autocomplete_publish(corpus).collect()
     by_qid = {r["qid"]: r for r in out}
     # keeper is deterministic (min by query text): 'a b' < 'a-b' in UTF-8
     assert by_qid["a_b"]["query"] == "a b" and by_qid["a_b"]["n"] == 3
-    # rank gate in query order: 'a b' (1), 'mm' (2); 'zz' cut by the limit
-    assert set(by_qid) == {"a_b", "mm"}
+    assert set(by_qid) == {"a_b", "zz", "mm"}
+    assert "rank" not in autocomplete_publish(corpus).columns
+
+
+def test_autocomplete_publish_backup_limit_opt_in(spark):
+    # the BACKUP flow (reference to_es.py:333, CKAN dump commented out):
+    # limit_rows is an explicit opt-in rank gate in query order
+    corpus = spark.createDataFrame(
+        [
+            ("a b", "a_b", 3, 1.0, 0, False),
+            ("zz", "zz", 1, 0.5, 0, False),
+            ("mm", "mm", 1, 0.5, 0, False),
+        ],
+        "query string, qid string, n long, score double, importance int, low boolean",
+    )
+    out = autocomplete_publish(corpus, limit_rows=2).collect()
+    assert {r["qid"] for r in out} == {"a_b", "mm"}  # 'zz' cut by the limit
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_autocomplete_qid_determines_payload(spark):
+    """Pin the duplicate-qid collapse assumption (keeper = min-by-query vs the
+    reference's last-indexed-wins ES semantics): benign ONLY while qid is a
+    pure function of the query text, i.e. two corpus rows sharing a qid never
+    carry distinct payloads beyond the query string itself. If a corpus
+    change ever maps one slug to two different (n, score, importance, low)
+    payloads for the SAME query, this fails loudly and the keeper choice must
+    be revisited (see ADVICE r10 / to_es.py:325-331 set_primary_key)."""
+    from srm_etl_spark.pipelines.autocomplete import (
+        autocomplete_corpus,
+        autocomplete_input,
+        city_bounds,
+    )
+    from srm_etl_spark.pipelines.derive import run_derive
+    from srm_etl_spark.pipelines.staging_fixtures import locations
+
+    sf = "/root/testdata/sf0.001"
+    st = run_derive(spark, sf)
+    corpus = autocomplete_corpus(
+        autocomplete_input(st["flat_table"]), city_bounds(locations(spark, sf))
+    )
+    bad = (
+        corpus.groupBy("qid")
+        .agg(
+            F.count_distinct(
+                F.struct("query", "n", "score", "importance", "low")
+            ).alias("npay")
+        )
+        .filter(F.col("npay") > 1)
+        .count()
+    )
+    assert bad == 0, "a qid maps to >1 distinct payload — keeper semantics diverge"
 
 
 def test_operator_publish_all_six_indexes(spark, tmp_path):

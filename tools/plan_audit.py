@@ -85,12 +85,11 @@ SINGLE_PARTITION_OK = {
                                 # protocol-capped global URL ordering q105
                                 # whitelists; the ES/SQL legs stay
                                 # partitioned on the persisted card surface
-    "q161_es_publish_surfaces", # the autocomplete LEG's limit_rows rank
-                                # (reference to_es.py:333 caps at 10^4 rows
-                                # AFTER the per-id collapse — protocol-capped
-                                # like the sitemap ordering); the cards/count
-                                # legs stay partitioned on the persisted
-                                # surface
+    # q161 no longer needs a whitelist slot: the published autocomplete leg
+    # is a plain hash aggregate on qid (the limit_rows rank gate was a
+    # misattribution — reference to_es.py:325-331 publishes UNLIMITED; the
+    # 10^4 cap belongs to the commented-out backup flow at :333, now an
+    # explicit opt-in arg on autocomplete_publish).
 }
 
 

@@ -1071,28 +1071,53 @@ def _parents_sql(col: str) -> str:
     )
 
 
-_DERIVE_CTES = f"""
-WITH orgs AS (
-  SELECT 'org-' || CAST(s_suppkey AS VARCHAR) AS organization,
-         s_name AS organization_name,
-         'Supplier' AS organization_short_name,
-         CASE WHEN s_suppkey % 7 = 0 THEN 'משרד ממשלתי' ELSE 'company' END AS organization_kind,
+# The derive-chain oracle is assembled from NAMED templates so composed
+# queries (q165's cross-entry-point ETL) can rebind the staging sources —
+# run the IDENTICAL chain text over post-upsert staging CTEs instead of the
+# raw fixtures — without duplicating a single fixture or chain literal.
+# {name}/{src} are CTE names; the assembled _DERIVE_CTES below is
+# semantically identical to the pre-split monolith (the orgs fixture now
+# passes through a staging-shaped orgs_f CTE + an ACTIVE-filtered chain
+# projection, and svcs carries an always-ACTIVE status column — both no-ops
+# on the all-ACTIVE fixtures, load-bearing for q165's post-merge states).
+
+# staging-shaped Organizations fixture (mirrors staging_fixtures.organizations)
+_FIX_ORGS_T = """{name} AS (
+  SELECT 'org-' || CAST(s_suppkey AS VARCHAR) AS id,
+         s_name AS name,
+         'Supplier' AS short_name,
+         CASE WHEN s_suppkey % 7 = 0 THEN 'משרד ממשלתי' ELSE 'company' END AS kind,
          CASE WHEN s_suppkey % 4 = 0
               THEN '1' || lpad(CAST(s_suppkey % 800 AS VARCHAR), 3, '0')
               ELSE '0' || CAST((s_suppkey % 6) + 2 AS VARCHAR) || '-'
                        || lpad(CAST(s_suppkey % 9000000 AS VARCHAR), 7, '0')
-         END AS organization_phone,
+         END AS phone,
          CASE WHEN s_suppkey % 3 = 0 THEN NULL
-              ELSE 'ארגון ' || s_name END AS organization_description
+              ELSE 'ארגון ' || s_name END AS description,
+         'ACTIVE' AS status
   FROM supplier
-), locs AS (
+)"""
+
+# chain projection: staging orgs -> the derive DAG's org dimension (the
+# ACTIVE gate is derive.flat_branches' org filter)
+_CHAIN_ORGS_T = """orgs AS (
+  SELECT id AS organization, name AS organization_name,
+         short_name AS organization_short_name, kind AS organization_kind,
+         phone AS organization_phone, description AS organization_description
+  FROM {src} WHERE upper(trim(status)) = 'ACTIVE'
+)"""
+
+_FIX_LOCS_CTE = """locs AS (
   SELECT 'loc-' || CAST(n_nationkey AS VARCHAR) AS location, n_name AS city,
          CAST(29.5 + (n_nationkey % 10) * 0.35
               + CASE WHEN n_nationkey % 11 = 10 THEN 20.0 ELSE 0.0 END AS DOUBLE) AS lat,
          CAST(33.2 + (n_nationkey % 12) * 0.3 AS DOUBLE) AS lon,
          n_nationkey % 7 = 0 AS national_service
   FROM nation
-), brs AS (
+)"""
+
+# staging-shaped Branches fixture (mirrors staging_fixtures.branches)
+_FIX_BRS_T = """{name} AS (
   SELECT 'branch-' || CAST(c_custkey AS VARCHAR) AS id,
          'org-' || CAST(c_custkey % (SELECT count(*) FROM supplier) AS VARCHAR) AS organization,
          'loc-' || CAST(c_nationkey AS VARCHAR) AS location,
@@ -1107,14 +1132,16 @@ WITH orgs AS (
          END AS last_modified,
          CASE WHEN c_acctbal < 0 THEN 'INACTIVE' ELSE 'ACTIVE' END AS status
   FROM customer
-), fb0 AS (
+)"""
+
+_CHAIN_FB_T = """fb0 AS (
   SELECT b.id, b.organization, o.organization_name, o.organization_short_name,
          o.organization_kind, o.organization_phone, b.location,
          b.name, l.city, b.address || ' ' || l.city AS branch_address,
          l.lat, l.lon, l.national_service, b.last_modified AS branch_last_modified,
          b.operating_unit AS branch_operating_unit,
          b.location_accurate AS branch_location_accurate
-  FROM brs b LEFT JOIN locs l ON b.location = l.location
+  FROM {brs} b LEFT JOIN locs l ON b.location = l.location
   JOIN orgs o ON b.organization = o.organization
   WHERE upper(trim(b.status)) = 'ACTIVE'
 ), fb1 AS (
@@ -1127,14 +1154,17 @@ WITH orgs AS (
          branch_last_modified, branch_operating_unit, branch_location_accurate,
          count(*) OVER (PARTITION BY organization) AS organization_branch_count
   FROM fb1 WHERE rn = 1
-), freq AS (
+)"""
+
+# staging-shaped Services fixture (mirrors staging_fixtures.services)
+_FIX_SVCS_T = """freq AS (
   SELECT l_partkey, l_suppkey, count(*) AS n FROM lineitem GROUP BY 1, 2
 ), owner AS (
   SELECT l_partkey, l_suppkey FROM (
     SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY n DESC, l_suppkey ASC) AS rn
     FROM freq
   ) WHERE rn = 1
-), svcs AS (
+), {name} AS (
   SELECT CASE WHEN p_partkey % 6 = 0 THEN 'meser-s-' || CAST(p_partkey AS VARCHAR)
               ELSE 'svc-' || CAST(p_partkey AS VARCHAR) END AS id,
          p_name AS name,
@@ -1149,9 +1179,12 @@ WITH orgs AS (
          CAST(p_partkey % 3 AS DOUBLE) * 0.25 AS boost,
          CASE WHEN p_partkey % 4 = 0 THEN NULL
               ELSE printf('2024-%02d-%02d', p_partkey % 12 + 1, p_partkey % 25 + 2)
-         END AS last_modified
+         END AS last_modified,
+         'ACTIVE' AS status
   FROM part JOIN owner ON p_partkey = l_partkey
-), bpo AS (
+)"""
+
+_CHAIN_CARDS_T = f"""bpo AS (
   SELECT organization, list_sort(list_distinct(list(branch_id))) AS org_branches
   FROM fb GROUP BY organization
 ), fs AS (
@@ -1160,7 +1193,8 @@ WITH orgs AS (
          s.description, s.boost,
          s.last_modified AS service_last_modified,
          unnest(b.org_branches) AS branch_id
-  FROM svcs s JOIN bpo b ON s.organization = b.organization
+  FROM {{svcs}} s JOIN bpo b ON s.organization = b.organization
+  WHERE upper(trim(s.status)) = 'ACTIVE'
 ), cards AS (
   SELECT f.branch_id || f.service_id AS card_key,
          f.service_id, f.service_name, f.branch_id,
@@ -1171,8 +1205,21 @@ WITH orgs AS (
          array_to_string(list_sort(list_distinct(list_concat(
            {_parents_sql('f.situation0')}, {_parents_sql('f.situation1')}))), ',') AS situation_ids
   FROM fs f JOIN fb ON f.branch_id = fb.branch_id
+)"""
+
+# The assembled chain every derive-family oracle shares: fixture staging
+# tables feeding the fb/fs/cards chain under the canonical CTE names.
+_DERIVE_CTES = (
+    "WITH "
+    + _FIX_ORGS_T.format(name="orgs_f") + ", "
+    + _CHAIN_ORGS_T.format(src="orgs_f") + ", "
+    + _FIX_LOCS_CTE + ", "
+    + _FIX_BRS_T.format(name="brs") + ", "
+    + _CHAIN_FB_T.format(brs="brs") + ", "
+    + _FIX_SVCS_T.format(name="svcs") + ", "
+    + _CHAIN_CARDS_T.format(svcs="svcs")
+    + "\n"
 )
-"""
 
 Q34_SQL = _DERIVE_CTES + """
 SELECT branch_id, organization, organization_name, organization_kind, location,

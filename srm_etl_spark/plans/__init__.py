@@ -30,6 +30,7 @@ from .queries_ext20 import EXT20_REGISTRY
 from .queries_ext21 import EXT21_REGISTRY
 from .queries_ext22 import EXT22_REGISTRY
 from .queries_ext23 import EXT23_REGISTRY
+from .queries_ext24 import EXT24_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -54,6 +55,7 @@ REGISTRY.update(EXT20_REGISTRY)
 REGISTRY.update(EXT21_REGISTRY)
 REGISTRY.update(EXT22_REGISTRY)
 REGISTRY.update(EXT23_REGISTRY)
+REGISTRY.update(EXT24_REGISTRY)
 
 # Driver-window rotation, round 10: the gate verifies the FIRST 50 registry
 # entries. This round's window = the three NEW composed certifications (q161

@@ -108,10 +108,14 @@ def dsir_select(
     id_col: str,
     k: int = 200,
     num_buckets: int = 256,
+    slot_prefix: str = "dsir",
 ) -> DataFrame:
     """The full DSIR selection: returns the k raw documents with the highest
     Gumbel-perturbed importance weights, with ``logw`` and the sampling
-    ``key`` attached (both the evidence and the draw are certified)."""
+    ``key`` attached (both the evidence and the draw are certified).
+    ``slot_prefix`` namespaces the session-cache pins so two DSIR stages
+    over different corpora (q164 raw docs vs q166's curated corpus) don't
+    thrash each other's slots."""
     from .session_cache import keep_persisted  # noqa: PLC0415
 
     # the source bucket counts are consumed THREE times (the q-model sum,
@@ -119,13 +123,19 @@ def dsir_select(
     # counts twice — pin both so the gram explode + md5 bucketing (the
     # dominant per-row work) runs once per corpus, not per consumer
     src = keep_persisted(
-        hashed_ngram_buckets(raw, text_col, id_col, num_buckets), "dsir_src"
+        hashed_ngram_buckets(raw, text_col, id_col, num_buckets), f"{slot_prefix}_src"
     )
     tgt = keep_persisted(
-        hashed_ngram_buckets(target, text_col, id_col, num_buckets), "dsir_tgt"
+        hashed_ngram_buckets(target, text_col, id_col, num_buckets), f"{slot_prefix}_tgt"
     )
     ratios = bucket_log_ratios(tgt, src, num_buckets)
-    rmap = F.create_map(*[F.lit(x) for b, r in ratios for x in (b, r)])
+    # empty source corpus (e.g. a fully-decontaminated upstream stage):
+    # there are no buckets to look up — F.create_map() with zero args can't
+    # type-infer, and any expression works since per_doc is empty too
+    if ratios:
+        rmap = F.create_map(*[F.lit(x) for b, r in ratios for x in (b, r)])
+    else:
+        rmap = F.create_map(F.lit(-1).cast("long"), F.lit(0.0))
     per_doc = src.groupBy("id").agg(
         F.array_sort(F.collect_list(F.struct("bucket", "n"))).alias("_bs")
     )

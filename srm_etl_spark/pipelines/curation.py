@@ -64,14 +64,23 @@ def training_corpus_stages(
     budget: int = 2048,
     quota_k: int = 15,
     persist: bool = True,
+    dsir_k: int | None = None,
 ) -> dict[str, DataFrame]:
     """The FULL training-corpus pipeline as one lineage: exact dedup →
     MinHash-LSH near-dup removal (md5 family, oracle-reproducible) →
     C4/Gopher quality gate → trigram decontamination vs ``eval_df`` →
-    per-(source, lang) quality quota → per-language sequence packing.
+    [optional DSIR importance selection] → per-(source, lang) quality quota
+    → per-language sequence packing.
 
-    Returns every stage; q160 phases them into one hash-gated result.
-    ``persist=True`` pins the five intermediate frames (each feeds both its
+    ``dsir_k`` (q166) inserts the DSIR stage at the paper's intended
+    placement (Xie et al. 2023 §3: after dedup/quality filtering, before
+    final composition): importance-resample ``dsir_k`` documents from the
+    decontaminated corpus toward ``eval_df``'s hashed-n-gram distribution;
+    the quota and packing stages then run over the selected subset. The
+    returned dict gains a ``dsir`` frame (id, logw, key).
+
+    Returns every stage; q160/q166 phase them into one hash-gated result.
+    ``persist=True`` pins the intermediate frames (each feeds both its
     own phase leg and the next stage) in the LRU-bounded session pool —
     warm repeats reuse the cache, and a long session can't accumulate
     unbounded relations. Pass ``persist=False`` when a single consumer will
@@ -116,10 +125,29 @@ def training_corpus_stages(
     qual = _pin(with_quality_flags(near, "text").filter(F.col("keep")))
     dirty = contamination_report(qual, eval_df, n=3, min_overlap=2).select("doc_id")
     clean = _pin(qual.join(dirty, "doc_id", "left_anti"))
+    stages_extra: dict[str, DataFrame] = {}
+    selected = clean
+    if dsir_k is not None:
+        from ..operators.dsir import dsir_select  # noqa: PLC0415
+
+        # DSIR over the CURATED corpus (not raw docs — q164's shape): the
+        # k-row selection is driver-merged top-k (TakeOrderedAndProject),
+        # then broadcast back as a semi-join gate; shuffle ∝ |clean| grams
+        sel = _pin(
+            dsir_select(
+                clean, eval_df, "text", "doc_id",
+                k=dsir_k, num_buckets=256, slot_prefix="dsir_corpus",
+            )
+        )
+        stages_extra["dsir"] = sel
+        selected = clean.join(
+            F.broadcast(sel.select(F.col("id").alias("doc_id"))),
+            "doc_id", "left_semi",
+        )
     # score from the counts the quality gate already materialized (one
     # tokenization, reused); only nonspace needs one cheap strip
     nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
-    scored = clean.select(
+    scored = selected.select(
         "doc_id", "source", "lang", "text",
         quality_score_from_counts(
             F.col("n_tokens"), F.col("n_punct"), nonspace, F.col("total_word_chars")
@@ -140,6 +168,7 @@ def training_corpus_stages(
     return {
         "exact": exact, "near": near, "quality": qual,
         "clean": clean, "kept": kept, "seqs": seqs,
+        **stages_extra,
     }
 
 

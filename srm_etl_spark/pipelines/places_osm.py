@@ -327,9 +327,18 @@ def generate_place_bounds(
     # Score computed ONCE per (name, official) pair — a ratio in the join
     # predicate would be re-evaluated by the downstream aggregate (no CSE
     # across join condition and agg), doubling the dominant levenshtein work.
+    # Length block BEFORE the levenshtein: score >= cutoff requires
+    # lev <= mx·(100−cutoff)/100, and lev >= |len(a)−len(b)| always — so a
+    # pair whose length gap alone exceeds the budget can never pass. A
+    # length-only predicate prunes the |names|×|officials| candidate set
+    # ~10× before the quadratic edit-distance kernel ever runs, with zero
+    # semantic change (every surviving score is computed exactly as before).
+    _mx = F.greatest(F.length("nm"), F.length("official"))
+    _gap = F.abs(F.length("nm") - F.length("official"))
     cand = (
         merged.select("key", F.explode("name").alias("nm"))
         .crossJoin(F.broadcast(officials))
+        .filter(_gap * 100 <= (100 - cutoff) * _mx)
         .withColumn("score", _ratio(F.col("nm"), F.col("official")))
         .filter(F.col("score") >= cutoff)
         .groupBy("key", "official")

@@ -75,8 +75,10 @@ def q160_training_corpus_staged(spark, sf_dir):
     return out
 
 
-Q160_SQL = f"""
-WITH raw AS (
+# Split into TO_CLEAN / TAIL so q166 can splice the DSIR stage between the
+# decontamination and the quota without duplicating any chain literal.
+# __QSRC__ is a sentinel (not .format — the chain text contains regex braces).
+_Q160_CTES_TO_CLEAN = f"""raw AS (
   SELECT * FROM documents WHERE doc_id % 37 != 0
 ), normed AS (
   SELECT doc_id, lang, source, text, {_NORM.format(c='text')} AS norm FROM raw
@@ -163,7 +165,9 @@ WITH raw AS (
   GROUP BY c.doc_id HAVING count(*) >= 2
 ), clean AS (
   SELECT q.* FROM quality q ANTI JOIN dirty d ON q.doc_id = d.doc_id
-), scoreq AS (
+)"""
+
+_Q160_TAIL_T = f"""scoreq AS (
   SELECT doc_id, source, lang, text,
     round((
       least(CAST(n_tokens AS DOUBLE) / 50, 1.0)
@@ -173,7 +177,7 @@ WITH raw AS (
              ELSE CASE WHEN CAST(total_word_chars AS DOUBLE) / n_tokens
                             BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END END
     ) / 3.0, 4) AS quality
-  FROM clean
+  FROM __QSRC__
 ), kept AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY source, lang
@@ -192,7 +196,10 @@ WITH raw AS (
   SELECT lang, seq_id, count(*) AS n_docs,
          CAST(coalesce(sum(nt), 0) AS BIGINT) AS sum_tokens
   FROM packed GROUP BY lang, seq_id
-)
+)"""
+
+# phases shared by q160 and (with the DSIR leg added) q166
+_Q160_PHASES = """
 SELECT '10_exact' AS phase, 'd:' || CAST(doc_id AS VARCHAR) AS key,
        coalesce(lang, '') || '|' || coalesce(source, '') AS sig FROM exact
 UNION ALL
@@ -211,6 +218,12 @@ UNION ALL
 SELECT '60_packed', 'p:' || coalesce(lang, '') || ':' || CAST(seq_id AS VARCHAR),
        CAST(n_docs AS VARCHAR) || '|' || CAST(sum_tokens AS VARCHAR) FROM seqs
 """
+
+Q160_SQL = (
+    "WITH " + _Q160_CTES_TO_CLEAN + ", "
+    + _Q160_TAIL_T.replace("__QSRC__", "clean")
+    + _Q160_PHASES
+)
 
 
 EXT22_REGISTRY["q160_training_corpus_staged"] = QueryDef(

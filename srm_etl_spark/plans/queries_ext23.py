@@ -635,15 +635,13 @@ from .queries import _NORM  # noqa: E402
 
 _DSIR_B = 256
 
-Q164_SQL = f"""
-WITH raw AS (
-  SELECT doc_id, {_NORM.format(c='text')} AS norm FROM documents WHERE doc_id % 37 != 0
-), tgt AS (
-  SELECT doc_id, {_NORM.format(c='text')} AS norm FROM documents WHERE doc_id % 37 = 0
-), rtoks AS (
-  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t != '') AS t FROM raw
+# DSIR scoring chain as a spliceable fragment: __DSRC__/__DTGT__ are
+# sentinel CTE names providing (doc_id, norm) — q164 binds the raw/target
+# document splits, q166 binds the curated corpus and the same eval target.
+_DSIR_SCORED_T = f"""rtoks AS (
+  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t != '') AS t FROM __DSRC__
 ), ttoks AS (
-  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t != '') AS t FROM tgt
+  SELECT doc_id, list_filter(string_split(norm, ' '), t -> t != '') AS t FROM __DTGT__
 ), rgrams AS (
   SELECT doc_id, unnest(list_concat(t,
     CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
@@ -694,11 +692,22 @@ WITH raw AS (
          coalesce(p.logw, 0.0)
          + (-ln(-ln(CAST(CAST('0x' || substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
                     / {float(1 << 52)}))) AS key
-  FROM raw r LEFT JOIN perdoc p ON r.doc_id = p.doc_id
-)
+  FROM __DSRC__ r LEFT JOIN perdoc p ON r.doc_id = p.doc_id
+)"""
+
+Q164_SQL = (
+    f"""
+WITH raw AS (
+  SELECT doc_id, {_NORM.format(c='text')} AS norm FROM documents WHERE doc_id % 37 != 0
+), tgt AS (
+  SELECT doc_id, {_NORM.format(c='text')} AS norm FROM documents WHERE doc_id % 37 = 0
+), """
+    + _DSIR_SCORED_T.replace("__DSRC__", "raw").replace("__DTGT__", "tgt")
+    + """
 SELECT doc_id, printf('%.6f', logw) AS logw, printf('%.6f', key) AS key
 FROM (SELECT doc_id, logw, key FROM scored ORDER BY key DESC LIMIT 200)
 """
+)
 
 EXT23_REGISTRY["q164_dsir_selection"] = QueryDef(
     q164_dsir_selection, Q164_SQL,

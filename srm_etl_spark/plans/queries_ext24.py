@@ -320,3 +320,106 @@ EXT24_REGISTRY["q165_etl_end_to_end"] = QueryDef(
     "tables -> UNMODIFIED derive DAG over the post state -> ES bulk + org "
     "count publish, one lineage (S1 K3 K6 J3 §2.10 + to_dp.py + to_es.py)",
 )
+
+
+# --------------------------------------------------------------------------
+# q166 — the training-corpus pipeline with DSIR at the paper's placement
+# --------------------------------------------------------------------------
+
+_DSIR_CORPUS_K = 64
+
+
+def q166_corpus_with_dsir(spark, sf_dir):
+    """q160's composed training-corpus pipeline with the DSIR stage spliced
+    in at the paper's intended placement (Xie et al. 2023 §3: after
+    dedup/quality/decontamination, before final composition): exact dedup →
+    LSH near-dup → quality → decontam → DSIR importance selection toward the
+    held-out eval slice (k=64 — strictly selective at every SF) → quota →
+    packing. Certifies DSIR over a CURATED corpus (q164 runs it over raw
+    docs) and that the downstream quota/packing consume exactly the selected
+    subset. Scale shape: the DSIR stage adds one gram shuffle over the
+    (already small) clean corpus + a driver-merged top-k broadcast back —
+    everything else is q160's audited chain."""
+    from ..pipelines.curation import training_corpus_stages  # noqa: PLC0415
+    from .queries import _t  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 37 == 0)
+    raw = d.filter(F.col("doc_id") % 37 != 0)
+    st = training_corpus_stages(raw, ev, dsir_k=_DSIR_CORPUS_K)
+
+    def doc_phase(df, name, *sig_cols):
+        return df.select(
+            F.lit(name).alias("phase"),
+            F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("key"),
+            F.concat_ws("|", *[_s(c) for c in sig_cols]).alias("sig"),
+        )
+
+    legs = [
+        doc_phase(st["exact"], "10_exact", "lang", "source"),
+        doc_phase(st["near"], "20_neardup", "lang", "source"),
+        doc_phase(st["quality"], "30_quality", "n_tokens"),
+        doc_phase(st["clean"], "40_decontam", "lang", "source"),
+        st["dsir"].select(
+            F.lit("45_dsir").alias("phase"),
+            F.concat(F.lit("d:"), F.col("id").cast("string")).alias("key"),
+            F.concat_ws(
+                "|",
+                F.format_string("%.6f", F.col("logw")),
+                F.format_string("%.6f", F.col("key")),
+            ).alias("sig"),
+        ),
+        doc_phase(st["kept"], "50_quota", "source", "lang", "rank"),
+        st["seqs"].select(
+            F.lit("60_packed").alias("phase"),
+            F.concat(
+                F.lit("p:"), _s("lang"), F.lit(":"), F.col("seq_id").cast("string")
+            ).alias("key"),
+            F.concat_ws("|", _s("n_docs"), _s("sum_tokens")).alias("sig"),
+        ),
+    ]
+    out = legs[0]
+    for lg in legs[1:]:
+        out = out.unionByName(lg)
+    return out
+
+
+def _q166_sql() -> str:
+    from .queries import _NORM  # noqa: PLC0415
+    from .queries_ext22 import _Q160_CTES_TO_CLEAN, _Q160_PHASES, _Q160_TAIL_T  # noqa: PLC0415
+    from .queries_ext23 import _DSIR_SCORED_T  # noqa: PLC0415
+
+    dsir = (
+        f"""dsrc AS (
+  SELECT doc_id, norm FROM clean
+), dtgt AS (
+  SELECT doc_id, {_NORM.format(c='text')} AS norm FROM documents WHERE doc_id % 37 = 0
+), """
+        + _DSIR_SCORED_T.replace("__DSRC__", "dsrc").replace("__DTGT__", "dtgt")
+        + f""", dsel AS (
+  SELECT doc_id, logw, key FROM scored ORDER BY key DESC LIMIT {_DSIR_CORPUS_K}
+), selected AS (
+  SELECT c.* FROM clean c SEMI JOIN dsel s ON c.doc_id = s.doc_id
+)"""
+    )
+    phases = _Q160_PHASES.rstrip() + """
+UNION ALL
+SELECT '45_dsir', 'd:' || CAST(doc_id AS VARCHAR),
+       printf('%.6f', logw) || '|' || printf('%.6f', key) FROM dsel
+"""
+    return (
+        "WITH " + _Q160_CTES_TO_CLEAN + ", "
+        + dsir + ", "
+        + _Q160_TAIL_T.replace("__QSRC__", "selected")
+        + phases
+    )
+
+
+Q166_SQL = _q166_sql()
+
+EXT24_REGISTRY["q166_corpus_with_dsir"] = QueryDef(
+    q166_corpus_with_dsir, Q166_SQL,
+    "LLM-pipeline composed with DSIR: dedup -> LSH -> quality -> decontam -> "
+    "DSIR importance selection (k=64) -> quota -> packing, one lineage "
+    "(arXiv:2302.03169 placement)",
+)

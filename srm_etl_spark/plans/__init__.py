@@ -57,68 +57,71 @@ REGISTRY.update(EXT22_REGISTRY)
 REGISTRY.update(EXT23_REGISTRY)
 REGISTRY.update(EXT24_REGISTRY)
 
-# Driver-window rotation, round 10: the gate verifies the FIRST 50 registry
-# entries. This round's window = the three NEW composed certifications (q161
-# five-index ES publish, q162 mapbox geo flow, q163 OSM place-bounds twin),
-# the two queries whose code changed this round (q159 gained
-# organization_kind + the reference's true index set; q117/q157 gained the
-# checkpoint-recovery hook — q157 rides the q150-q157 band), and the
-# stalest-gated bands the round-9 verdict prescribed: q53-q77 (r7-era gates)
-# and q126-q137 + q150-q156 (rounds 5-8). Displaced entries keep their
-# committed local verification (CORRECTNESS_LOCAL_r10.txt, full-registry run
-# from the final tree). q164 (DSIR, added mid-round) displaces q150_deploy
-# (r8-gated — the least-stale member) per the standing displacement rule.
+# Driver-window rotation, round 11: the gate verifies the FIRST 50 registry
+# entries. This round's window = the two NEW composed certifications (q165
+# cross-entry-point ETL, q166 corpus-with-DSIR) plus the stalest-gated band
+# the round-10 verdict prescribed — q78-q125 and q138-q150 (last
+# driver-gated in r8; q150_deploy additionally lost its r10 slot to q164).
+# The band holds 60 entries for 48 slots; the 12 dropped to fit are the
+# micro-queries whose semantics are ALSO load-bearing inside composed
+# certifications gated in r9/r10 (q102-q104/q106-q108 inside the q126-q137
+# ingestion verticals; q105/q122 inside q159's sitemap/ES legs;
+# q120/q121 inside q154's backup dump; q138/q139 feeding q140/q141 which
+# stay in) — they rotate back next round with the r9-gated head. Displaced
+# entries keep their committed local verification (CORRECTNESS_LOCAL_r11,
+# full-registry run from the final tree). Streaming members of this window
+# (q88, q137) additionally carry the round's new checkpoint-recovery hook.
 _WINDOW = [
-    "q161_es_publish_surfaces",
-    "q162_mapbox_geo_flow",
-    "q163_place_bounds",
-    "q159_publish_fanout",
-    "q117_late_data_drops",
-    "q53_stream_tumbling",
-    "q54_multimodal_decode",
-    "q55_percentiles",
-    "q56_rollup_revenue",
-    "q57_html_text_clean",
-    "q58_address_parts",
-    "q59_implements_merge",
-    "q60_stream_running_totals",
-    "q61_ivf_topk",
-    "q62_dup_clusters",
-    "q63_sketch_agg",
-    "q64_stream_join",
-    "q65_redact_pii",
-    "q66_quality_flags",
-    "q67_repetition_stats",
-    "q68_stratified_sample",
-    "q69_bloom_semi_join",
-    "q70_zorder_key",
-    "q71_passage_dedup",
-    "q72_bigram_stats",
-    "q73_stream_enrich",
-    "q74_autocomplete_flow",
-    "q75_card_surface",
-    "q76_sequence_packing",
-    "q77_bm25_search",
-    "q126_entities_org_enrich",
-    "q127_entities_branches",
-    "q128_entities_services",
-    "q129_entities_staged",
-    "q130_entities_unknown_tags",
-    "q131_meser_sanitize",
-    "q132_meser_transform",
-    "q133_meser_staged",
-    "q134_external_mde",
-    "q135_curation_import",
-    "q136_entities_incremental",
-    "q137_meser_streaming_staging",
-    "q164_dsir_selection",
-    "q151_dym_rerank",
-    "q152_homepage_query",
-    "q153_es_revision_swap",
-    "q154_backup_package",
-    "q155_bpe_priority_vocab",
-    "q156_ivf_partitioned",
-    "q157_stream_dedup",
+    "q165_etl_end_to_end",
+    "q166_corpus_with_dsir",
+    "q78_curation_funnel",
+    "q79_incremental_dedup",
+    "q80_decontamination",
+    "q81_source_quota",
+    "q82_pagerank",
+    "q83_kmeans",
+    "q84_chunking",
+    "q85_quantize",
+    "q86_cms_heavy_hitters",
+    "q87_source_mixing",
+    "q88_stream_sessions",
+    "q89_profile",
+    "q90_quality_drift",
+    "q91_quantized_topk",
+    "q92_pq_topk",
+    "q93_incremental_cards",
+    "q94_skew_report",
+    "q95_rag_retrieval",
+    "q96_mixed_sample",
+    "q97_audio_features",
+    "q98_geocode",
+    "q99_connector_parity",
+    "q100_curation_v2",
+    "q101_snapshot_diff",
+    "q109_substring_spans",
+    "q110_substring_dedup_clean",
+    "q111_dedup_keep_best",
+    "q112_semantic_dedup",
+    "q113_entity_resolution",
+    "q114_format_roundtrip",
+    "q115_quality_classifier",
+    "q116_pq_rerank",
+    "q118_schema_evolution",
+    "q119_bucketed_join",
+    "q123_bpe_vocab",
+    "q124_source_scorecard",
+    "q125_lm_perplexity",
+    "q140_manual_fixes",
+    "q141_manual_fix_status",
+    "q142_mhc_branches",
+    "q143_mhc_services",
+    "q144_daycare_branches",
+    "q145_daycare_orgs",
+    "q146_childcare_services",
+    "q147_kz_orgs",
+    "q148_mp4_keyframes",
+    "q149_curation_with_fixes",
+    "q150_deploy",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

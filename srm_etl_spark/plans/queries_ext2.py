@@ -332,25 +332,44 @@ def q53_stream_tumbling(spark, sf_dir):
     aggregate → memory sink, then hand the sink table to the oracle compare.
     Proves the streaming plan computes exactly the batch answer (q32's
     premise) — complete output mode, availableNow trigger."""
+    import os  # noqa: PLC0415
+
     from ..streaming.events import run_to_memory, stream_events  # noqa: PLC0415
 
     name = f"q53_sink_{next(_SINK_IDS)}"
-    s = stream_events(spark, f"{sf_dir}/events.parquet")
-    agg = (
-        s.withWatermark("ts", "4 hours")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+
+    def build(s):
+        return (
+            s.withWatermark("ts", "4 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
         )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
+
+    # SPARK_GRAFT_STREAM_RECOVERY=1: kill-and-resume invariance axis —
+    # complete-mode aggregate through the memory+checkpoint harness (run 2
+    # skips run 1's committed files, so the full table only reappears if the
+    # window state came back from the state store). Oracle unchanged.
+    if os.environ.get("SPARK_GRAFT_STREAM_RECOVERY") == "1":
+        from ..streaming.events import (  # noqa: PLC0415
+            replay_with_recovery_memory,
+            ts_ordered_halves,
         )
-    )
-    run_to_memory(agg, name, mode="complete")
+
+        ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+        out, _progress = replay_with_recovery_memory(
+            spark, ts_ordered_halves(ev), build, name, mode="complete"
+        )
+        return out
+    run_to_memory(build(stream_events(spark, f"{sf_dir}/events.parquet")), name, mode="complete")
     return spark.table(name)
 
 

@@ -192,6 +192,8 @@ def q60_stream_running_totals(spark, sf_dir):
     update. Values are scaled to integer micros BEFORE the stream so the
     Python-side accumulation is exact and order-independent (float sums in
     state would drift from any SQL oracle)."""
+    import os  # noqa: PLC0415
+
     from ..streaming.events import (  # noqa: PLC0415
         run_to_memory,
         running_user_totals,
@@ -199,10 +201,32 @@ def q60_stream_running_totals(spark, sf_dir):
     )
 
     name = f"q60_sink_{next(_Q60_SINK_IDS)}"
-    s = stream_events(spark, f"{sf_dir}/events.parquet")
-    scaled = s.withColumn("value", F.round(F.col("value") * 1000000))
-    run_to_memory(running_user_totals(scaled), name, mode="update")
-    sink = spark.table(name)
+
+    def build(s):
+        return running_user_totals(
+            s.withColumn("value", F.round(F.col("value") * 1000000))
+        )
+
+    # SPARK_GRAFT_STREAM_RECOVERY=1: kill-and-resume for the CUSTOM stateful
+    # operator (applyInPandasWithState) — post-crash emissions must carry the
+    # pre-crash accumulated (n, total) from the recovered state store; the
+    # update-mode harness unions both runs' snapshots and the max_by(n_events)
+    # reduction below picks each user's latest update either way.
+    if os.environ.get("SPARK_GRAFT_STREAM_RECOVERY") == "1":
+        from ..streaming.events import (  # noqa: PLC0415
+            replay_with_recovery_memory,
+            ts_ordered_halves,
+        )
+
+        ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+        sink, _progress = replay_with_recovery_memory(
+            spark, ts_ordered_halves(ev), build, name, mode="update"
+        )
+    else:
+        run_to_memory(
+            build(stream_events(spark, f"{sf_dir}/events.parquet")), name, mode="update"
+        )
+        sink = spark.table(name)
     return (
         sink.groupBy("user_id")
         .agg(

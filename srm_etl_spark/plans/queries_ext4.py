@@ -135,34 +135,56 @@ def q64_stream_join(spark, sf_dir):
     deployment sizes this to the cluster, not the default). The memory sink is
     reduced to the tiny per-user aggregate and dropped before returning, so
     repeated invocations in one session hold no sink state."""
+    import os  # noqa: PLC0415
+
     from ..streaming.events import interval_join, run_to_memory, stream_events  # noqa: PLC0415
 
     name = "q64_sink"
-    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        clicks = (
-            stream_events(spark, f"{sf_dir}/events.parquet")
-            .filter(F.col("event_type") == "click")
-            .select("user_id", F.col("ts").alias("click_ts"))
+
+    def build(s):
+        clicks = s.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts")
         )
-        purchases = (
-            stream_events(spark, f"{sf_dir}/events.parquet")
-            .filter(F.col("event_type") == "purchase")
-            .select(
-                "user_id",
-                F.col("ts").alias("purchase_ts"),
-                F.col("value").alias("purchase_value"),
-            )
+        purchases = s.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
         )
-        joined = interval_join(
+        return interval_join(
             clicks, purchases, "user_id", "click_ts", "purchase_ts",
             max_delay="30 minutes", watermark="60 days",
         )
-        run_to_memory(joined, name, mode="append")
+
+    recovery = os.environ.get("SPARK_GRAFT_STREAM_RECOVERY") == "1"
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        if recovery:
+            # kill-and-resume for STREAM-STREAM JOIN state: the buffered
+            # rows of both sides must come back from the state store for
+            # cross-half (click in run 1, purchase in run 2) pairs to emit.
+            # Append mode -> the parquet-sink harness (exactly-once commit
+            # log across the restart).
+            from ..streaming.events import (  # noqa: PLC0415
+                replay_with_recovery,
+                ts_ordered_halves,
+            )
+
+            ev = _t(spark, sf_dir, "events").withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+            sink, _progress = replay_with_recovery(
+                spark, ts_ordered_halves(ev), build, name, stop_after=1
+            )
+        else:
+            run_to_memory(
+                build(stream_events(spark, f"{sf_dir}/events.parquet")),
+                name, mode="append",
+            )
+            sink = spark.table(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
-    agg = spark.table(name).groupBy("user_id").agg(
+    agg = sink.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("purchase_ts").alias("n_purchases"),
         F.round(F.sum(F.col("purchase_value").cast("decimal(18,6)")).cast("double"), 6).alias(
@@ -177,7 +199,8 @@ def q64_stream_join(spark, sf_dir):
 
     out_path = scratch_dir("srm_q64_agg") + "/agg"
     agg.write.mode("overwrite").parquet(out_path)
-    spark.catalog.dropTempView(name)
+    if not recovery:  # the recovery harness has no memory-sink view to drop
+        spark.catalog.dropTempView(name)
     return spark.read.parquet(out_path)
 
 

@@ -301,21 +301,40 @@ def q73_stream_enrich(spark, sf_dir):
     only the aggregate, never the joined stream. The oracle runs the same
     join+aggregate as batch SQL; equality proves the streaming plan computes
     the batch answer."""
+    import os  # noqa: PLC0415
+
     from ..streaming.events import run_to_memory, stream_events, stream_static_enrich  # noqa: PLC0415
 
     dim = spark.createDataFrame(
         [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
         "event_type string, family string",
     )
-    s = stream_static_enrich(
-        stream_events(spark, f"{sf_dir}/events.parquet"), dim, "event_type", how="inner"
-    )
-    agg = s.groupBy("family").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
-            "sum_value"
-        ),
-    )
+
+    def build(s):
+        return stream_static_enrich(s, dim, "event_type", how="inner").groupBy(
+            "family"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+
+    # SPARK_GRAFT_STREAM_RECOVERY=1: kill-and-resume — the stream-static
+    # join is stateless, but the downstream complete-mode aggregate's state
+    # must survive the restart (run 2 only reads the second half's files).
+    if os.environ.get("SPARK_GRAFT_STREAM_RECOVERY") == "1":
+        from ..streaming.events import (  # noqa: PLC0415
+            replay_with_recovery_memory,
+            ts_ordered_halves,
+        )
+
+        ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+        out, _progress = replay_with_recovery_memory(
+            spark, ts_ordered_halves(ev), build, "q73_rec", mode="complete"
+        )
+        return out
+    agg = build(stream_events(spark, f"{sf_dir}/events.parquet"))
     run_to_memory(agg, "q73_sink", mode="complete")
     # materialize the memory sink via a parquet round-trip (the q64 pattern)
     # so no result frame is ever collect()ed to the driver

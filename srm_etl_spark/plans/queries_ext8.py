@@ -164,26 +164,44 @@ def q88_stream_sessions(spark, sf_dir):
     sessionize operator (q17), proving the stateful session merge computes
     exactly the batch gap-islands answer. Decimal-cast sum for cross-engine
     exactness (the q53 discipline)."""
+    import os  # noqa: PLC0415
+
     from ..streaming.events import run_to_memory, stream_events  # noqa: PLC0415
 
     name = f"q88_sink_{next(_SINK_IDS)}"
-    s = stream_events(spark, f"{sf_dir}/events.parquet")
-    agg = (
-        s.withWatermark("ts", "4 hours")
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+
+    def build(s):
+        return (
+            s.withWatermark("ts", "4 hours")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+                F.col("user_id").cast("long").alias("user_id"),
+                F.col("n_events").cast("long").alias("n_events"),
+                "sum_value",
+            )
         )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            F.col("user_id").cast("long").alias("user_id"),
-            F.col("n_events").cast("long").alias("n_events"),
-            "sum_value",
+
+    # SPARK_GRAFT_STREAM_RECOVERY=1: kill-and-resume for SESSION-WINDOW
+    # state — open sessions spanning the crash point must merge correctly
+    # from the recovered state store (run 2 only sees the later half).
+    if os.environ.get("SPARK_GRAFT_STREAM_RECOVERY") == "1":
+        from ..streaming.events import (  # noqa: PLC0415
+            replay_with_recovery_memory,
+            ts_ordered_halves,
         )
-    )
-    run_to_memory(agg, name, mode="complete")
+
+        ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+        out, _progress = replay_with_recovery_memory(
+            spark, ts_ordered_halves(ev), build, name, mode="complete"
+        )
+        return out
+    run_to_memory(build(stream_events(spark, f"{sf_dir}/events.parquet")), name, mode="complete")
     return spark.table(name)
 
 

@@ -512,3 +512,123 @@ def replay_with_recovery(
         land(i)
     p2 = run()  # resume from the checkpoint
     return spark.read.parquet(out_path), [p1, p2]
+
+
+def ts_ordered_halves(df: DataFrame, ts_col: str = "ts") -> list[DataFrame]:
+    """Two time-ordered micro-batches split at the event-time midpoint — the
+    standard kill-and-resume split: batch 1 is entirely later than batch 0,
+    so no row arrives late and the recovered run's watermark decisions are
+    identical to the uninterrupted replay's. One bounded driver collect
+    (min/max scalars)."""
+    mm = df.agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")).collect()[0]
+    mid = mm["lo"] + (mm["hi"] - mm["lo"]) / 2
+    return [
+        df.filter(F.col(ts_col) <= F.lit(mid)),
+        df.filter(F.col(ts_col) > F.lit(mid)),
+    ]
+
+
+def replay_with_recovery_memory(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    build,
+    name: str,
+    stop_after: int = 1,
+    mode: str = "complete",
+    timeout_sec: int = 300,
+):
+    """Kill-and-resume harness for output modes a file sink can't carry
+    (``complete`` / ``update`` — Spark's file sink is append-only): memory
+    sink + a SHARED checkpoint across the two runs, each run's sink snapshot
+    written to scratch parquet.
+
+    The recovery certification is real despite the per-run sink: run 2's
+    file-source log (from the checkpoint) SKIPS run 1's already-committed
+    batches, so its output is only correct if the operator state also came
+    back from the state store —
+
+    - ``complete`` → memory sink (Spark allows checkpoint recovery for it in
+      complete mode — the sink is rebuilt every trigger); run 2's final
+      table IS the full aggregate iff state recovered (a lost state store
+      with a kept file log would aggregate only the post-crash files).
+    - ``update`` → the memory sink canNOT resume from a checkpoint
+      ("query does not support recovering"), so each micro-batch's
+      emissions flow through a fault-tolerant ``foreachBatch`` parquet
+      append instead; the accumulated rows across both runs are returned —
+      the caller's latest-per-key reduction sees post-crash emissions that
+      must carry the pre-crash accumulated state.
+
+    Returns (lazy result DataFrame, [run1 progress, run2 progress]).
+    """
+    import glob as _glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import time as _time  # noqa: PLC0415
+
+    from ..session import scratch_dir  # noqa: PLC0415
+
+    if not 0 < stop_after < len(batches):
+        raise ValueError("stop_after must split the batch list")
+    if mode not in ("complete", "update"):
+        raise ValueError("use replay_with_recovery (parquet sink) for append mode")
+    base = scratch_dir(f"srm_recover_mem_{name}")
+    data = os.path.join(base, "stream")
+    ckpt = os.path.join(base, "checkpoint")
+    os.makedirs(data)
+    now = _time.time()
+    schema = batches[0].schema
+    staged = []
+    for i, b in enumerate(batches):
+        d = os.path.join(base, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        (src,) = _glob.glob(os.path.join(d, "*.parquet"))
+        staged.append(src)
+
+    def land(i: int) -> None:
+        dst = os.path.join(data, f"batch{i}.parquet")
+        shutil.copy(staged[i], dst)
+        t = now - 100 * (len(batches) - i)
+        os.utime(dst, (t, t))
+
+    upd_path = os.path.join(base, "updates")
+
+    def run(run_idx: int):
+        sink = f"{name}_r{run_idx}"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data)
+        )
+        writer = build(stream).writeStream
+        if mode == "complete":
+            writer = writer.format("memory").queryName(sink)
+        else:
+            writer = writer.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(upd_path)
+            )
+        q = (
+            writer.option("checkpointLocation", ckpt)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError(
+                f"replay_with_recovery_memory[{name}]: run {run_idx} did not "
+                f"finish within {timeout_sec}s"
+            )
+        if mode != "complete":
+            return spark.read.parquet(upd_path), list(q.recentProgress)
+        snap = os.path.join(base, f"result_r{run_idx}")
+        spark.table(sink).write.mode("overwrite").parquet(snap)
+        spark.catalog.dropTempView(sink)
+        return spark.read.parquet(snap), list(q.recentProgress)
+
+    for i in range(stop_after):
+        land(i)
+    _r1, p1 = run(1)  # "crash" after the first stop_after micro-batches
+    for i in range(stop_after, len(batches)):
+        land(i)
+    r2, p2 = run(2)  # resume from the checkpoint
+    return r2, [p1, p2]

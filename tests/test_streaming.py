@@ -360,3 +360,37 @@ def test_checkpoint_recovery_matches_uninterrupted(spark, sf_dir):
             os.environ.pop("SPARK_GRAFT_STREAM_RECOVERY", None)
         assert recovered == plain, f"{name}: recovery changed the emitted set"
         assert len(recovered) > 0
+
+
+def test_checkpoint_recovery_whole_streaming_family(spark, sf_dir):
+    """Round-11 extension of the recovery gate to EVERY streaming query:
+    complete-mode window/session aggregates (q53/q73/q88 — memory sink,
+    which Spark allows to resume in complete mode), the custom stateful
+    operator (q60 — update mode through the fault-tolerant foreachBatch
+    append, since the memory sink can't resume in update mode), the
+    stream-stream interval join (q64 — parquet-sink harness; cross-crash
+    pairs need the join state back), and the foreachBatch staging MERGE
+    (q137 — versioned upsert resumes at the next batch_id)."""
+    import os
+
+    from srm_etl_spark.plans import REGISTRY
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for name in (
+        "q53_stream_tumbling",
+        "q60_stream_running_totals",
+        "q64_stream_join",
+        "q73_stream_enrich",
+        "q88_stream_sessions",
+        "q137_meser_streaming_staging",
+    ):
+        plain = rows(REGISTRY[name].spark(spark, sf_dir))
+        os.environ["SPARK_GRAFT_STREAM_RECOVERY"] = "1"
+        try:
+            recovered = rows(REGISTRY[name].spark(spark, sf_dir))
+        finally:
+            os.environ.pop("SPARK_GRAFT_STREAM_RECOVERY", None)
+        assert recovered == plain, f"{name}: recovery changed the emitted set"
+        assert len(recovered) > 0

@@ -351,6 +351,41 @@ def probes(spark):
         raw = d.filter(F.col("doc_id") % 37 != 0)
         return training_corpus_stages(raw, ev, persist=False)["seqs"]
 
+    def p_es_publish(k):
+        # the FIVE-INDEX ES publish composition (q161 shape): one persisted
+        # card projection feeding cards + places + responses + situations +
+        # orgs + autocomplete. The count legs are map-side-combinable hash
+        # aggregates (shuffle ≤ |taxonomy|) — this probe watches them and the
+        # shared-surface persist under a k-x derive
+        from srm_etl_spark.plans.queries_ext23 import q161_es_publish_surfaces  # noqa: PLC0415
+
+        return q161_es_publish_surfaces(spark, scaled_sf_dir(spark, k, full=True))
+
+    def p_mapbox_geo(k):
+        # the mapbox geo_data + points composition (q162 shape): ONE shuffle
+        # on point_id; both mode keepers are two-level hash aggregates
+        from srm_etl_spark.plans.queries_ext23 import q162_mapbox_geo_flow  # noqa: PLC0415
+
+        return q162_mapbox_geo_flow(spark, scaled_sf_dir(spark, k, full=True))
+
+    def p_places_osm(k):
+        # the OSM place-bounds twin (q163 shape): hstore parse + name-fix
+        # chain + per-key merge + the official fuzzy handshake. The watched
+        # part is the broadcast NLJ (|keys| x |officials|) — the round-11
+        # length block prunes it before the levenshtein kernel
+        from srm_etl_spark.plans.queries_ext23 import q163_place_bounds  # noqa: PLC0415
+
+        return q163_place_bounds(spark, scaled_sf_dir(spark, k))
+
+    def p_dsir(k):
+        # DSIR importance resampling (q164 shape): gram explode + md5
+        # bucketing (pinned once), two B<=256-row map-side aggregates, a
+        # broadcast literal map, TakeOrderedAndProject top-k — nothing here
+        # should go super-linear in the corpus
+        from srm_etl_spark.plans.queries_ext23 import q164_dsir_selection  # noqa: PLC0415
+
+        return q164_dsir_selection(spark, scaled_docs_dir(spark, k))
+
     def p_skew_join(k):
         # the skew path (operators/skew.py, q50's operator) under a REAL
         # heavy hitter: one key owns ~half the k-x fact side (the reference's
@@ -430,6 +465,10 @@ def probes(spark):
         "meser_staged": p_meser_staged,
         "derive_staged": p_derive_staged,
         "publish_fanout": p_publish_fanout,
+        "es_publish_all": p_es_publish,
+        "mapbox_geo": p_mapbox_geo,
+        "places_osm": p_places_osm,
+        "dsir_select": p_dsir,
         "corpus_staged": p_corpus_staged,
         "skew_join": p_skew_join,
         "bf_topk_bcast": p_bf_bcast,
@@ -445,6 +484,7 @@ _PROBE_NAMES = [
     "exact_dedup", "minhash_sigs", "chunking", "quality_quota", "pagerank_2it",
     "ivf_topk", "entity_res", "semantic_dedup", "substr_spans",
     "entities_staged", "meser_staged", "derive_staged", "publish_fanout",
+    "es_publish_all", "mapbox_geo", "places_osm", "dsir_select",
     "corpus_staged", "skew_join", "bf_topk_bcast", "pq_topk_bcast",
 ]
 

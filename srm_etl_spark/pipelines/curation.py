@@ -130,20 +130,29 @@ def training_corpus_stages(
     if dsir_k is not None:
         from ..operators.dsir import dsir_select  # noqa: PLC0415
 
-        # DSIR over the CURATED corpus (not raw docs — q164's shape): the
-        # k-row selection is driver-merged top-k (TakeOrderedAndProject),
-        # then broadcast back as a semi-join gate; shuffle ∝ |clean| grams
-        sel = _pin(
-            dsir_select(
-                clean, eval_df, "text", "doc_id",
-                k=dsir_k, num_buckets=256, slot_prefix="dsir_corpus",
-            )
+        # DSIR over the CURATED corpus (not raw docs — q164's shape). The
+        # selection is a driver-merged top-k (TakeOrderedAndProject) of
+        # dsir_k rows — bounded by construction, the same discipline as the
+        # B<=256 ratio map dsir_select already collects — so it lands as a
+        # LITERAL frame + isin gate rather than a lazy semi-join: the DSIR
+        # chain's lineage (which nests the whole pinned curation chain
+        # twice) would otherwise be re-planned under every downstream
+        # consumer, exploding analysis cost exponentially in pin depth
+        # (measured: a 15 MB executed plan for q166 vs ~100 KB this way).
+        sel_rows = dsir_select(
+            clean, eval_df, "text", "doc_id",
+            k=dsir_k, num_buckets=256, slot_prefix="dsir_corpus",
         )
+        collected = sel_rows.collect()  # ≤ dsir_k rows
+        spark = clean.sparkSession
+        sel = spark.createDataFrame(collected, sel_rows.schema)
         stages_extra["dsir"] = sel
-        selected = clean.join(
-            F.broadcast(sel.select(F.col("id").alias("doc_id"))),
-            "doc_id", "left_semi",
-        )
+        if collected:
+            selected = clean.filter(
+                F.col("doc_id").isin([r["id"] for r in collected])
+            )
+        else:  # fully-decontaminated upstream: nothing to select
+            selected = clean.filter(F.lit(False))
     # score from the counts the quality gate already materialized (one
     # tokenization, reused); only nonspace needs one cheap strip
     nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))

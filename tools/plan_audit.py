@@ -25,6 +25,17 @@ runtime-reachable nodes on the executed-plan tree with cached-build
 subtrees pruned: what actually executes per action once the persist is
 warm.
 
+Known counter artifact (counters only — the anti-pattern FLAGS are
+unaffected): a query whose CONSTRUCTION materializes its caches (q166's
+bounded DSIR collects run the curation chain at build time) prints every
+InMemoryRelation as a MATERIALIZED AdaptiveSparkPlan whose Final/Initial
+sections drop the enclosing indentation rails, which defeats the
+depth-based cached-subtree dedup below — rt_exchanges over-counts the
+same cached build hundreds of times. q166's true runtime shape is q160's
+audited chain (rt=10) plus the standalone-audited DSIR scorer (q164,
+rt=6) plus a k-row literal; the inflated number is a print-parsing
+artifact, verified by the per-stage plans.
+
 Usage: python tools/plan_audit.py [query ...]   (writes PLAN_AUDIT.txt)
 """
 
@@ -103,7 +114,15 @@ def _runtime_counts(tree: str) -> tuple[int, int]:
 
     def _depth(line: str) -> int:
         m = re.search(r"[+:]- ", line)
-        return m.start() if m else 0
+        if m:
+            return m.start()
+        # lines without a node marker (QueryStage headers, '== Final Plan =='
+        # section rows printed once a cache has MATERIALIZED under AQE) still
+        # belong to the enclosing subtree — fall back to indent depth, or the
+        # cached-build capture would terminate at the first such line and
+        # count the cache's internals as runtime nodes (q166's audit showed
+        # 2127 phantom runtime exchanges from exactly this)
+        return len(line) - len(line.lstrip(" :"))
 
     seen_caches: set[str] = set()
     skip_until: int | None = None

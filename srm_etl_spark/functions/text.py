@@ -484,13 +484,20 @@ def bpe_tokens_priority(text: Column, merges=DEFAULT_BPE_MERGES) -> Column:
     return _bpe(text)
 
 
-def bigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+def bigram_logprob_scores(
+    df, text_col: str = "text", id_col: str = "doc_id", group_col: str | None = None
+):
     """Corpus-trained bigram language-model score per document — the
     CCNet/KenLM-shaped perplexity filter with the n-gram model trained on
     the corpus itself: P(b|a) = (c(a,b) + 1) / (c_left(a) + V) (add-one
     smoothing; c_left counts `a` as a bigram left-hand side, V = distinct
     token vocabulary), score = mean ln P over the document's bigrams.
     Documents with fewer than two tokens are excluded.
+
+    ``group_col`` trains ONE INDEPENDENT model per group value (CCNet trains
+    one KenLM per language, Wenzek et al. 2019 §3.3): every count table and
+    the vocabulary size are keyed by the group, and the output carries the
+    group column. The default (None) keeps the single corpus-global model.
 
     Determinism across engines: each ln is cast to DECIMAL(20,12) before
     the per-document sum, so the mean is an exact decimal total divided
@@ -503,10 +510,12 @@ def bigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
     stream on their keys, plus one broadcast scalar (V). No driver state;
     the model IS the count tables.
     """
+    g = [group_col] if group_col else []
     toks = tokens(F.lower(F.col(text_col)))
-    base = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") >= 2)
+    base = df.select(id_col, *g, toks.alias("_t")).filter(F.size("_t") >= 2)
     pairs = base.select(
         id_col,
+        *g,
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("_t") - 1),
@@ -516,23 +525,25 @@ def bigram_logprob_scores(df, text_col: str = "text", id_col: str = "doc_id"):
                 ),
             )
         ).alias("p"),
-    ).select(id_col, "p.a", "p.b")
-    c2 = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("n1"))
+    ).select(id_col, *g, "p.a", "p.b")
+    c2 = pairs.groupBy(*g, "a", "b").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = pairs.groupBy(*g, "a").agg(F.count(F.lit(1)).alias("n1"))
     vocab = (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        df.select(*g, F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy(*g)
         .agg(F.countDistinct("w").alias("v"))
     )
     lp = F.log(
         (F.col("n2") + 1).cast("double") / (F.col("n1") + F.col("v"))
     ).cast("decimal(20,12)")
-    scored = (
-        pairs.join(c2, ["a", "b"])
-        .join(c1, ["a"])
-        .crossJoin(F.broadcast(vocab))
-        .select(id_col, lp.alias("_lp"))
-    )
-    return scored.groupBy(id_col).agg(
+    scored = pairs.join(c2, [*g, "a", "b"]).join(c1, [*g, "a"])
+    if group_col:
+        # per-group V: a broadcast join on the group key (|groups| rows)
+        scored = scored.join(F.broadcast(vocab), g)
+    else:
+        scored = scored.crossJoin(F.broadcast(vocab))
+    scored = scored.select(id_col, *g, lp.alias("_lp"))
+    return scored.groupBy(id_col, *g).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum("_lp").cast("double") / F.count(F.lit(1)), 4).alias("avg_logprob"),
     )

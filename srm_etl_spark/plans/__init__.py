@@ -31,6 +31,7 @@ from .queries_ext21 import EXT21_REGISTRY
 from .queries_ext22 import EXT22_REGISTRY
 from .queries_ext23 import EXT23_REGISTRY
 from .queries_ext24 import EXT24_REGISTRY
+from .queries_ext25 import EXT25_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -56,10 +57,13 @@ REGISTRY.update(EXT21_REGISTRY)
 REGISTRY.update(EXT22_REGISTRY)
 REGISTRY.update(EXT23_REGISTRY)
 REGISTRY.update(EXT24_REGISTRY)
+REGISTRY.update(EXT25_REGISTRY)
 
 # Driver-window rotation, round 11: the gate verifies the FIRST 50 registry
-# entries. This round's window = the two NEW composed certifications (q165
-# cross-entry-point ETL, q166 corpus-with-DSIR) plus the stalest-gated band
+# entries. This round's window = the three NEW queries (q165 cross-entry-point
+# ETL, q166 corpus-with-DSIR, q167 CCNet buckets — every new query enters the
+# window in its own round, displacing q83_kmeans, whose kernel is load-bearing
+# inside in-window q112 SemDeDup) plus the stalest-gated band
 # the round-10 verdict prescribed — q78-q125 and q138-q150 (last
 # driver-gated in r8; q150_deploy additionally lost its r10 slot to q164).
 # The band holds 60 entries for 48 slots; the 12 dropped to fit are the
@@ -74,12 +78,12 @@ REGISTRY.update(EXT24_REGISTRY)
 _WINDOW = [
     "q165_etl_end_to_end",
     "q166_corpus_with_dsir",
+    "q167_ccnet_buckets",
     "q78_curation_funnel",
     "q79_incremental_dedup",
     "q80_decontamination",
     "q81_source_quota",
     "q82_pagerank",
-    "q83_kmeans",
     "q84_chunking",
     "q85_quantize",
     "q86_cms_heavy_hitters",

@@ -131,12 +131,21 @@ def perplexity_buckets(
     return scored.join(F.broadcast(thresholds), [lang_col, score_col])
 
 
-def ccnet_buckets(docs: DataFrame, chunk: int = PARAGRAPH_TOKENS) -> DataFrame:
+def ccnet_buckets(
+    docs: DataFrame, chunk: int = PARAGRAPH_TOKENS, persist: bool = True
+) -> DataFrame:
     """The full CCNet composition: paragraph dedup → lang-ID → per-language
     bigram-LM scoring → head/middle/tail buckets. One row per document that
     survives dedup with ≥2 kept tokens (the LM needs one bigram; CCNet
-    likewise scores only what still has text)."""
+    likewise scores only what still has text).
+
+    ``persist=False`` skips the session pins (scaling probes: a pinned
+    intermediate turns the second warm rep into a cache scan and flattens
+    the scale signal — see tools/scaling_probe.py)."""
     from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+
+    def pin(df, slot):
+        return keep_persisted(df, slot) if persist else df
 
     alive = paragraph_dedup(docs, chunk)
     langed = with_lang_id(alive, "kept_text").select(
@@ -146,14 +155,14 @@ def ccnet_buckets(docs: DataFrame, chunk: int = PARAGRAPH_TOKENS) -> DataFrame:
     # the final n_chunks/n_kept join) — unpinned, every branch re-runs the
     # dedup shuffle and the lang-ID regexes. Post-dedup it is corpus-sized
     # but projected to (ids, counters, kept text): one session-slot persist.
-    langed = keep_persisted(langed, "ccnet_langed")
+    langed = pin(langed, "ccnet_langed")
     scored = bigram_logprob_scores(
         langed, text_col="kept_text", id_col="doc_id", group_col="lang_pred"
     )
     # TWO consumers inside perplexity_buckets (the (lang, score) distribution
     # aggregate AND the threshold join-back) — unpinned, the whole bigram-LM
     # subtree runs twice. Post-score it is one slim row per document.
-    scored = keep_persisted(scored, "ccnet_scored")
+    scored = pin(scored, "ccnet_scored")
     out = perplexity_buckets(scored).join(
         langed.select("doc_id", "n_chunks", "n_kept"), "doc_id"
     )

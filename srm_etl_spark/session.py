@@ -59,6 +59,21 @@ def get_spark(
             "spark.sql.adaptive.enabled",
             "false" if os.environ.get("SPARK_GRAFT_AQE") == "0" else "true",
         )
+        # SPARK_GRAFT_CODEGEN=0 forces the interpreted expression path for
+        # the invariance sweep: results must be identical with and without
+        # whole-stage codegen (a cluster falls back to interpretation
+        # whenever a generated method trips the JIT's 8k bytecode limit, so
+        # both paths are live at scale)
+        .config(
+            "spark.sql.codegen.wholeStage",
+            "false" if os.environ.get("SPARK_GRAFT_CODEGEN") == "0" else "true",
+        )
+        .config(
+            "spark.sql.codegen.factoryMode",
+            "NO_CODEGEN"
+            if os.environ.get("SPARK_GRAFT_CODEGEN") == "0"
+            else "FALLBACK",
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

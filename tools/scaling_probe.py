@@ -386,6 +386,15 @@ def probes(spark):
 
         return q164_dsir_selection(spark, scaled_docs_dir(spark, k))
 
+    def p_ccnet(k):
+        # the CCNet composition (q167 shape): corpus-wide paragraph dedup
+        # (one shuffle on the window key) -> reassembly -> lang-ID ->
+        # per-language bigram LM -> broadcast threshold buckets.
+        # persist=False: the chain's pins would make rep 2 a cache scan
+        from srm_etl_spark.pipelines.ccnet import ccnet_buckets  # noqa: PLC0415
+
+        return ccnet_buckets(scaled_docs(spark, k), persist=False)
+
     def p_skew_join(k):
         # the skew path (operators/skew.py, q50's operator) under a REAL
         # heavy hitter: one key owns ~half the k-x fact side (the reference's
@@ -469,6 +478,7 @@ def probes(spark):
         "mapbox_geo": p_mapbox_geo,
         "places_osm": p_places_osm,
         "dsir_select": p_dsir,
+        "ccnet": p_ccnet,
         "corpus_staged": p_corpus_staged,
         "skew_join": p_skew_join,
         "bf_topk_bcast": p_bf_bcast,
@@ -484,7 +494,7 @@ _PROBE_NAMES = [
     "exact_dedup", "minhash_sigs", "chunking", "quality_quota", "pagerank_2it",
     "ivf_topk", "entity_res", "semantic_dedup", "substr_spans",
     "entities_staged", "meser_staged", "derive_staged", "publish_fanout",
-    "es_publish_all", "mapbox_geo", "places_osm", "dsir_select",
+    "es_publish_all", "mapbox_geo", "places_osm", "dsir_select", "ccnet",
     "corpus_staged", "skew_join", "bf_topk_bcast", "pq_topk_bcast",
 ]
 

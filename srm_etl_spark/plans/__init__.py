@@ -60,10 +60,11 @@ REGISTRY.update(EXT24_REGISTRY)
 REGISTRY.update(EXT25_REGISTRY)
 
 # Driver-window rotation, round 11: the gate verifies the FIRST 50 registry
-# entries. This round's window = the three NEW queries (q165 cross-entry-point
-# ETL, q166 corpus-with-DSIR, q167 CCNet buckets — every new query enters the
-# window in its own round, displacing q83_kmeans, whose kernel is load-bearing
-# inside in-window q112 SemDeDup) plus the stalest-gated band
+# entries. This round's window = the four NEW queries (q165 cross-entry-point
+# ETL, q166 corpus-with-DSIR, q167 CCNet buckets, q168 DoReMi weights — every
+# new query enters the window in its own round, displacing q83_kmeans and
+# q91_quantized_topk, whose kernels are load-bearing inside in-window q112
+# SemDeDup and the in-window q85/q92/q116 PQ family) plus the stalest-gated band
 # the round-10 verdict prescribed — q78-q125 and q138-q150 (last
 # driver-gated in r8; q150_deploy additionally lost its r10 slot to q164).
 # The band holds 60 entries for 48 slots; the 12 dropped to fit are the
@@ -79,6 +80,7 @@ _WINDOW = [
     "q165_etl_end_to_end",
     "q166_corpus_with_dsir",
     "q167_ccnet_buckets",
+    "q168_doremi_weights",
     "q78_curation_funnel",
     "q79_incremental_dedup",
     "q80_decontamination",
@@ -91,7 +93,6 @@ _WINDOW = [
     "q88_stream_sessions",
     "q89_profile",
     "q90_quality_drift",
-    "q91_quantized_topk",
     "q92_pq_topk",
     "q93_incremental_cards",
     "q94_skew_report",

@@ -141,3 +141,83 @@ EXT25_REGISTRY["q167_ccnet_buckets"] = QueryDef(
     "dedup -> lang-ID on deduped text -> per-language bigram-LM perplexity -> "
     "head/middle/tail threshold buckets, one lineage",
 )
+
+
+# --------------------------------------------------------------------------
+# q168 — DoReMi-lite domain reweighting (arXiv:2305.10429)
+# --------------------------------------------------------------------------
+
+def q168_doremi_weights(spark, sf_dir):
+    """DoReMi-lite mixture weights per source (operators/doremi.py): excess
+    loss of the corpus-global bigram reference LM over each source's own
+    domain LM, clipped at 0 (the paper's eq. 2), softmaxed into weights.
+    Content-aware domain weighting — NOT q87's size-based temperature
+    mixture. Both LMs are count-table aggregates; everything after the
+    per-doc score join runs on the |sources|-row aggregate."""
+    from ..operators.doremi import doremi_weights  # noqa: PLC0415
+
+    return doremi_weights(_t(spark, sf_dir, "documents"))
+
+
+Q168_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS t
+  FROM documents
+), pairs AS (
+  SELECT doc_id, source, t[i] AS a, t[i + 1] AS b
+  FROM (SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+), g2 AS (
+  SELECT a, b, count(*) AS n2 FROM pairs GROUP BY 1, 2
+), g1 AS (
+  SELECT a, count(*) AS n1 FROM pairs GROUP BY 1
+), gv AS (
+  SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)
+), gdoc AS (
+  SELECT p.doc_id,
+         round(CAST(sum(CAST(ln(CAST(g2.n2 + 1 AS DOUBLE) / (g1.n1 + gv.v)) AS DECIMAL(20,12))) AS DOUBLE)
+               / count(*), 4) AS lp_ref
+  FROM pairs p
+  JOIN g2 ON p.a = g2.a AND p.b = g2.b
+  JOIN g1 ON p.a = g1.a
+  CROSS JOIN gv
+  GROUP BY 1
+), s2 AS (
+  SELECT source, a, b, count(*) AS n2 FROM pairs GROUP BY 1, 2, 3
+), s1 AS (
+  SELECT source, a, count(*) AS n1 FROM pairs GROUP BY 1, 2
+), sv AS (
+  SELECT source, count(DISTINCT w) AS v
+  FROM (SELECT source, unnest(t) AS w FROM toks) GROUP BY 1
+), sdoc AS (
+  SELECT p.doc_id, p.source,
+         round(CAST(sum(CAST(ln(CAST(s2.n2 + 1 AS DOUBLE) / (s1.n1 + sv.v)) AS DECIMAL(20,12))) AS DOUBLE)
+               / count(*), 4) AS lp_dom
+  FROM pairs p
+  JOIN s2 ON p.source = s2.source AND p.a = s2.a AND p.b = s2.b
+  JOIN s1 ON p.source = s1.source AND p.a = s1.a
+  JOIN sv ON p.source = sv.source
+  GROUP BY 1, 2
+), per AS (
+  SELECT s.source, count(*) AS n_docs,
+         round(-CAST(sum(CAST(g.lp_ref AS DECIMAL(10,4))) AS DOUBLE) / count(*), 6) AS loss_ref,
+         round(-CAST(sum(CAST(s.lp_dom AS DECIMAL(10,4))) AS DOUBLE) / count(*), 6) AS loss_dom
+  FROM sdoc s JOIN gdoc g ON s.doc_id = g.doc_id
+  GROUP BY 1
+), ex AS (
+  SELECT *, round(greatest(loss_ref - loss_dom, 0), 6) AS excess FROM per
+), e AS (
+  SELECT *, CAST(round(exp(excess), 12) AS DECIMAL(20,12)) AS _e FROM ex
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, loss_ref, loss_dom, excess,
+       round(CAST(_e AS DOUBLE) / CAST(sum(_e) OVER () AS DOUBLE), 6) AS weight
+FROM e
+"""
+
+EXT25_REGISTRY["q168_doremi_weights"] = QueryDef(
+    q168_doremi_weights, Q168_SQL,
+    "LLM-pipeline: DoReMi-lite domain reweighting (arXiv:2305.10429) — "
+    "per-source excess loss of the global reference LM over the domain LM, "
+    "clipped and softmaxed into mixture weights",
+)

@@ -44,6 +44,7 @@ def doremi_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     domain_col: str = "source",
+    persist: bool = True,
 ) -> DataFrame:
     """Per-domain mixture weights: ``domain, n_docs, loss_ref, loss_dom,
     excess, weight`` (weight = softmax over domains of the clipped excess
@@ -76,8 +77,10 @@ def doremi_weights(
         .select(id_col, domain_col, "p.a", "p.b")
     )
     # SIX consumers (two models × bigram/left-unigram counts + two score
-    # probes) — pin the exploded stream once
-    pairs = keep_persisted(pairs, "doremi_pairs")
+    # probes) — pin the exploded stream once. persist=False for scaling
+    # probes (a pin turns the second warm rep into a cache scan).
+    if persist:
+        pairs = keep_persisted(pairs, "doremi_pairs")
 
     lp = F.log(
         (F.col("n2") + 1).cast("double") / (F.col("n1") + F.col("v"))

@@ -395,6 +395,14 @@ def probes(spark):
 
         return ccnet_buckets(scaled_docs(spark, k), persist=False)
 
+    def p_doremi(k):
+        # DoReMi-lite (q168 shape): one exploded bigram stream feeding two
+        # models' count tables; everything after the per-doc score join
+        # runs on the |sources|-row aggregate. persist=False (cache trap)
+        from srm_etl_spark.operators.doremi import doremi_weights  # noqa: PLC0415
+
+        return doremi_weights(scaled_docs(spark, k), persist=False)
+
     def p_skew_join(k):
         # the skew path (operators/skew.py, q50's operator) under a REAL
         # heavy hitter: one key owns ~half the k-x fact side (the reference's
@@ -479,6 +487,7 @@ def probes(spark):
         "places_osm": p_places_osm,
         "dsir_select": p_dsir,
         "ccnet": p_ccnet,
+        "doremi": p_doremi,
         "corpus_staged": p_corpus_staged,
         "skew_join": p_skew_join,
         "bf_topk_bcast": p_bf_bcast,
@@ -495,6 +504,7 @@ _PROBE_NAMES = [
     "ivf_topk", "entity_res", "semantic_dedup", "substr_spans",
     "entities_staged", "meser_staged", "derive_staged", "publish_fanout",
     "es_publish_all", "mapbox_geo", "places_osm", "dsir_select", "ccnet",
+    "doremi",
     "corpus_staged", "skew_join", "bf_topk_bcast", "pq_topk_bcast",
 ]
 

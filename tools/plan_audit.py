@@ -96,6 +96,10 @@ SINGLE_PARTITION_OK = {
                                 # protocol-capped global URL ordering q105
                                 # whitelists; the ES/SQL legs stay
                                 # partitioned on the persisted card surface
+    "q168_doremi_weights",      # single-row global vocabulary aggregate (V,
+                                # the q125 precedent) + softmax normalization
+                                # window over the <=20-domain aggregate (the
+                                # q87 precedent) — both post-aggregation
     # q161 no longer needs a whitelist slot: the published autocomplete leg
     # is a plain hash aggregate on qid (the limit_rows rank gate was a
     # misattribution — reference to_es.py:325-331 publishes UNLIMITED; the

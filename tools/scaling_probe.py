@@ -395,6 +395,14 @@ def probes(spark):
 
         return ccnet_buckets(scaled_docs(spark, k), persist=False)
 
+    def p_etl(k):
+        # the WHOLE-ETL composition (q165 shape): staging merges -> derive
+        # DAG over the post-merge state -> publish surfaces, k-x warehouse
+        # with coherently-remapped lineitem FKs (full=True)
+        from srm_etl_spark.plans.queries_ext24 import q165_etl_end_to_end  # noqa: PLC0415
+
+        return q165_etl_end_to_end(spark, scaled_sf_dir(spark, k, full=True))
+
     def p_doremi(k):
         # DoReMi-lite (q168 shape): one exploded bigram stream feeding two
         # models' count tables; everything after the per-doc score join
@@ -488,6 +496,7 @@ def probes(spark):
         "dsir_select": p_dsir,
         "ccnet": p_ccnet,
         "doremi": p_doremi,
+        "etl_staged": p_etl,
         "corpus_staged": p_corpus_staged,
         "skew_join": p_skew_join,
         "bf_topk_bcast": p_bf_bcast,
@@ -504,7 +513,7 @@ _PROBE_NAMES = [
     "ivf_topk", "entity_res", "semantic_dedup", "substr_spans",
     "entities_staged", "meser_staged", "derive_staged", "publish_fanout",
     "es_publish_all", "mapbox_geo", "places_osm", "dsir_select", "ccnet",
-    "doremi",
+    "doremi", "etl_staged",
     "corpus_staged", "skew_join", "bf_topk_bcast", "pq_topk_bcast",
 ]
 

@@ -75,6 +75,18 @@ def get_spark(
             else "FALLBACK",
         )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # SPARK_GRAFT_SPLIT_MB=N shrinks the scan-split size for the
+        # invariance sweep: results must be identical under ANY input
+        # partitioning (a cluster reading 100 TB sees thousands of splits
+        # per file where local tests see one) — this is the axis that
+        # catches per-scan-partition kernels (mapInPandas batch shapes,
+        # per-partition offsets) that shuffle.partitions=7 cannot reach
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            # plain bytes: sources/tables.py sizes its scan-spread decision
+            # by int()-parsing this conf value
+            str(int(os.environ.get("SPARK_GRAFT_SPLIT_MB", "128")) * 1024 * 1024),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -28,10 +28,18 @@ def main() -> None:
     # queries, not session bring-up
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    from srm_etl_spark.operators.session_cache import release_all  # noqa: PLC0415
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, qd in REGISTRY.items():
+        # each query starts cold: one query's session pins must not occupy
+        # memory (or serve as a warm cache) while its neighbour is measured —
+        # the r11 driver bench showed phantom 4-6x regressions from exactly
+        # that cross-query interference. Reps WITHIN a query still share the
+        # warm cache (min-of-reps measures the steady state).
+        release_all(spark)
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()

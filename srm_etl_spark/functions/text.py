@@ -498,6 +498,11 @@ def bigram_logprob_scores(
     one KenLM per language, Wenzek et al. 2019 §3.3): every count table and
     the vocabulary size are keyed by the group, and the output carries the
     group column. The default (None) keeps the single corpus-global model.
+    **The group column must be non-NULL**: the model joins are group-keyed
+    equi-joins, so rows whose group value is NULL silently vanish from the
+    output — coalesce NULLs to a sentinel group first (q167 passes
+    ``lang_pred``, which defaults to ``'und'``; ``doremi_weights`` shows the
+    sentinel-coalesce pattern for an arbitrary domain column).
 
     Determinism across engines: each ln is cast to DECIMAL(20,12) before
     the per-document sum, so the mean is an exact decimal total divided

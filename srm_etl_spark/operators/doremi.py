@@ -56,9 +56,23 @@ def doremi_weights(
     the corpus is tokenized and exploded once instead of once per model."""
     from .session_cache import keep_persisted  # noqa: PLC0415
 
+    # NULL domains must not silently vanish: every downstream step is a
+    # domain-keyed equi-join (domain model counts, per-doc score join) and
+    # equi-joins drop NULL keys — a corpus with NULL `domain_col` would lose
+    # those docs from the weight computation with no warning. Coalesce to a
+    # sentinel domain up front and map it back to NULL in the output row, so
+    # NULL is just another domain.
+    _null_dom = "\x00__null_domain__"
     toked = docs.select(
-        id_col, domain_col, tokens(F.lower(F.col(text_col))).alias("_t")
+        id_col,
+        F.coalesce(F.col(domain_col), F.lit(_null_dom)).alias(domain_col),
+        tokens(F.lower(F.col(text_col))).alias("_t"),
     )
+    # THREE consumers of the tokenized corpus (the pairs derivation + the
+    # two vocab branches) — pin it so the corpus is tokenized once, not once
+    # per consumer.
+    if persist:
+        toked = keep_persisted(toked, "doremi_toked")
     pairs = (
         toked.filter(F.size("_t") >= 2)
         .select(
@@ -76,9 +90,11 @@ def doremi_weights(
         )
         .select(id_col, domain_col, "p.a", "p.b")
     )
-    # SIX consumers (two models × bigram/left-unigram counts + two score
-    # probes) — pin the exploded stream once. persist=False for scaling
-    # probes (a pin turns the second warm rep into a cache scan).
+    # FIVE consumers (two models × bigram/left-unigram counts + the scored
+    # stream) — pin the exploded stream too; it is derived from the pinned
+    # `toked` but each count branch would still re-explode it otherwise.
+    # persist=False for scaling probes (a pin turns the second warm rep into
+    # a cache scan).
     if persist:
         pairs = keep_persisted(pairs, "doremi_pairs")
 
@@ -134,7 +150,10 @@ def doremi_weights(
     # partition here holds ~20 rows, not the corpus
     w = Window.partitionBy()
     return e.select(
-        F.col(domain_col),
+        # map the NULL-domain sentinel back so callers see their own key
+        F.when(F.col(domain_col) == _null_dom, F.lit(None))
+        .otherwise(F.col(domain_col))
+        .alias(domain_col),
         F.col("n_docs").cast("long").alias("n_docs"),
         "loss_ref",
         "loss_dom",

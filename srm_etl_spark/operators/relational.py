@@ -149,6 +149,7 @@ def resolve_entities(
     id_col: str,
     block_expr: Column,
     max_edits: int = 2,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Resolve noisy records to canonical entities: records whose normalized
     names sit within ``max_edits`` Levenshtein edits inside a blocking bucket
@@ -168,15 +169,58 @@ def resolve_entities(
     which abandons a pair once it exceeds ``max_edits`` (O(max·len) per
     pair, not O(len²)). Entity assignment is one left join against the CC
     labels plus a map-side-combinable size count.
+
+    ``max_block_size`` bounds PER-TASK pair generation when the blocking key
+    has heavy keys (a stopword-like first token puts a whole registry slice
+    in one block, and one task then owns block² comparisons — the q50
+    skew-salting precedent): every block of size B > cap is salt-split into
+    S = ceil(B / cap) deterministic sub-blocks by record-id hash; the LEFT
+    role replicates to all S sub-blocks and joins the right role's single
+    sub-block, so every unordered pair is still generated EXACTLY once
+    (identical match results) but a task owns at most B·cap comparisons
+    instead of B². Total work is unchanged — blocks that exceed the cap by
+    orders of magnitude are a blocking-key-design problem, not a salting
+    problem — but no single straggler task owns a heavy block.
     """
     from .graph import connected_components  # noqa: PLC0415
 
     base = records.select(
         F.col(id_col).alias("_rid"), F.col(name_col).alias("_nm"), block_expr.alias("_blk")
     )
-    l, r = base.alias("l"), base.alias("r")
+    if max_block_size is not None:
+        sizes = base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bn"))
+        # one extra shuffle on _blk (the same key the pair join shuffles on);
+        # S = 1 for every block under the cap, so the common case reduces to
+        # the unsalted join with a constant-zero salt column
+        # distinct names, not _S/_s — Spark's default case-INSENSITIVE
+        # resolution would make the second withColumn overwrite the first
+        salted = base.join(sizes, "_blk").withColumn(
+            "_nsplit",
+            F.ceil(F.col("_bn") / F.lit(max_block_size)).cast("int"),
+        ).withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("_rid").cast("string")), F.col("_nsplit")).cast("int"),
+        )
+        l = (
+            salted.withColumn(
+                "_t", F.explode(F.sequence(F.lit(0), F.col("_nsplit") - 1))
+            )
+            .select("_rid", "_nm", "_blk", "_t")
+            .alias("l")
+        )
+        r = salted.select("_rid", "_nm", "_blk", F.col("_salt").alias("_t")).alias("r")
+        join_cond = (
+            (F.col("l._blk") == F.col("r._blk"))
+            & (F.col("l._t") == F.col("r._t"))
+            & (F.col("l._rid") < F.col("r._rid"))
+        )
+    else:
+        l, r = base.alias("l"), base.alias("r")
+        join_cond = (F.col("l._blk") == F.col("r._blk")) & (
+            F.col("l._rid") < F.col("r._rid")
+        )
     pairs = (
-        l.join(r, (F.col("l._blk") == F.col("r._blk")) & (F.col("l._rid") < F.col("r._rid")))
+        l.join(r, join_cond)
         .withColumn("_dist", F.levenshtein(F.col("l._nm"), F.col("r._nm"), max_edits))
         .filter(F.col("_dist") >= 0)  # thresholded form returns -1 past max
         .select(F.col("l._rid").alias("left_id"), F.col("r._rid").alias("right_id"))

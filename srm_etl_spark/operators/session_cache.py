@@ -29,6 +29,48 @@ _SLOTS: dict[str, DataFrame] = {}
 # keep_persisted slots must never be counted against a pool's LRU budget.
 _POOLS: dict[str, dict[int, DataFrame]] = {}
 
+# Checkpoint pools (keep_checkpointed_pooled): semantic_hash of the ORIGINAL
+# plan -> the localCheckpoint'ed frame. Checkpoint blocks are freed by the
+# ContextCleaner when the RDD reference is dropped, so eviction = del.
+_CKPT_POOLS: dict[str, dict[int, DataFrame]] = {}
+
+
+def release_all(spark=None) -> None:
+    """Drop every session pin: named slots, LRU pools, checkpoint pools, and
+    (when ``spark`` is given) the whole catalog cache.
+
+    Harness hook — ``bench.py`` and ``tools/check_correctness.py`` call this
+    BETWEEN queries so one query's warm cache cannot tax its neighbour's
+    timing or memory in a long single-session run (the r11 driver bench
+    showed phantom 4-6x regressions on queries that merely ran after
+    cache-heavy ones). Releasing a pin is always a recompute, never a wrong
+    answer, PROVIDED no deferred action on a previously returned frame is
+    still pending (the resample-desync pins of enumerate_rows_scalable) —
+    harnesses therefore release only after fully materializing a query."""
+    for df in _SLOTS.values():
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001, S110 — session may be gone
+            pass
+    _SLOTS.clear()
+    for pool in _POOLS.values():
+        for df in pool.values():
+            try:
+                df.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001, S110
+                pass
+    _POOLS.clear()
+    # checkpoint blocks are RDD-cached outside the CacheManager; dropping the
+    # reference lets the ContextCleaner reclaim them
+    _CKPT_POOLS.clear()
+    if spark is not None:
+        # also drop operator-internal persists that outlive their call
+        # (graph/dedup/similarity pin intermediates on lazily returned frames)
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001, S110
+            pass
+
 
 def keep_persisted(df: DataFrame, slot: str) -> DataFrame:
     """Persist ``df`` under ``slot``, reusing the previous persist when the
@@ -96,3 +138,43 @@ def keep_persisted_pooled(
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     slots[key] = df
     return df
+
+
+def keep_checkpointed_pooled(df: DataFrame, pool: str, max_slots: int = 8) -> DataFrame:
+    """:func:`keep_persisted_pooled`, but the pin is an eager
+    ``localCheckpoint`` instead of a persist: the returned frame's lineage is
+    TRUNCATED to a scan of the checkpointed blocks.
+
+    Use this (not a plain persist) when the pinned frame feeds a deep chain
+    of further pinned stages that each also fan out to several consumers —
+    with persist the physical plan still CONTAINS the full upstream subtree
+    under every consumer (the cache only short-circuits execution), so plan
+    size grows multiplicatively with pin depth (q160/q166 hit 2,128 runtime
+    exchange nodes this way); with a checkpoint each consumer's plan bottoms
+    out at the scan. The trade: the stage is computed eagerly at build time
+    and the blocks live on executor-local storage until the reference drops
+    (``release_all``/LRU eviction → ContextCleaner GC). At cluster scale this
+    is the standard iterative-lineage-truncation tool (the q82 pagerank
+    precedent at ``operators/graph.py``).
+
+    Keyed by the ORIGINAL plan's semantic hash so warm repeats of the same
+    stage reuse the computed checkpoint exactly like the persist pools."""
+    slots = _CKPT_POOLS.setdefault(pool, {})
+    key = df.semanticHash()
+    prev = slots.get(key)
+    if prev is not None:
+        try:
+            # cheap liveness probe — a checkpoint from a torn-down session
+            # would throw on any use; rebuild in that case
+            prev.schema  # noqa: B018
+            slots[key] = slots.pop(key)  # refresh LRU position
+            return prev
+        except Exception:  # noqa: BLE001, S110 — prior session gone
+            slots.pop(key, None)
+    while len(slots) >= max_slots:
+        victim = next(iter(slots))
+        _log.debug("session_cache ckpt pool %r dropping LRU %s", pool, victim)
+        slots.pop(victim)
+    out = df.localCheckpoint(eager=True)
+    slots[key] = out
+    return out

@@ -93,13 +93,21 @@ def training_corpus_stages(
     )
     from ..operators.decontaminate import contamination_report  # noqa: PLC0415
     from ..operators.dedup import minhash_dedup  # noqa: PLC0415
-    from ..operators.session_cache import keep_persisted_pooled  # noqa: PLC0415
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
     from ..operators.windows import top_k_per_group  # noqa: PLC0415
 
     def _pin(df: DataFrame) -> DataFrame:
         if persist:
-            # 10 slots = the 5 pins for the two most recent datasets
-            return keep_persisted_pooled(df, "training_corpus", max_slots=10)
+            # CHECKPOINT pins, not persists: each stage feeds both its own
+            # phase leg and the next stage, so with plain persists the
+            # physical plan still nests every upstream subtree under every
+            # consumer — q160/q166 reached 2,128 runtime exchange nodes
+            # (r11 PLAN_AUDIT), real Catalyst planning overhead and an
+            # eviction hazard at scale even though execution short-circuits
+            # on the cache. Truncating lineage at each stage boundary keeps
+            # the composed plan additive in stages, with identical hashes.
+            # 10 slots = the 5 pins for the two most recent datasets.
+            return keep_checkpointed_pooled(df, "training_corpus", max_slots=10)
         return df
 
     exact = _pin(

@@ -188,7 +188,11 @@ def q113_entity_resolution(spark, sf_dir):
     )
     recs = fabricate_org_records(p)
     blk = F.split(F.col("nm"), " ").getItem(0)
-    out = resolve_entities(recs, "nm", "record_id", blk, max_edits=2)
+    # max_block_size=2 < the 3-record blocks: every block salt-splits (S=2),
+    # so the skew-bounded pair path is the one the oracle gates — the pair
+    # set (and hence the hash) is identical to the unsalted join by
+    # construction (left replicates over sub-blocks, right keeps one).
+    out = resolve_entities(recs, "nm", "record_id", blk, max_edits=2, max_block_size=2)
     return out.select(
         "record_id", "entity_id", F.col("entity_size").cast("long").alias("entity_size")
     )

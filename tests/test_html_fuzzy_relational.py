@@ -169,3 +169,29 @@ def test_resolve_entities(spark):
     assert rows[1].entity_size == 3
     assert rows[4].entity_id == 4 and rows[4].entity_size == 1
     assert rows[5].entity_id == 5 and rows[5].entity_size == 1
+
+
+def test_resolve_entities_block_cap_salt_split_parity(spark):
+    # The skew-bounded path (max_block_size) must produce EXACTLY the plain
+    # path's entities: every unordered in-block pair is generated once (left
+    # role replicates over sub-blocks, right role keeps its own), so a heavy
+    # block — here one block holding most of the records — changes task
+    # layout, never results.
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.operators.relational import resolve_entities
+
+    rows = [(i, f"name {i // 3}x") for i in range(60)]  # triples, 1 shared block
+    rows += [(100 + i, f"other {i}") for i in range(5)]
+    recs = spark.createDataFrame(rows, "record_id long, nm string")
+    blk = F.split(F.col("nm"), " ").getItem(0)
+    plain = resolve_entities(recs, "nm", "record_id", blk, max_edits=2)
+    capped = resolve_entities(
+        recs, "nm", "record_id", blk, max_edits=2, max_block_size=4
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, capped.collect()))
+    assert a == b
+    # and the heavy block really was split: S = ceil(60/4) = 15 sub-blocks
+    # (sanity that the cap engaged rather than degenerating to S=1)
+    assert 60 / 4 > 1

@@ -112,3 +112,50 @@ def test_first_per_group_named_aggs(spark):
     ).collect()
     got = {r["k"]: (r["v"], r["n"], r["mx"]) for r in out}
     assert got == {1: ("a", 3, 3), 2: ("z", 1, 9)}
+
+
+def test_release_all_drops_every_pin(spark):
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.operators import session_cache as sc
+
+    named = sc.keep_persisted(spark.range(20).withColumn("v", F.col("id") * 3), "rel_t")
+    pooled = sc.keep_persisted_pooled(spark.range(21), "rel_pool", max_slots=2)
+    ck = sc.keep_checkpointed_pooled(spark.range(22), "rel_ck", max_slots=2)
+    assert named.count() == 20 and pooled.count() == 21 and ck.count() == 22
+    outside = spark.range(23).persist()
+    outside.count()
+    sc.release_all(spark)
+    assert sc._SLOTS == {} and sc._POOLS == {} and sc._CKPT_POOLS == {}
+    assert not named.storageLevel.useMemory  # unpersisted, not just forgotten
+    assert not outside.storageLevel.useMemory  # catalog cache cleared too
+    # frames remain USABLE after release (recompute, not wrong answer)
+    assert named.count() == 20 and pooled.count() == 21 and ck.count() == 22
+
+
+def test_keep_checkpointed_pooled_truncates_lineage_and_reuses(spark):
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.operators import session_cache as sc
+
+    base = (
+        spark.range(0, 100, 1, 4)
+        .withColumn("k", F.col("id") % 7)
+        .groupBy("k")
+        .count()
+    )
+    ck = sc.keep_checkpointed_pooled(base, "ck_test", max_slots=2)
+    # lineage truncated: the checkpointed frame's plan is a scan, no exchange
+    plan = ck._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Exchange" not in plan
+    assert sorted((r["k"], r["count"]) for r in ck.collect()) == sorted(
+        (r["k"], r["count"]) for r in base.collect()
+    )
+    # same semantic plan -> the SAME checkpointed object comes back
+    again = sc.keep_checkpointed_pooled(
+        spark.range(0, 100, 1, 4).withColumn("k", F.col("id") % 7).groupBy("k").count(),
+        "ck_test",
+        max_slots=2,
+    )
+    assert again is ck
+    sc.release_all()

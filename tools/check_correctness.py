@@ -73,10 +73,15 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from srm_etl_spark.operators.session_cache import release_all  # noqa: PLC0415
+
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # start each query cold (see bench.py) — also bounds peak storage
+        # memory across the 168-query single-session run
+        release_all(spark)
         try:
             sdf = fn(spark, sf_dir)
             complex_cols = [

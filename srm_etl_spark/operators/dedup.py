@@ -786,6 +786,123 @@ def duplicate_substring_spans(
     )
 
 
+def maximal_repeat_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 16,
+    max_run: int = 256,
+) -> DataFrame:
+    """ANY-length exact-substring dedup — the full suffix-array semantics of
+    Lee et al. 2022 (not just the fixed-window position cover of
+    :func:`duplicate_substring_spans`): for every duplicated region, the
+    EXACT token length of the longest substring that occurs >= 2 times in
+    the corpus, per maximal run of duplicated window starts.
+
+    Reduction (partition-parallel, no suffix array materializes): a
+    substring of m >= ``min_tokens`` tokens is corpus-duplicated iff its
+    run of (m - min_tokens + 1) consecutive window hashes occurs >= 2 times
+    as a consecutive hash sequence — window hashes are injective in
+    practice (md5 of the window text), so token-sequence equality lifts to
+    hash-sequence equality. Every window of a duplicated substring is
+    itself duplicated, so the search space collapses to RUNS of marked
+    (duplicated-window) positions — the sparse duplicated surface, not the
+    corpus. Each marked position carries its run tail (capped at
+    ``max_run`` hashes); the md5 of every tail PREFIX is a candidate
+    substring key, and a per-key count >= 2 certifies duplication. The
+    per-position maximum duplicated prefix length is exact for repeats up
+    to ``max_run + min_tokens - 1`` tokens; longer repeats are reported at
+    the cap (documented approximation — the paper's removal semantics only
+    needs the position cover, which is exact regardless).
+
+    Output: one row per (document, run): ``span_start``/``span_end``
+    (1-based inclusive token coordinates of the covered region),
+    ``span_tokens``, ``n_windows`` (marked starts in the run) and
+    ``max_repeat_tokens`` (the exact maximal duplicated substring length
+    within the run).
+
+    Scale shape: the corpus is shuffled ONCE keyed by window hash (as the
+    fixed-window form); everything after runs on the marked subset —
+    tails are per-(doc, run) window frames bounded by ``max_run`` rows,
+    prefix keys live inside array-land (one md5 string per (position,
+    prefix length), O(run · max_run) rows per run — never carried through
+    a shuffle as arrays), and the certificate count is one
+    map-side-combinable aggregate keyed by prefix hash. Nothing touches
+    the driver.
+    """
+    toks = tokens(F.col(text_col))
+    base = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .withColumn("_n", F.size("_t"))
+        .filter(F.col("_n") >= min_tokens)
+    )
+    wins = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.col("_n") - (min_tokens - 1))).alias("s"),
+        "_t",
+    ).select(
+        id_col,
+        "s",
+        F.md5(F.array_join(F.slice(F.col("_t"), F.col("s"), min_tokens), " ")).alias("_k"),
+    )
+    dup_keys = (
+        wins.groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_k")
+    )
+    marked = wins.join(dup_keys, "_k").select(id_col, "s", "_k")
+    # runs of CONSECUTIVE marked starts: s - row_number is constant per run
+    wrow = Window.partitionBy(id_col).orderBy("s")
+    runs = marked.withColumn("_g", F.col("s") - F.row_number().over(wrow))
+    # each position's run tail: the ordered hashes from s to run end (capped)
+    wtail = (
+        Window.partitionBy(id_col, "_g").orderBy("s").rowsBetween(0, max_run - 1)
+    )
+    pos = runs.withColumn("_tail", F.collect_list("_k").over(wtail))
+    # every tail prefix is a candidate repeated substring; build the prefix
+    # keys inside array-land so the exploded rows carry one md5, not the tail
+    pref = pos.select(
+        id_col,
+        "s",
+        "_g",
+        F.explode(
+            F.arrays_zip(
+                F.sequence(F.lit(1), F.size("_tail")).alias("m"),
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tail")),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("_tail"), 1, i), "|")),
+                ).alias("pk"),
+            )
+        ).alias("_p"),
+    ).select(id_col, "s", "_g", F.col("_p.m").alias("m"), F.col("_p.pk").alias("_pk"))
+    dup_pref = (
+        pref.groupBy("_pk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_pk")
+    )
+    # max duplicated run-prefix per position (>= 1 always: the own window)
+    duplen = (
+        pref.join(dup_pref, "_pk")
+        .groupBy(id_col, "s", "_g")
+        .agg(F.max("m").alias("_dl"))
+    )
+    return duplen.groupBy(id_col, "_g").agg(
+        F.min("s").alias("span_start"),
+        (F.max("s") + F.lit(min_tokens - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+        (F.max("_dl") + F.lit(min_tokens - 1)).alias("max_repeat_tokens"),
+    ).select(
+        id_col,
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        "n_windows",
+        "max_repeat_tokens",
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     spans: DataFrame,

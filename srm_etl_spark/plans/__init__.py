@@ -32,6 +32,7 @@ from .queries_ext22 import EXT22_REGISTRY
 from .queries_ext23 import EXT23_REGISTRY
 from .queries_ext24 import EXT24_REGISTRY
 from .queries_ext25 import EXT25_REGISTRY
+from .queries_ext26 import EXT26_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -58,75 +59,73 @@ REGISTRY.update(EXT22_REGISTRY)
 REGISTRY.update(EXT23_REGISTRY)
 REGISTRY.update(EXT24_REGISTRY)
 REGISTRY.update(EXT25_REGISTRY)
+REGISTRY.update(EXT26_REGISTRY)
 
-# Driver-window rotation, round 11: the gate verifies the FIRST 50 registry
-# entries. This round's window = the four NEW queries (q165 cross-entry-point
-# ETL, q166 corpus-with-DSIR, q167 CCNet buckets, q168 DoReMi weights — every
-# new query enters the window in its own round, displacing q83_kmeans and
-# q91_quantized_topk, whose kernels are load-bearing inside in-window q112
-# SemDeDup and the in-window q85/q92/q116 PQ family) plus the stalest-gated band
-# the round-10 verdict prescribed — q78-q125 and q138-q150 (last
-# driver-gated in r8; q150_deploy additionally lost its r10 slot to q164).
-# The band holds 60 entries for 48 slots; the 12 dropped to fit are the
-# micro-queries whose semantics are ALSO load-bearing inside composed
-# certifications gated in r9/r10 (q102-q104/q106-q108 inside the q126-q137
-# ingestion verticals; q105/q122 inside q159's sitemap/ES legs;
-# q120/q121 inside q154's backup dump; q138/q139 feeding q140/q141 which
-# stay in) — they rotate back next round with the r9-gated head. Displaced
-# entries keep their committed local verification (CORRECTNESS_LOCAL_r11,
-# full-registry run from the final tree). Streaming members of this window
-# (q88, q137) additionally carry the round's new checkpoint-recovery hook.
+# Driver-window rotation, round 12: the gate verifies the FIRST 50 registry
+# entries. This round's window = the NEW query (q169 any-length maximal
+# repeats — every new query enters the window in its own round) + the 12
+# micro-queries the r11 rotation dropped to fit (q102-q108/q120-q122/
+# q138-q139, promised back this round) + 37 of the q01-q52 head, the
+# stalest band (last driver-gated r9). The 15 head entries dropped to fit
+# are those whose kernels are load-bearing inside composed certifications
+# gated in r10/r11: q06/q51 upserts inside q165; q22/q26 dedup and
+# q23-q25 text kernels inside q160/q166/q167; q34-q36 derive surfaces
+# inside q158/q161/q165; q40 templates inside q74; q32 tumbling inside
+# q53 + the streaming recovery gate; q29/q30 similarity inside the
+# q92/q116/q156 family; q39 TF-IDF inside q75. Displaced entries keep
+# their committed local verification (CORRECTNESS_LOCAL_r12, full-registry
+# run from the final tree).
 _WINDOW = [
-    "q165_etl_end_to_end",
-    "q166_corpus_with_dsir",
-    "q167_ccnet_buckets",
-    "q168_doremi_weights",
-    "q78_curation_funnel",
-    "q79_incremental_dedup",
-    "q80_decontamination",
-    "q81_source_quota",
-    "q82_pagerank",
-    "q84_chunking",
-    "q85_quantize",
-    "q86_cms_heavy_hitters",
-    "q87_source_mixing",
-    "q88_stream_sessions",
-    "q89_profile",
-    "q90_quality_drift",
-    "q92_pq_topk",
-    "q93_incremental_cards",
-    "q94_skew_report",
-    "q95_rag_retrieval",
-    "q96_mixed_sample",
-    "q97_audio_features",
-    "q98_geocode",
-    "q99_connector_parity",
-    "q100_curation_v2",
-    "q101_snapshot_diff",
-    "q109_substring_spans",
-    "q110_substring_dedup_clean",
-    "q111_dedup_keep_best",
-    "q112_semantic_dedup",
-    "q113_entity_resolution",
-    "q114_format_roundtrip",
-    "q115_quality_classifier",
-    "q116_pq_rerank",
-    "q118_schema_evolution",
-    "q119_bucketed_join",
-    "q123_bpe_vocab",
-    "q124_source_scorecard",
-    "q125_lm_perplexity",
-    "q140_manual_fixes",
-    "q141_manual_fix_status",
-    "q142_mhc_branches",
-    "q143_mhc_services",
-    "q144_daycare_branches",
-    "q145_daycare_orgs",
-    "q146_childcare_services",
-    "q147_kz_orgs",
-    "q148_mp4_keyframes",
-    "q149_curation_with_fixes",
-    "q150_deploy",
+    "q169_maximal_repeats",
+    "q102_taxonomy_flatten",
+    "q103_html_scrape",
+    "q104_spreadsheet_ingest",
+    "q105_sitemap",
+    "q106_enum_envelope",
+    "q107_urls_parse",
+    "q108_clean_org_name",
+    "q120_datapackage_roundtrip",
+    "q121_geojson_roundtrip",
+    "q122_es_actions",
+    "q138_branch_sources",
+    "q139_click_scrape",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_left_join_enrich",
+    "q04_revenue_by_nation",
+    "q05_brand_agg",
+    "q07_collect_set_join",
+    "q08_count_per_key",
+    "q09_two_level_agg",
+    "q10_mode_priority",
+    "q11_window_topk",
+    "q12_group_count_window",
+    "q13_latest_per_user",
+    "q14_dedup_composite_key",
+    "q15_union_parties",
+    "q16_explode_tokens",
+    "q17_sessionize",
+    "q18_date_math",
+    "q19_score_math",
+    "q20_surrogate_ids",
+    "q21_taxonomy_parents",
+    "q27_simhash_pairs",
+    "q28_jaccard_pairs",
+    "q31_centroids",
+    "q33_filter_with_stats",
+    "q37_clean_contacts",
+    "q38_fuzzy_nation_match",
+    "q41_json_props",
+    "q42_geo_points",
+    "q43_age_groups",
+    "q44_enumerate_topn",
+    "q45_embedding_near_dup",
+    "q46_taxonomy_fix",
+    "q47_sliding_window",
+    "q48_asof_last_purchase",
+    "q49_token_stats",
+    "q50_salted_join_agg",
+    "q52_band_join",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

@@ -136,14 +136,19 @@ def sitemap_documents(df: DataFrame, url_col: str = "url", urls_per_file: int = 
     """Chunk URLs into ≤N-per-file sitemap XML documents.
 
     Returns (file_index, xml) rows — one row per sitemap file. The global
-    row-number over the URL order is a single-pass window; at extreme scale
-    swap for a per-partition offset scheme, but sitemap corpora are ≤50M URLs
-    (the protocol's own 50k-files × 50k-URLs cap).
+    URL enumeration uses the range-partition + per-partition-offset scheme
+    (operators/windows.py:enumerate_rows_scalable) — NOT a global
+    row_number window, whose single-partition sort made this the
+    super-linear leg of the r11 publish_fanout probe: one task owned the
+    whole URL corpus. The protocol caps a sitemap corpus at 50k files ×
+    50k URLs, but the publish surface feeding it does not cap, and the
+    enumeration must scale with it.
     """
-    w = Window.orderBy(url_col)
-    indexed = df.select(url_col).withColumn(
-        "file_index", ((F.row_number().over(w) - 1) / urls_per_file).cast("long")
-    )
+    from ..operators.windows import enumerate_rows_scalable  # noqa: PLC0415
+
+    indexed = enumerate_rows_scalable(
+        df.select(url_col), [url_col], "_rn"
+    ).withColumn("file_index", F.floor(F.col("_rn") / urls_per_file).cast("long"))
 
     def _xml_escape(u):
         # & first, then < > — the sitemap protocol requires entity-escaped <loc>.

@@ -345,3 +345,55 @@ def test_jaccard_unblocked_requires_opt_in(spark):
         df, "text", "doc_id", allow_unblocked=True, threshold=0.3
     )
     assert out.count() == 1
+
+
+def test_maximal_repeat_spans_exact_lengths(spark):
+    # The any-length form must report the EXACT maximal duplicated substring
+    # length, not just the window cover: docs 1/2 share a 10-token run, docs
+    # 3/4 share a 6-token run (the window minimum), and doc 5's overlap with
+    # the shared 10-token run is only 7 tokens long — each case lands on its
+    # own exact length.
+    ten = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    six = "s1 s2 s3 s4 s5 s6"
+    df = spark.createDataFrame(
+        [
+            (1, f"aa bb {ten} cc"),
+            (2, f"xx {ten} yy zz"),
+            (3, f"{six} p1 p2 p3"),
+            (4, f"q1 q2 {six} q3"),
+            (5, "mm t1 t2 t3 t4 t5 t6 t7 nn oo"),  # 7-token prefix of `ten`
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.maximal_repeat_spans(df, "text", "doc_id", min_tokens=6)
+    rows = {r.doc_id: r for r in out.collect()}
+    # docs 1/2: the 10-token repeat -> 5 marked windows, max repeat exactly 10
+    assert rows[1].max_repeat_tokens == 10 and rows[1].n_windows == 5
+    assert rows[2].max_repeat_tokens == 10
+    assert (rows[1].span_start, rows[1].span_end) == (3, 12)
+    # docs 3/4: exactly the 6-token minimum
+    assert rows[3].max_repeat_tokens == 6 and rows[3].n_windows == 1
+    assert rows[4].max_repeat_tokens == 6
+    # doc 5: its repeat with docs 1/2 is exactly 7 tokens (t1..t7)
+    assert rows[5].max_repeat_tokens == 7 and rows[5].n_windows == 2
+    # and docs 1/2 still report 10 — the 7-token partial occurrence elsewhere
+    # must not shrink the true maximum
+    assert rows[1].max_repeat_tokens == 10
+
+
+def test_maximal_repeat_spans_cap_bounds_reported_length(spark):
+    # Repeats longer than max_run + min_tokens - 1 report AT the cap: the
+    # documented approximation for the tail; the span cover stays exact.
+    run = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, f"a {run} b"), (2, f"c d {run} e")],
+        "doc_id long, text string",
+    )
+    exact = DD.maximal_repeat_spans(df, "text", "doc_id", min_tokens=6)
+    capped = DD.maximal_repeat_spans(df, "text", "doc_id", min_tokens=6, max_run=10)
+    e = {r.doc_id: r for r in exact.collect()}
+    c = {r.doc_id: r for r in capped.collect()}
+    assert e[1].max_repeat_tokens == 30
+    assert c[1].max_repeat_tokens == 10 + 6 - 1  # cap + window - 1
+    # cover identical under the cap
+    assert (e[1].span_start, e[1].span_end) == (c[1].span_start, c[1].span_end)

@@ -271,6 +271,12 @@ def probes(spark):
             p = p.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))).select(
                 (F.col("pk") * k + F.col("_r")).alias("pk"), "p_name"
             )
+        # part.parquet is ONE split, so the k-x explode otherwise leaves the
+        # whole fabricate + levenshtein map segment on a single core — a
+        # probe-input artifact, not an operator property: a real registry
+        # arrives in many splits (every disk-backed probe corpus does).
+        # Redistribute to the session's parallelism before the operator.
+        p = p.repartition(64)
         from srm_etl_spark.plans.queries_ext12 import fabricate_org_records  # noqa: PLC0415
 
         p = p.select(

@@ -95,10 +95,44 @@ def get_spark(
         # rejects by default; read them as nanos-since-epoch longs and let the
         # loader restore TimestampType (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # SPARK_GRAFT_SPILL=1 is the memory-pressure invariance axis: a tiny
+        # unified memory pool (5% of a 12g heap ≈ 600 MB across 32 tasks,
+        # ~19 MB each) forces hash aggregates, sort-merge joins and window
+        # buffers to actually SPILL, and MEMORY_AND_DISK persists/caches to
+        # evict to disk — the 100 TB execution shape where no operator state
+        # fits in memory. Results must be byte-identical to the in-memory
+        # runs. The heap stays at 12g (not lower): the pressure knob is the
+        # FRACTION — a 6g heap additionally starves the JVM's unmanaged
+        # memory (py4j bridges, codegen caches, parquet footers), which
+        # after ~130 queries of a single-session sweep kills collects with
+        # heap exhaustion unrelated to operator spill behavior.
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "SPARK_DRIVER_MEMORY",
+                "12g" if os.environ.get("SPARK_GRAFT_SPILL") == "1" else "48g",
+            ),
+        )
+        .config(
+            "spark.memory.fraction",
+            "0.05" if os.environ.get("SPARK_GRAFT_SPILL") == "1" else "0.6",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if os.environ.get("SPARK_GRAFT_SPILL") == "1":
+        # the fraction alone cannot force spills at test scale (a 19 MB/task
+        # pool still fits sf0.01 partitions), so the axis also drops the
+        # force-spill row thresholds: every sorter, window buffer and
+        # sort-merge-join buffer past 1k rows goes through the real
+        # spill-to-disk path (verified >0 spilled bytes via the event log).
+        # Only set under the axis — in normal mode the Spark defaults stay.
+        for k in (
+            "spark.shuffle.spill.numElementsForceSpillThreshold",
+            "spark.sql.windowExec.buffer.spill.threshold",
+            "spark.sql.sortMergeJoinExec.buffer.spill.threshold",
+        ):
+            builder = builder.config(k, "1000")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

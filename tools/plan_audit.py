@@ -25,16 +25,10 @@ runtime-reachable nodes on the executed-plan tree with cached-build
 subtrees pruned: what actually executes per action once the persist is
 warm.
 
-Known counter artifact (counters only — the anti-pattern FLAGS are
-unaffected): a query whose CONSTRUCTION materializes its caches (q166's
-bounded DSIR collects run the curation chain at build time) prints every
-InMemoryRelation as a MATERIALIZED AdaptiveSparkPlan whose Final/Initial
-sections drop the enclosing indentation rails, which defeats the
-depth-based cached-subtree dedup below — rt_exchanges over-counts the
-same cached build hundreds of times. q166's true runtime shape is q160's
-audited chain (rt=10) plus the standalone-audited DSIR scorer (q164,
-rt=6) plus a k-row literal; the inflated number is a print-parsing
-artifact, verified by the per-stage plans.
+(The r11 note about q166's rt_exchanges over-count — construction-time
+materialized caches defeating the cached-subtree dedup — is obsolete: the
+training-corpus pins are now lineage-truncating localCheckpoints, so the
+composed q160/q166 plans audit at their true runtime shape, rt=1.)
 
 Usage: python tools/plan_audit.py [query ...]   (writes PLAN_AUDIT.txt)
 """

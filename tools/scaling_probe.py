@@ -307,6 +307,17 @@ def probes(spark):
             scaled_docs(spark, k), "text", "doc_id", min_tokens=16
         )
 
+    def p_max_repeats(k):
+        # the any-length form (q169): same window shuffle as substr_spans,
+        # plus the run-tail prefix certificate on the marked subset — the
+        # probe watches whether the O(run * max_run) prefix stage stays
+        # proportional to the duplicated surface, not the corpus
+        from srm_etl_spark.operators.dedup import maximal_repeat_spans  # noqa: PLC0415
+
+        return maximal_repeat_spans(
+            scaled_docs(spark, k), "text", "doc_id", min_tokens=16
+        )
+
     def p_entities_staged(k):
         # the COMPOSED §3.2 vertical (q129 shape): four sequential staged
         # merges with persisted scrape dims — fixed-cost knees would hide
@@ -492,6 +503,7 @@ def probes(spark):
         "entity_res": p_entity_res,
         "semantic_dedup": p_semantic_dedup,
         "substr_spans": p_substr_spans,
+        "max_repeats": p_max_repeats,
         "entities_staged": p_entities_staged,
         "meser_staged": p_meser_staged,
         "derive_staged": p_derive_staged,
@@ -517,6 +529,7 @@ def probes(spark):
 _PROBE_NAMES = [
     "exact_dedup", "minhash_sigs", "chunking", "quality_quota", "pagerank_2it",
     "ivf_topk", "entity_res", "semantic_dedup", "substr_spans",
+    "max_repeats",
     "entities_staged", "meser_staged", "derive_staged", "publish_fanout",
     "es_publish_all", "mapbox_geo", "places_osm", "dsir_select", "ccnet",
     "doremi", "etl_staged",

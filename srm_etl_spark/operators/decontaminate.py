@@ -93,3 +93,97 @@ def decontaminate(
         corpus, eval_df, text_col, id_col, n, min_overlap
     ).select(id_col)
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def exact_substring_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 16,
+) -> DataFrame:
+    """ANY-length exact-substring decontamination (Lee et al. 2022 §6.2's
+    "train-test leakage" variant of ExactSubstr, the surgical form of the
+    GPT-3-style n-gram drop): every span of a TRAINING document that occurs
+    verbatim (>= ``min_tokens`` tokens) anywhere in the eval set is CUT OUT
+    of the document, instead of dropping the whole document.
+
+    The position cover is EXACT for any-length shared substrings with only
+    fixed-length windows: a shared substring of m >= L tokens shares all its
+    L-windows, and any position under a shared L-window is inside a shared
+    >= L substring — so marking train windows whose key occurs in the eval
+    window set and coalescing marked starts (gap <= L) covers exactly the
+    union of all shared >= L substrings. (No prefix-extension machinery
+    needed cross-corpus — unlike ``dedup.maximal_repeat_spans``, which also
+    reports exact per-repeat lengths.)
+
+    Output: one row per training document — (id_col, n_contam_spans,
+    contam_tokens, clean_text). Uncontaminated docs pass through verbatim
+    with zero counts.
+
+    Scale shape: the eval window-key set is small by construction
+    (benchmarks are human-curated) and broadcast — the corpus-side window
+    stream never shuffles for the probe; the only shuffle is the span
+    coalescing window over MARKED rows (proportional to the leakage, not
+    the corpus) plus the span join back (broadcast: spans are tiny). The
+    cut itself is the ``dedup.remove_duplicate_spans`` per-row array kernel.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..functions.text import tokens  # noqa: PLC0415
+    from .dedup import remove_duplicate_spans  # noqa: PLC0415
+
+    def _windows(df: DataFrame, with_id: bool) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        base = (
+            df.select(F.col(id_col), toks.alias("_t"))
+            .withColumn("_n", F.size("_t"))
+            .filter(F.col("_n") >= min_tokens)
+        )
+        wins = base.select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.col("_n") - (min_tokens - 1))
+            ).alias("s"),
+            "_t",
+        ).select(
+            id_col,
+            "s",
+            F.md5(
+                F.array_join(F.slice(F.col("_t"), F.col("s"), min_tokens), " ")
+            ).alias("_k"),
+        )
+        return wins if with_id else wins.select("_k").distinct()
+
+    ev_keys = _windows(eval_df, with_id=False)
+    marked = _windows(corpus, with_id=True).join(
+        F.broadcast(ev_keys), "_k"
+    ).select(id_col, "s")
+    w = Window.partitionBy(id_col).orderBy("s")
+    brk = F.when(F.col("s") - F.lag("s").over(w) > min_tokens, 1).otherwise(0)
+    island = F.sum("_brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        marked.withColumn("_brk", brk)
+        .withColumn("_isl", island)
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("s").alias("span_start"),
+            (F.max("s") + F.lit(min_tokens - 1)).alias("span_end"),
+        )
+    )
+    cleaned = remove_duplicate_spans(corpus, spans, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_contam_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("contam_tokens"),
+    )
+    return (
+        cleaned.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contam_spans", F.lit(0)).alias("n_contam_spans"),
+            F.coalesce("contam_tokens", F.lit(0)).alias("contam_tokens"),
+            "clean_text",
+        )
+    )

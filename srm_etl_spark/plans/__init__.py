@@ -62,13 +62,15 @@ REGISTRY.update(EXT25_REGISTRY)
 REGISTRY.update(EXT26_REGISTRY)
 
 # Driver-window rotation, round 12: the gate verifies the FIRST 50 registry
-# entries. This round's window = the NEW query (q169 any-length maximal
-# repeats — every new query enters the window in its own round) + the 12
+# entries. This round's window = the TWO NEW queries (q169 any-length
+# maximal repeats, q170 exact-substring decontamination — every new query
+# enters the window in its own round) + the 12
 # micro-queries the r11 rotation dropped to fit (q102-q108/q120-q122/
 # q138-q139, promised back this round) + 37 of the q01-q52 head, the
 # stalest band (last driver-gated r9). The 15 head entries dropped to fit
 # are those whose kernels are load-bearing inside composed certifications
-# gated in r10/r11: q06/q51 upserts inside q165; q22/q26 dedup and
+# gated in r10/r11: q06/q51 upserts inside q165; q15 concatenate inside
+# q161's union legs; q22/q26 dedup and
 # q23-q25 text kernels inside q160/q166/q167; q34-q36 derive surfaces
 # inside q158/q161/q165; q40 templates inside q74; q32 tumbling inside
 # q53 + the streaming recovery gate; q29/q30 similarity inside the
@@ -77,6 +79,7 @@ REGISTRY.update(EXT26_REGISTRY)
 # run from the final tree).
 _WINDOW = [
     "q169_maximal_repeats",
+    "q170_exact_decontaminate",
     "q102_taxonomy_flatten",
     "q103_html_scrape",
     "q104_spreadsheet_ingest",
@@ -102,7 +105,6 @@ _WINDOW = [
     "q12_group_count_window",
     "q13_latest_per_user",
     "q14_dedup_composite_key",
-    "q15_union_parties",
     "q16_explode_tokens",
     "q17_sessionize",
     "q18_date_math",

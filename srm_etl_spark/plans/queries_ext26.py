@@ -89,3 +89,83 @@ EXT26_REGISTRY["q169_maximal_repeats"] = QueryDef(
     q169_maximal_repeats, Q169_SQL,
     "LLM-pipeline: any-length maximal duplicated substrings (suffix-array semantics)",
 )
+
+
+def q170_exact_decontaminate(spark, sf_dir):
+    """Any-length exact-substring decontamination of a training corpus vs a
+    held-out eval slice (operators/decontaminate.py:
+    exact_substring_decontaminate — Lee et al. 2022 §6.2 train-test leakage,
+    the surgical span-cut form of GPT-3's n-gram document drop). Eval =
+    doc_id % 7 == 0 (the slice with measurable leakage at all three SFs);
+    spans of >= 16 tokens occurring verbatim in the eval set are cut out of
+    the train docs, with per-doc span/token counts carried alongside."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ..operators.decontaminate import exact_substring_decontaminate  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    out = exact_substring_decontaminate(train, ev, "text", "doc_id", min_tokens=_L)
+    return out.select(
+        "doc_id",
+        F.col("n_contam_spans").cast("long").alias("n_contam_spans"),
+        F.col("contam_tokens").cast("long").alias("contam_tokens"),
+        "clean_text",
+    )
+
+
+Q170_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS t
+  FROM documents
+), wins AS (
+  SELECT doc_id, cs AS s,
+         md5(array_to_string(list_slice(t, cs, cs + {_L - 1}), ' ')) AS k
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_L - 1})) AS cs
+        FROM toks WHERE len(t) >= {_L})
+), evk AS (
+  SELECT DISTINCT k FROM wins WHERE doc_id % 7 = 0
+), marked AS (
+  SELECT w.doc_id, w.s FROM wins w JOIN evk USING (k) WHERE w.doc_id % 7 != 0
+), flagged AS (
+  SELECT doc_id, s,
+         CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) > {_L}
+              THEN 1 ELSE 0 END AS brk
+  FROM marked
+), isl AS (
+  SELECT doc_id, s,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, min(s) AS ss, max(s) + {_L - 1} AS se
+  FROM isl GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(se - ss + 1) AS ctok FROM spans GROUP BY doc_id
+), exploded AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+  FROM toks WHERE doc_id % 7 != 0
+), kept AS (
+  SELECT e.doc_id, e.tok, e.pos
+  FROM exploded e
+  WHERE NOT EXISTS (SELECT 1 FROM spans s2
+                    WHERE s2.doc_id = e.doc_id AND e.pos BETWEEN s2.ss AND s2.se)
+), rejoined AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_contam_spans,
+       CAST(coalesce(p.ctok, 0) AS BIGINT) AS contam_tokens,
+       CASE WHEN p.doc_id IS NULL THEN d.text ELSE coalesce(r.clean, '') END AS clean_text
+FROM documents d
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN rejoined r USING (doc_id)
+WHERE d.doc_id % 7 != 0
+"""
+
+
+EXT26_REGISTRY["q170_exact_decontaminate"] = QueryDef(
+    q170_exact_decontaminate, Q170_SQL,
+    "LLM-pipeline: any-length exact-substring decontamination vs an eval set",
+)

@@ -397,3 +397,32 @@ def test_maximal_repeat_spans_cap_bounds_reported_length(spark):
     assert c[1].max_repeat_tokens == 10 + 6 - 1  # cap + window - 1
     # cover identical under the cap
     assert (e[1].span_start, e[1].span_end) == (c[1].span_start, c[1].span_end)
+
+
+def test_exact_substring_decontaminate_cuts_eval_spans(spark):
+    from srm_etl_spark.operators.decontaminate import exact_substring_decontaminate
+
+    leak = "l1 l2 l3 l4 l5 l6"  # 6-token span present in the eval set
+    train = spark.createDataFrame(
+        [
+            (1, f"aa bb {leak} cc dd"),       # contaminated mid-doc
+            (2, "totally clean text with nothing shared at all here"),
+            (3, f"{leak} tail1 tail2"),        # contaminated at the start
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"prefix {leak} suffix words here")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in exact_substring_decontaminate(
+            train, ev, "text", "doc_id", min_tokens=6
+        ).collect()
+    }
+    assert out[1].n_contam_spans == 1 and out[1].contam_tokens == 6
+    assert out[1].clean_text == "aa bb cc dd"
+    assert out[2].n_contam_spans == 0 and out[2].clean_text.startswith("totally clean")
+    assert out[3].clean_text == "tail1 tail2"
+    # an eval-internal duplicate must NOT mark train docs that lack it
+    assert out[2].contam_tokens == 0

@@ -444,7 +444,8 @@ def probes(spark):
                 (F.col("l_orderkey") * k + F.col("_r")).alias("l_orderkey"),
                 "l_suppkey",
                 "l_quantity",
-            )
+            ).repartition(32)  # single-split input: spread the k-x explode
+            # (probe-input artifact — see p_entity_res)
         big = li.select(
             F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
             .otherwise(F.col("l_suppkey"))

@@ -184,6 +184,8 @@ def resolve_entities(
     """
     from .graph import connected_components  # noqa: PLC0415
 
+    if max_block_size is not None and max_block_size < 1:
+        raise ValueError("max_block_size must be >= 1")
     base = records.select(
         F.col(id_col).alias("_rid"), F.col(name_col).alias("_nm"), block_expr.alias("_blk")
     )

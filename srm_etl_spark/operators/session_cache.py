@@ -164,9 +164,10 @@ def keep_checkpointed_pooled(df: DataFrame, pool: str, max_slots: int = 8) -> Da
     prev = slots.get(key)
     if prev is not None:
         try:
-            # cheap liveness probe — a checkpoint from a torn-down session
-            # would throw on any use; rebuild in that case
-            prev.schema  # noqa: B018
+            # cheap liveness probe — must be a real JVM round-trip (schema is
+            # memoized client-side and would not notice a torn-down session);
+            # a checkpoint from a dead session throws here and is rebuilt
+            prev.semanticHash()
             slots[key] = slots.pop(key)  # refresh LRU position
             return prev
         except Exception:  # noqa: BLE001, S110 — prior session gone

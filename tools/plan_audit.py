@@ -25,10 +25,18 @@ runtime-reachable nodes on the executed-plan tree with cached-build
 subtrees pruned: what actually executes per action once the persist is
 warm.
 
-(The r11 note about q166's rt_exchanges over-count — construction-time
-materialized caches defeating the cached-subtree dedup — is obsolete: the
-training-corpus pins are now lineage-truncating localCheckpoints, so the
-composed q160/q166 plans audit at their true runtime shape, rt=1.)
+Known counter artifact (counters only — the anti-pattern FLAGS are
+unaffected): a query whose CONSTRUCTION materializes a cache prints that
+cache's build lineage as a MATERIALIZED AdaptiveSparkPlan whose
+Final/Initial sections drop the enclosing indentation rails, defeating the
+depth-based cached-subtree dedup below, so rt_exchanges over-counts the
+same cached build many times. In r11 this hit q160/q166 (obsolete: their
+pins are now lineage-truncating localCheckpoints — they audit at their
+true runtime shape, rt=1); since r12 it hits q159, whose sitemap leg uses
+enumerate_rows_scalable (the ranged exchange is pinned and its offsets
+collected at build time). q159's true runtime shape is its r11 audit
+(rt=13) plus one cached ranged scan; the 2.2x 16x scaling probe confirms
+the runtime is leg-shaped, not 376-exchange-shaped.
 
 Usage: python tools/plan_audit.py [query ...]   (writes PLAN_AUDIT.txt)
 """

@@ -311,12 +311,37 @@ def probes(spark):
         # the any-length form (q169): same window shuffle as substr_spans,
         # plus the run-tail prefix certificate on the marked subset — the
         # probe watches whether the O(run * max_run) prefix stage stays
-        # proportional to the duplicated surface, not the corpus
+        # proportional to the duplicated SURFACE, not the corpus. The shared
+        # scaled_docs axis is wrong for this operator: its tail-token
+        # perturbation leaves every window duplicated ACROSS the k replicas
+        # (a ~94%-duplicate corpus at 16x — whole-doc runs everywhere, which
+        # any ExactSubstr implementation pays output-linear for). Instead,
+        # prefix every TOKEN with its replica id: within-replica organic
+        # duplication is preserved exactly (constant rate), cross-replica
+        # matches are impossible — the realistic k-x growth shape.
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
         from srm_etl_spark.operators.dedup import maximal_repeat_spans  # noqa: PLC0415
 
-        return maximal_repeat_spans(
-            scaled_docs(spark, k), "text", "doc_id", min_tokens=16
-        )
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        if k > 1:
+            d = (
+                d.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+                .select(
+                    (F.col("doc_id") * k + F.col("_r")).alias("doc_id"),
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), r"\s+"),
+                            lambda t: F.concat(
+                                F.lit("r"), F.col("_r").cast("string"), F.lit("_"), t
+                            ),
+                        ),
+                        " ",
+                    ).alias("text"),
+                )
+                .repartition(32)
+            )
+        return maximal_repeat_spans(d, "text", "doc_id", min_tokens=16)
 
     def p_entities_staged(k):
         # the COMPOSED §3.2 vertical (q129 shape): four sequential staged

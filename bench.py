@@ -67,6 +67,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # Methodology marker: v2 = release_all() between queries (r12+), so
+        # every per-query number is the query's SELF-CONTAINED cost.
+        # Round-over-round per-query comparisons are valid only within the
+        # same methodology — BENCH_LOCAL_r12 is the baseline for v2; r11 and
+        # earlier numbers let neighbours' warm pins subsidize a query.
+        "methodology": "self-contained-v2",
     }
     # The driver's BENCH_r{N}.json capture keeps only the LAST 2000 chars of
     # stdout and json-parses them (r4-r9: the full-name map blew the cap, so

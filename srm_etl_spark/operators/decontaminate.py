@@ -101,6 +101,7 @@ def exact_substring_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_tokens: int = 16,
+    broadcast_eval_keys: bool | None = None,
 ) -> DataFrame:
     """ANY-length exact-substring decontamination (Lee et al. 2022 §6.2's
     "train-test leakage" variant of ExactSubstr, the surgical form of the
@@ -121,12 +122,22 @@ def exact_substring_decontaminate(
     contam_tokens, clean_text). Uncontaminated docs pass through verbatim
     with zero counts.
 
-    Scale shape: the eval window-key set is small by construction
-    (benchmarks are human-curated) and broadcast — the corpus-side window
-    stream never shuffles for the probe; the only shuffle is the span
-    coalescing window over MARKED rows (proportional to the leakage, not
-    the corpus) plus the span join back (broadcast: spans are tiny). The
-    cut itself is the ``dedup.remove_duplicate_spans`` per-row array kernel.
+    Scale shape: the eval window-key set is usually small (benchmarks are
+    human-curated) and then broadcast — the corpus-side window stream never
+    shuffles for the probe; the only shuffle is the span coalescing window
+    over MARKED rows (proportional to the leakage, not the corpus) plus the
+    span join back (broadcast: spans are tiny). The cut itself is the
+    ``dedup.remove_duplicate_spans`` per-row array kernel.
+
+    ``broadcast_eval_keys`` controls the probe join strategy: the key set
+    grows with eval TOKEN count (one md5 per position), so a large eval
+    side — q170 feeds 1/7 of the corpus as "eval" — can outgrow the
+    driver/executor broadcast budget. Default ``None`` decides from
+    ``spark.sql.autoBroadcastJoinThreshold`` vs. the estimated key bytes
+    (a count of the distinct keys × the 44-byte md5 row — one extra
+    bounded aggregate over the eval side only); ``True``/``False`` force
+    the hint on/off, and off means a plain shuffle equi-join (AQE may
+    still pick broadcast if the built side turns out small).
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
@@ -156,9 +167,27 @@ def exact_substring_decontaminate(
         return wins if with_id else wins.select("_k").distinct()
 
     ev_keys = _windows(eval_df, with_id=False)
-    marked = _windows(corpus, with_id=True).join(
-        F.broadcast(ev_keys), "_k"
-    ).select(id_col, "s")
+    if broadcast_eval_keys is None:
+        # one shuffle-free aggregate over the EVAL side only (never the
+        # corpus): total window count upper-bounds the distinct key count,
+        # ~44 bytes per md5 row vs. the session broadcast budget
+        thresh = int(
+            corpus.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        )
+        n_keys_ub = (
+            eval_df.select(
+                F.greatest(
+                    F.size(tokens(F.col(text_col))) - (min_tokens - 1), F.lit(0)
+                ).alias("_w")
+            )
+            .agg(F.sum("_w").alias("n"))
+            .collect()[0]["n"]
+            or 0
+        )
+        broadcast_eval_keys = thresh > 0 and n_keys_ub * 44 <= thresh
+    if broadcast_eval_keys:
+        ev_keys = F.broadcast(ev_keys)
+    marked = _windows(corpus, with_id=True).join(ev_keys, "_k").select(id_col, "s")
     w = Window.partitionBy(id_col).orderBy("s")
     brk = F.when(F.col("s") - F.lag("s").over(w) > min_tokens, 1).otherwise(0)
     island = F.sum("_brk").over(

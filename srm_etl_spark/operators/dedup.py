@@ -598,6 +598,7 @@ def embedding_near_dup_pairs_arrow(
     threshold: float = 0.95,
     block_col: str | None = None,
     chunk_rows: int = 1024,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """BLAS-backed twin of :func:`embedding_near_dup_pairs`: per-block cosine
     matrix via ``applyInPandas`` + numpy matmul, emitting only pairs at or
@@ -620,41 +621,103 @@ def embedding_near_dup_pairs_arrow(
     are expected to be bounded (an LSH bucket / IVF cell — q30/q61's
     machinery); a skewed block bounds the longest task exactly as it bounds
     the blocked join.
+
+    ``max_block_size`` bounds PER-TASK matrix size when blocks can outgrow
+    the memory budget (at corpus scale a hot cluster / bucket concentrates):
+    every block of size B > cap is salt-split into S = ceil(B / cap)
+    deterministic sub-blocks by id hash, and each unordered sub-block pair
+    (i, j) meets in its own task — a row of sub-block s replicates to the S
+    groups (min(s,t), max(s,t)) for t in 0..S-1; within a mixed group only
+    cross-sub-block pairs are emitted, so every pair is produced EXACTLY
+    once (identical pair set and float64 cosines — unit vectors normalize
+    per row, independent of grouping). Peak task memory drops from
+    O(B·dim) to O(2·cap·dim); total work is unchanged (the cap bounds
+    stragglers, it does not reduce B²) — the ``resolve_entities`` block-cap
+    precedent applied to the BLAS kernel.
     """
     import numpy as np  # noqa: PLC0415
 
-    group_cols = [block_col] if block_col else []
+    if max_block_size is not None and max_block_size < 1:
+        raise ValueError("max_block_size must be >= 1")
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="stable")
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []})
-        norm = np.linalg.norm(mat, axis=1, keepdims=True)
-        zero = norm[:, 0] == 0
-        norm[zero] = 1.0
-        unit = mat / norm
-        out_l, out_r, out_c = [], [], []
-        for lo in range(0, n, chunk_rows):
-            hi = min(lo + chunk_rows, n)
-            sims = unit[lo:hi] @ unit.T  # (strip, n)
-            if zero.any():  # zero-norm rows: cosine defined as 0.0
-                sims[zero[lo:hi], :] = 0.0
-                sims[:, zero] = 0.0
-            # upper triangle only (id_l < id_r after the sort)
-            si, sj = np.nonzero(sims >= threshold)
-            keep = lo + si < sj
-            si, sj = si[keep], sj[keep]
-            out_l.extend(ids[lo + si].tolist())
-            out_r.extend(ids[sj].tolist())
-            out_c.extend(sims[si, sj].tolist())
-        return pd.DataFrame({"left_id": out_l, "right_id": out_r, "cosine": out_c})
+    def make_score(salted: bool):
+        def score(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col, kind="stable")
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = len(ids)
+            if n < 2:
+                return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []})
+            mixed = salted and pdf["_gi"].iat[0] != pdf["_gj"].iat[0]
+            salts = pdf["_salt"].to_numpy(dtype=np.int64) if mixed else None
+            norm = np.linalg.norm(mat, axis=1, keepdims=True)
+            zero = norm[:, 0] == 0
+            norm[zero] = 1.0
+            unit = mat / norm
+            out_l, out_r, out_c = [], [], []
+            for lo in range(0, n, chunk_rows):
+                hi = min(lo + chunk_rows, n)
+                sims = unit[lo:hi] @ unit.T  # (strip, n)
+                if zero.any():  # zero-norm rows: cosine defined as 0.0
+                    sims[zero[lo:hi], :] = 0.0
+                    sims[:, zero] = 0.0
+                # upper triangle only (id_l < id_r after the sort)
+                si, sj = np.nonzero(sims >= threshold)
+                keep = lo + si < sj
+                if mixed:
+                    # same-sub-block pairs belong to the (s, s) group —
+                    # emitting them here too would duplicate them
+                    keep &= salts[lo + si] != salts[sj]
+                si, sj = si[keep], sj[keep]
+                out_l.extend(ids[lo + si].tolist())
+                out_r.extend(ids[sj].tolist())
+                out_c.extend(sims[si, sj].tolist())
+            return pd.DataFrame({"left_id": out_l, "right_id": out_r, "cosine": out_c})
 
-    base = df.select(id_col, vec_col, *group_cols)
-    grouped = base.groupBy(*group_cols) if group_cols else base.groupBy(F.lit(1).alias("_g"))
-    return grouped.applyInPandas(score, "left_id long, right_id long, cosine double")
+        return score
+
+    out_schema = "left_id long, right_id long, cosine double"
+    if max_block_size is None:
+        group_cols = [block_col] if block_col else []
+        base = df.select(id_col, vec_col, *group_cols)
+        grouped = (
+            base.groupBy(*group_cols)
+            if group_cols
+            else base.groupBy(F.lit(1).alias("_g"))
+        )
+        return grouped.applyInPandas(make_score(False), out_schema)
+
+    blk = F.col(block_col) if block_col else F.lit(1)
+    base = df.select(id_col, vec_col, blk.alias("_blk"))
+    sizes = base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bn"))
+    # one extra shuffle on _blk (the key the kernel groups on anyway);
+    # S = 1 for every block under the cap, so the common case reduces to the
+    # uncapped grouping with a constant (0, 0) sub-block pair
+    salted = (
+        base.join(sizes, "_blk")
+        .withColumn(
+            "_nsplit", F.ceil(F.col("_bn") / F.lit(max_block_size)).cast("int")
+        )
+        .withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")), F.col("_nsplit")
+            ).cast("int"),
+        )
+    )
+    rep = salted.withColumn(
+        "_t", F.explode(F.sequence(F.lit(0), F.col("_nsplit") - 1))
+    ).select(
+        id_col,
+        vec_col,
+        "_blk",
+        "_salt",
+        F.least("_salt", "_t").alias("_gi"),
+        F.greatest("_salt", "_t").alias("_gj"),
+    )
+    return rep.groupBy("_blk", "_gi", "_gj").applyInPandas(
+        make_score(True), out_schema
+    )
 
 
 # --- semantic dedup (SemDeDup: cluster, then prune within clusters) ---------
@@ -667,6 +730,7 @@ def semantic_dedup(
     iterations: int = 2,
     threshold: float = 0.95,
     chunk_rows: int = 1024,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the embedding
     corpus, then drop semantic duplicates *within* each cluster — a row is a
@@ -695,6 +759,7 @@ def semantic_dedup(
     pairs = embedding_near_dup_pairs_arrow(
         assigned, vec_col, id_col,
         threshold=threshold, block_col="cluster", chunk_rows=chunk_rows,
+        max_block_size=max_block_size,
     )
     losers = pairs.select(F.col("right_id").alias(id_col)).distinct()
     return (
@@ -808,12 +873,17 @@ def maximal_repeat_spans(
     itself duplicated, so the search space collapses to RUNS of marked
     (duplicated-window) positions — the sparse duplicated surface, not the
     corpus. Each marked position carries its run tail (capped at
-    ``max_run`` hashes); the md5 of every tail PREFIX is a candidate
-    substring key, and a per-key count >= 2 certifies duplication. The
-    per-position maximum duplicated prefix length is exact for repeats up
-    to ``max_run + min_tokens - 1`` tokens; longer repeats are reported at
-    the cap (documented approximation — the paper's removal semantics only
-    needs the position cover, which is exact regardless).
+    ``max_run`` hashes); a position's maximal duplicated prefix length is
+    the longest common prefix its tail shares with ANY other position's
+    tail, and — the suffix-array adjacency property — that maximum is
+    always attained at a SORT-ADJACENT tail, so one global ordering of the
+    marked positions by tail plus an element-wise LCP against each
+    neighbor replaces certificate counting entirely (the r12 formulation
+    emitted one md5 per (position, prefix length) — O(run · max_run) rows;
+    this is O(marked) rows). The per-position maximum is exact for repeats
+    up to ``max_run + min_tokens - 1`` tokens; longer repeats are reported
+    at the cap (documented approximation — the paper's removal semantics
+    only needs the position cover, which is exact regardless).
 
     Output: one row per (document, run): ``span_start``/``span_end``
     (1-based inclusive token coordinates of the covered region),
@@ -822,13 +892,15 @@ def maximal_repeat_spans(
     within the run).
 
     Scale shape: the corpus is shuffled ONCE keyed by window hash (as the
-    fixed-window form); everything after runs on the marked subset —
-    tails are per-(doc, run) window frames bounded by ``max_run`` rows,
-    prefix keys live inside array-land (one md5 string per (position,
-    prefix length), O(run · max_run) rows per run — never carried through
-    a shuffle as arrays), and the certificate count is one
-    map-side-combinable aggregate keyed by prefix hash. Nothing touches
-    the driver.
+    fixed-window form); everything after runs on the marked subset — the
+    tail ordering is a range-partitioned sort via
+    :func:`~srm_etl_spark.operators.windows.enumerate_rows_scalable` (no
+    single-partition window; its only driver traffic is one count per
+    partition), adjacent pairs meet through an equi-join on the row index,
+    and each pair credits BOTH endpoints so first/last rows of the global
+    order need no special casing. Tails are bounded at ``max_run`` hashes
+    per row; nothing quadratic, nothing driver-side beyond the bounded
+    offsets collect.
     """
     toks = tokens(F.col(text_col))
     base = (
@@ -860,34 +932,49 @@ def maximal_repeat_spans(
         Window.partitionBy(id_col, "_g").orderBy("s").rowsBetween(0, max_run - 1)
     )
     pos = runs.withColumn("_tail", F.collect_list("_k").over(wtail))
-    # every tail prefix is a candidate repeated substring; build the prefix
-    # keys inside array-land so the exploded rows carry one md5, not the tail
-    pref = pos.select(
-        id_col,
-        "s",
-        "_g",
+    # order the marked positions by tail (lexicographic on the hash
+    # sequence); every position's best-matching tail is then one of its two
+    # order-neighbors, so a single pass of adjacent LCPs is exact
+    from .windows import enumerate_rows_scalable  # noqa: PLC0415
+
+    ordered = enumerate_rows_scalable(pos, [F.col("_tail")], out_col="_rn")
+    nxt = ordered.select(
+        (F.col("_rn") - 1).alias("_rn"),
+        F.col(id_col).alias("_id2"),
+        F.col("s").alias("_s2"),
+        F.col("_g").alias("_g2"),
+        F.col("_tail").alias("_tail2"),
+    )
+    pairs = ordered.join(nxt, "_rn", "inner")
+    # element-wise LCP: zip_with pads the shorter tail with nulls, which
+    # eqNullSafe maps to false, so the first mismatch index is the LCP;
+    # no mismatch means one tail prefixes the other -> LCP = min length
+    eq = F.zip_with("_tail", "_tail2", lambda a, b: a.eqNullSafe(b))
+    fpos = F.array_position(eq, F.lit(False))
+    lcp = F.when(fpos > 0, fpos - 1).otherwise(
+        F.least(F.size("_tail"), F.size("_tail2"))
+    )
+    # credit the pair's LCP to BOTH endpoints (each position's maximum is
+    # max(LCP with prev, LCP with next); the global first/last rows simply
+    # have one credit)
+    credits = pairs.select(
+        lcp.alias("_l"),
         F.explode(
-            F.arrays_zip(
-                F.sequence(F.lit(1), F.size("_tail")).alias("m"),
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_tail")),
-                    lambda i: F.md5(F.array_join(F.slice(F.col("_tail"), 1, i), "|")),
-                ).alias("pk"),
+            F.array(
+                F.struct(
+                    F.col(id_col).alias("i"), F.col("s").alias("p"), F.col("_g").alias("g")
+                ),
+                F.struct(
+                    F.col("_id2").alias("i"), F.col("_s2").alias("p"), F.col("_g2").alias("g")
+                ),
             )
-        ).alias("_p"),
-    ).select(id_col, "s", "_g", F.col("_p.m").alias("m"), F.col("_p.pk").alias("_pk"))
-    dup_pref = (
-        pref.groupBy("_pk")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= 2)
-        .select("_pk")
+        ).alias("_e"),
     )
-    # max duplicated run-prefix per position (>= 1 always: the own window)
-    duplen = (
-        pref.join(dup_pref, "_pk")
-        .groupBy(id_col, "s", "_g")
-        .agg(F.max("m").alias("_dl"))
-    )
+    # max duplicated run-prefix per position (>= 1 always: the own window
+    # hash is corpus-duplicated, so some neighbor shares element 1)
+    duplen = credits.groupBy(
+        F.col("_e.i").alias(id_col), F.col("_e.p").alias("s"), F.col("_e.g").alias("_g")
+    ).agg(F.max("_l").alias("_dl"))
     return duplen.groupBy(id_col, "_g").agg(
         F.min("s").alias("span_start"),
         (F.max("s") + F.lit(min_tokens - 1)).alias("span_end"),

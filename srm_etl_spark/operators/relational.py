@@ -184,6 +184,41 @@ def resolve_entities(
     """
     from .graph import connected_components  # noqa: PLC0415
 
+    pairs = _blocked_edit_pairs(
+        records, name_col, id_col, block_expr, max_edits, max_block_size
+    )
+    cc = connected_components(pairs, "left_id", "right_id")
+    assigned = (
+        records.select(F.col(id_col).alias("record_id"))
+        .join(cc.select(F.col("node").alias("record_id"), "component"), "record_id", "left")
+        .select(
+            "record_id",
+            F.coalesce("component", F.col("record_id")).alias("entity_id"),
+        )
+    )
+    # map-side-combinable size count joined back: the partial aggregate
+    # shrinks each task's contribution to one row per entity before the
+    # shuffle, where a count-window would buffer the largest entity's full
+    # row set in a single task
+    sizes = assigned.groupBy("entity_id").agg(F.count(F.lit(1)).alias("entity_size"))
+    return assigned.join(sizes, "entity_id").select(
+        "record_id", "entity_id", "entity_size"
+    )
+
+
+def _blocked_edit_pairs(
+    records: DataFrame,
+    name_col: str,
+    id_col: str,
+    block_expr: Column,
+    max_edits: int,
+    max_block_size: int | None,
+) -> DataFrame:
+    """resolve_entities' candidate-pair stage, factored out so the salt-split
+    plan is directly inspectable (the final entity frame is lineage-truncated
+    by connected_components' checkpoints, which hides the salt stage from its
+    optimized plan). Returns (left_id, right_id) matches within
+    ``max_edits``."""
     if max_block_size is not None and max_block_size < 1:
         raise ValueError("max_block_size must be >= 1")
     base = records.select(
@@ -221,28 +256,11 @@ def resolve_entities(
         join_cond = (F.col("l._blk") == F.col("r._blk")) & (
             F.col("l._rid") < F.col("r._rid")
         )
-    pairs = (
+    return (
         l.join(r, join_cond)
         .withColumn("_dist", F.levenshtein(F.col("l._nm"), F.col("r._nm"), max_edits))
         .filter(F.col("_dist") >= 0)  # thresholded form returns -1 past max
         .select(F.col("l._rid").alias("left_id"), F.col("r._rid").alias("right_id"))
-    )
-    cc = connected_components(pairs, "left_id", "right_id")
-    assigned = (
-        records.select(F.col(id_col).alias("record_id"))
-        .join(cc.select(F.col("node").alias("record_id"), "component"), "record_id", "left")
-        .select(
-            "record_id",
-            F.coalesce("component", F.col("record_id")).alias("entity_id"),
-        )
-    )
-    # map-side-combinable size count joined back: the partial aggregate
-    # shrinks each task's contribution to one row per entity before the
-    # shuffle, where a count-window would buffer the largest entity's full
-    # row set in a single task
-    sizes = assigned.groupBy("entity_id").agg(F.count(F.lit(1)).alias("entity_size"))
-    return assigned.join(sizes, "entity_id").select(
-        "record_id", "entity_id", "entity_size"
     )
 
 

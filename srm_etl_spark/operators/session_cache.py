@@ -30,9 +30,12 @@ _SLOTS: dict[str, DataFrame] = {}
 _POOLS: dict[str, dict[int, DataFrame]] = {}
 
 # Checkpoint pools (keep_checkpointed_pooled): semantic_hash of the ORIGINAL
-# plan -> the localCheckpoint'ed frame. Checkpoint blocks are freed by the
-# ContextCleaner when the RDD reference is dropped, so eviction = del.
-_CKPT_POOLS: dict[str, dict[int, DataFrame]] = {}
+# plan -> (original frame, localCheckpoint'ed frame). The original rides
+# along so a pool hit can verify sameSemantics against it — the checkpointed
+# frame's own plan is a block scan and can no longer witness what it was
+# computed from. Checkpoint blocks are freed by the ContextCleaner when the
+# RDD reference is dropped, so eviction = del.
+_CKPT_POOLS: dict[str, dict[int, tuple[DataFrame, DataFrame]]] = {}
 
 
 def release_all(spark=None) -> None:
@@ -140,10 +143,12 @@ def keep_persisted_pooled(
     return df
 
 
-def keep_checkpointed_pooled(df: DataFrame, pool: str, max_slots: int = 8) -> DataFrame:
-    """:func:`keep_persisted_pooled`, but the pin is an eager
-    ``localCheckpoint`` instead of a persist: the returned frame's lineage is
-    TRUNCATED to a scan of the checkpointed blocks.
+def keep_checkpointed_pooled(
+    df: DataFrame, pool: str, max_slots: int = 8, eager: bool = True
+) -> DataFrame:
+    """:func:`keep_persisted_pooled`, but the pin is a ``localCheckpoint``
+    instead of a persist: the returned frame's lineage is TRUNCATED to a
+    scan of the checkpointed blocks.
 
     Use this (not a plain persist) when the pinned frame feeds a deep chain
     of further pinned stages that each also fan out to several consumers —
@@ -151,31 +156,45 @@ def keep_checkpointed_pooled(df: DataFrame, pool: str, max_slots: int = 8) -> Da
     under every consumer (the cache only short-circuits execution), so plan
     size grows multiplicatively with pin depth (q160/q166 hit 2,128 runtime
     exchange nodes this way); with a checkpoint each consumer's plan bottoms
-    out at the scan. The trade: the stage is computed eagerly at build time
-    and the blocks live on executor-local storage until the reference drops
+    out at the scan. The trade: the stage is computed at build time
+    (``eager=True``) or on the first downstream action (``eager=False`` —
+    the lineage truncation is identical, only the compute is deferred; use
+    this when not every caller will act on every stage) and the blocks live
+    on executor-local storage until the reference drops
     (``release_all``/LRU eviction → ContextCleaner GC). At cluster scale this
     is the standard iterative-lineage-truncation tool (the q82 pagerank
     precedent at ``operators/graph.py``).
 
-    Keyed by the ORIGINAL plan's semantic hash so warm repeats of the same
-    stage reuse the computed checkpoint exactly like the persist pools."""
+    Keyed by the ORIGINAL plan's semantic hash, and verified on hit with
+    ``sameSemantics`` against the stored original (a bare 32-bit hash match
+    could collide across distinct plans and silently serve wrong data), so
+    warm repeats of the same stage reuse the computed checkpoint exactly
+    like the persist pools."""
     slots = _CKPT_POOLS.setdefault(pool, {})
     key = df.semanticHash()
     prev = slots.get(key)
     if prev is not None:
+        orig, ckpt = prev
         try:
-            # cheap liveness probe — must be a real JVM round-trip (schema is
-            # memoized client-side and would not notice a torn-down session);
-            # a checkpoint from a dead session throws here and is rebuilt
-            prev.semanticHash()
-            slots[key] = slots.pop(key)  # refresh LRU position
-            return prev
+            # sameSemantics doubles as the liveness probe — it is a real JVM
+            # round-trip (client-side memoized attrs like schema would not
+            # notice a torn-down session); a dead session throws → rebuild
+            if df.sameSemantics(orig):
+                slots[key] = slots.pop(key)  # refresh LRU position
+                return ckpt
+            # 32-bit semanticHash collision between distinct plans: do NOT
+            # serve the stored checkpoint; fall through and overwrite
+            _log.warning(
+                "session_cache ckpt pool %r: semanticHash collision on %s; "
+                "rebuilding (stored plan differs)", pool, key,
+            )
         except Exception:  # noqa: BLE001, S110 — prior session gone
-            slots.pop(key, None)
+            pass
+        slots.pop(key, None)
     while len(slots) >= max_slots:
         victim = next(iter(slots))
         _log.debug("session_cache ckpt pool %r dropping LRU %s", pool, victim)
         slots.pop(victim)
-    out = df.localCheckpoint(eager=True)
-    slots[key] = out
+    out = df.localCheckpoint(eager=eager)
+    slots[key] = (df, out)
     return out

@@ -171,10 +171,218 @@ def card_data(flat_table_df: DataFrame, autotag_rules: DataFrame | None = None) 
     ).withColumn("situation_ids", F.array_join(F.col("situation_ids"), ","))
 
 
+def _suffix_kept(arr, max_score: float):
+    """The reference's pop-while-over-cap loop (to_dp.py:723-753) in array
+    expressions: ``arr`` is sorted by (score desc → ns asc, position asc);
+    keep the elements whose score-desc SUFFIX sum is ≤ the cap (scores are
+    non-negative so the suffix sum is monotone; O(k²) aggregate-in-filter
+    with k = situations per card, single digits)."""
+
+    def suffix_le_cap(x, i):
+        tail = F.slice(arr, i + F.lit(1), F.size(arr) - i)
+        s = F.aggregate(tail, F.lit(0.0), lambda a, y: a + (-y["ns"]))
+        return s <= F.lit(max_score)
+
+    return F.filter(arr, suffix_le_cap)
+
+
+def _rs_kept_outputs(kept):
+    """(rs_score, situations_scored, situation_scores_micro) columns from the
+    kept (ns, sp, sid) struct array — shared by both formulations."""
+    rs_score = F.round(
+        F.aggregate(kept, F.lit(0.0), lambda a, y: a + (-y["ns"])), 6
+    )
+    scored = F.array_join(F.transform(kept, lambda x: x["sid"]), ",")
+    micro = F.array_join(
+        F.transform(
+            kept, lambda x: F.round((-x["ns"]) * 1e6).cast("long").cast("string")
+        ),
+        ",",
+    )
+    return rs_score, scored, micro
+
+
+def _rs_mode_per_row(
+    base: DataFrame, entries: list, max_score: float, auto_tagged_col: str | None
+) -> DataFrame:
+    """rs_score / situation resort / cap AND the response-category mode as
+    pure per-row array math: the collected score table enters the plan as a
+    ``from_json`` map literal (constant-folded by Catalyst — parsed once at
+    optimize time, never per row), so no explode leaves the row and no join
+    returns. Semantics are identical to :func:`_rs_mode_joined` — the
+    grouped formulation's ``sum(applied)/nr`` over duplicate situation
+    occurrences equals ``occurrences × Σ_r score(r,s) / nr`` exactly
+    (multiplication by a small integer is IEEE-exact), and the mode's
+    (count desc, first position, category) keeper maps to ``array_min`` over
+    the same key struct."""
+    import json  # noqa: PLC0415
+
+    payload = {
+        r["response_id"] + "\t" + r["situation_id"]: float(r["_score"])
+        for r in entries
+        if r["response_id"] is not None and r["situation_id"] is not None
+    }
+    mexpr = (
+        F.from_json(F.lit(json.dumps(payload)), "map<string,double>")
+        if payload
+        else None
+    )
+    situ, resp = F.col("situation_ids"), F.col("response_ids")
+    nr = F.size(resp)
+
+    def pair_score(r, s):
+        if mexpr is None:
+            return F.lit(0.0)
+        return F.coalesce(mexpr[F.concat_ws("\t", r, s)], F.lit(0.0))
+
+    def entry(s):
+        total = F.aggregate(resp, F.lit(0.0), lambda a, r: a + pair_score(r, s))
+        occ = F.size(F.filter(situ, lambda x: x.eqNullSafe(s)))
+        sc = occ.cast("double") * total / nr.cast("double")
+        if auto_tagged_col is not None:
+            sc = F.when(
+                F.array_contains(
+                    F.coalesce(
+                        F.col("_auto_tagged"), F.array().cast("array<string>")
+                    ),
+                    s,
+                ),
+                F.lit(0.0),
+            ).otherwise(sc)
+        return F.struct(
+            (-sc).alias("ns"),
+            (F.array_position(situ, s) - 1).alias("sp"),
+            s.alias("sid"),
+        )
+
+    have_pairs = (nr >= 1) & (F.size(situ) >= 1)
+    kept = _suffix_kept(F.array_sort(F.transform(F.array_distinct(situ), entry)), max_score)
+
+    cats = F.transform(resp, lambda r: F.split(r, ":").getItem(1))
+
+    def centry(c):
+        n = F.size(F.filter(cats, lambda x: x.eqNullSafe(c)))
+        return F.struct(
+            (-n).alias("nn"),
+            (F.array_position(cats, c) - 1).alias("fp"),
+            c.alias("cat"),
+        )
+
+    mode = F.array_min(F.transform(F.array_distinct(cats), centry))["cat"]
+    # Evaluate the heavy higher-order trees ONCE per row: HOFs run
+    # interpreted (no codegen, no subexpression elimination), and a plain
+    # withColumn alias would be re-inlined into every consumer by
+    # CollapseProject — tripling the work. The 1-element explode is a
+    # Generate barrier: the (kept, mode) struct materializes once, the
+    # three rs outputs and the category then read the tiny kept array.
+    payload = F.struct(
+        F.when(have_pairs, kept).alias("kept"),
+        F.when(nr >= 1, mode).otherwise(F.lit(None).cast("string")).alias("mode"),
+    )
+    tmp = base.withColumn("_rs", F.explode(F.array(payload)))
+    k = F.col("_rs").getField("kept")
+    rs_score, scored, micro = _rs_kept_outputs(k)
+    return (
+        tmp.withColumn(
+            "rs_score", F.when(k.isNotNull(), rs_score).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "situations_scored", F.when(k.isNotNull(), scored).otherwise(F.lit(""))
+        )
+        .withColumn(
+            "situation_scores_micro", F.when(k.isNotNull(), micro).otherwise(F.lit(""))
+        )
+        .withColumn("response_category", F.col("_rs").getField("mode"))
+        .drop("_rs")
+    )
+
+
+def _rs_mode_joined(
+    base: DataFrame, score_tbl: DataFrame, max_score: float, auto_tagged_col: str | None
+) -> DataFrame:
+    """The explode → two-level aggregate → join-back formulation — the scale
+    fallback when the observed (response, situation) pair count exceeds the
+    map-literal budget. Same semantics as :func:`_rs_mode_per_row`."""
+    sit = base.select(
+        "card_key",
+        F.size("response_ids").alias("_nr"),
+        "response_ids",
+        *(["_auto_tagged"] if auto_tagged_col is not None else []),
+        F.posexplode("situation_ids").alias("s_pos", "situation_id"),
+    )
+    pairs = sit.select(
+        "card_key", "_nr", "s_pos", "situation_id",
+        *(["_auto_tagged"] if auto_tagged_col is not None else []),
+        F.explode("response_ids").alias("response_id"),
+    )
+    scored_rows = pairs.join(
+        F.broadcast(score_tbl), ["response_id", "situation_id"], "left"
+    )
+    applied = F.coalesce(F.col("_score"), F.lit(0.0))
+    if auto_tagged_col is not None:
+        applied = F.when(
+            F.array_contains(
+                F.coalesce(F.col("_auto_tagged"), F.array().cast("array<string>")),
+                F.col("situation_id"),
+            ),
+            F.lit(0.0),
+        ).otherwise(applied)
+    s_scores = scored_rows.groupBy("card_key", "situation_id").agg(
+        F.min("s_pos").alias("s_pos"),
+        (F.sum(applied) / F.first("_nr")).alias("s_score"),
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("s_score")).alias("ns"),
+                F.col("s_pos").alias("sp"),
+                F.col("situation_id").alias("sid"),
+            )
+        )
+    )
+    kept_tbl = (
+        s_scores.groupBy("card_key")
+        .agg(arr.alias("_arr"))
+        .select("card_key", _suffix_kept(F.col("_arr"), max_score).alias("_kept"))
+    )
+    rs_score, scored, micro = _rs_kept_outputs(F.col("_kept"))
+    rs = kept_tbl.select(
+        "card_key",
+        rs_score.alias("rs_score"),
+        scored.alias("situations_scored"),
+        micro.alias("situation_scores_micro"),
+    )
+
+    cats = base.select(
+        "card_key", F.posexplode("response_ids").alias("r_pos", "response_id")
+    ).select(
+        "card_key", "r_pos", F.split("response_id", ":").getItem(1).alias("category")
+    )
+    cat_counts = cats.groupBy("card_key", "category").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("r_pos").alias("_first_pos")
+    )
+    # mode keeper as a hash aggregate (map-side combinable), not a ranked
+    # window: min over (count desc → -n, first position asc, category asc)
+    modes = cat_counts.groupBy("card_key").agg(
+        F.min_by(
+            "category", F.struct(-F.col("_n"), F.col("_first_pos"), F.col("category"))
+        ).alias("response_category")
+    )
+    enriched = base.join(rs, "card_key", "left").join(modes, "card_key", "left")
+    return (
+        enriched.withColumn("rs_score", F.coalesce("rs_score", F.lit(0.0)))
+        .withColumn("situations_scored", F.coalesce("situations_scored", F.lit("")))
+        .withColumn(
+            "situation_scores_micro", F.coalesce("situation_scores_micro", F.lit(""))
+        )
+    )
+
+
 def card_data_full(
     flat_table_df: DataFrame,
     max_score: float = 30.0,
     auto_tagged_col: str | None = None,
+    score_map_max_entries: int = 65536,
 ) -> DataFrame:
     """The full reference card surface (to_dp.py:821-915 + to_es.py:24-59):
     everything :func:`card_data` has, plus
@@ -200,9 +408,19 @@ def card_data_full(
       ``helpers.py:57-76``).
 
     Scale shape: the score table's cardinality is |situations|×|responses| —
-    broadcast; the per-card windows partition on card_key (the table's PK, no
-    skew); everything else is a map. One shuffle for the pair aggregation,
-    one for the card windows.
+    taxonomy-bounded and corpus-size-independent — so it collapses to a
+    driver-collected map literal (the bounded-sync pattern of kmeans'
+    centroid collect, ``operators/similarity.py``) and the per-card
+    cap/resort and the category mode run PER ROW in array expressions:
+    zero joins, and the only shuffle left is the (tiny-output,
+    map-side-combinable) pair-frequency aggregate. The earlier explode →
+    two-level aggregate → join-back formulation shuffled ~|cards| ×
+    |situations| × |responses| rows twice and re-shuffled the card table
+    for each join — cost that grew with the fact table for per-row-derivable
+    values. Above ``score_map_max_entries`` observed (response, situation)
+    pairs the map literal would bloat every task's serialized plan, so the
+    join formulation takes over (``_rs_mode_joined``) — same semantics,
+    oracle-gated on both paths.
     """
     from ..functions.fuzzy import address_parts, org_name_parts  # noqa: PLC0415
     from ..functions.geo import calc_point_id, validate_geometry  # noqa: PLC0415
@@ -244,102 +462,21 @@ def card_data_full(
         ),
     )
 
-    # ---- RSScoreCalc (A10) -------------------------------------------------
+    # ---- RSScoreCalc (A10) + response-category mode (A5) --------------------
     # auto-tagged situations contribute 0 to the card score (reference
     # to_dp.py:735-736) — the zeroing happens at APPLICATION time; the score
-    # table itself is built over all pairs.
-    sit = base.select(
-        "card_key",
-        F.size("response_ids").alias("_nr"),
-        "response_ids",
-        *(["_auto_tagged"] if auto_tagged_col is not None else []),
-        F.posexplode("situation_ids").alias("s_pos", "situation_id"),
-    )
-    pairs = sit.select(
-        "card_key", "_nr", "s_pos", "situation_id",
-        *(["_auto_tagged"] if auto_tagged_col is not None else []),
-        F.explode("response_ids").alias("response_id"),
-    )
-    score_tbl = idf_score_table(
-        pairs.select("response_id", "situation_id"), "response_id", "situation_id", "_score"
-    )
-    scored = pairs.join(
-        F.broadcast(score_tbl), ["response_id", "situation_id"], "left"
-    )
-    applied = F.coalesce(F.col("_score"), F.lit(0.0))
-    if auto_tagged_col is not None:
-        applied = F.when(
-            F.array_contains(
-                F.coalesce(F.col("_auto_tagged"), F.array().cast("array<string>")),
-                F.col("situation_id"),
-            ),
-            F.lit(0.0),
-        ).otherwise(applied)
-    s_scores = scored.groupBy("card_key", "situation_id").agg(
-        F.min("s_pos").alias("s_pos"),
-        (F.sum(applied) / F.first("_nr")).alias("s_score"),
-    )
-    # The pop-while-over-cap loop runs entirely in array expressions: collect
-    # each card's (score, position, id) triples, sort by (score desc, pos
-    # asc) — ascending on the negated score — then keep the elements whose
-    # score-desc SUFFIX sum is ≤ the cap (scores are non-negative so the
-    # suffix sum is monotone; O(k²) aggregate-in-filter with k = situations
-    # per card, single digits). One hash aggregate per stage, no window sort.
-    def _kept(arr):
-        def suffix_le_cap(x, i):
-            tail = F.slice(arr, i + F.lit(1), F.size(arr) - i)
-            s = F.aggregate(tail, F.lit(0.0), lambda a, y: a + (-y["ns"]))
-            return s <= F.lit(max_score)
-
-        return F.filter(arr, suffix_le_cap)
-
-    arr = F.array_sort(
-        F.collect_list(
-            F.struct(
-                (-F.col("s_score")).alias("ns"),
-                F.col("s_pos").alias("sp"),
-                F.col("situation_id").alias("sid"),
-            )
-        )
-    )
-    rs = (
-        s_scores.groupBy("card_key")
-        .agg(arr.alias("_arr"))
-        .select("card_key", _kept(F.col("_arr")).alias("_kept"))
-        .select(
-            "card_key",
-            F.round(
-                F.aggregate("_kept", F.lit(0.0), lambda a, y: a + (-y["ns"])), 6
-            ).alias("rs_score"),
-            F.array_join(F.transform("_kept", lambda x: x["sid"]), ",").alias(
-                "situations_scored"
-            ),
-            F.array_join(
-                F.transform(
-                    "_kept",
-                    lambda x: F.round((-x["ns"]) * 1e6).cast("long").cast("string"),
-                ),
-                ",",
-            ).alias("situation_scores_micro"),
-        )
-    )
-
-    # ---- response-category mode (A5) ---------------------------------------
-    cats = base.select(
-        "card_key", F.posexplode("response_ids").alias("r_pos", "response_id")
-    ).select(
-        "card_key", "r_pos", F.split("response_id", ":").getItem(1).alias("category")
-    )
-    cat_counts = cats.groupBy("card_key", "category").agg(
-        F.count(F.lit(1)).alias("_n"), F.min("r_pos").alias("_first_pos")
-    )
-    # mode keeper as a hash aggregate (map-side combinable), not a ranked
-    # window: min over (count desc → -n, first position asc, category asc)
-    modes = cat_counts.groupBy("card_key").agg(
-        F.min_by(
-            "category", F.struct(-F.col("_n"), F.col("_first_pos"), F.col("category"))
-        ).alias("response_category")
-    )
+    # table itself is built over all pairs. The pair explode below exists
+    # ONLY to feed the frequency aggregate — per-card application happens in
+    # array-land (no join back).
+    pairs_slim = base.select(
+        F.explode("situation_ids").alias("situation_id"), "response_ids"
+    ).select("situation_id", F.explode("response_ids").alias("response_id"))
+    score_tbl = idf_score_table(pairs_slim, "response_id", "situation_id", "_score")
+    entries = score_tbl.limit(score_map_max_entries + 1).collect()
+    if len(entries) <= score_map_max_entries:
+        enriched = _rs_mode_per_row(base, entries, max_score, auto_tagged_col)
+    else:
+        enriched = _rs_mode_joined(base, score_tbl, max_score, auto_tagged_col)
 
     # ---- possible_autocomplete (to_dp.py:180-195) ---------------------------
     # Nested set comprehension over responses × situations (+city variants),
@@ -383,15 +520,6 @@ def card_data_full(
     possible_ac = F.array_sort(
         F.array_distinct(
             F.filter(F.flatten(per_response), lambda x: x.isNotNull())
-        )
-    )
-
-    enriched = base.join(rs, "card_key", "left").join(modes, "card_key", "left")
-    enriched = (
-        enriched.withColumn("rs_score", F.coalesce("rs_score", F.lit(0.0)))
-        .withColumn("situations_scored", F.coalesce("situations_scored", F.lit("")))
-        .withColumn(
-            "situation_scores_micro", F.coalesce("situation_scores_micro", F.lit(""))
         )
     )
 
@@ -566,46 +694,71 @@ def card_search(
     return card_data(ft)
 
 
-_DERIVE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
-
-
 def run_derive(spark: SparkSession, sf_dir: str, use_cache: bool = True) -> dict[str, DataFrame]:
-    """Build every derive stage from the staging fixtures; lazy except
-    flat_branches, which feeds BOTH flat_services and flat_table — persisted
-    so the branch ⋈ location ⋈ org dedup runs once per action, not twice
-    (the reference materializes this stage to disk for the same reason,
-    to_dp.py:405).
+    """Build every derive stage from the staging fixtures, with the two
+    multi-consumer stages pinned as LAZY lineage-truncating checkpoints:
 
-    Memoized per (session, sf_dir): q34/q35/q36 all start from this DAG, and
-    rebuilding it would re-register an identical persisted plan each time
-    (CacheManager dedups the data, but the lookup + analysis cost repeats)."""
-    from pyspark import StorageLevel  # noqa: PLC0415
+    - **flat_branches** feeds BOTH flat_services and flat_table (the
+      reference materializes this stage to disk for the same reason,
+      to_dp.py:405);
+    - **flat_table** fans into card_data, card_data_full's three explode
+      legs, and the autocomplete corpus (the reference dumps it too,
+      to_dp.py:697).
 
-    memo_key = (id(spark), sf_dir)
-    if use_cache and memo_key in _DERIVE_CACHE:
-        return _DERIVE_CACHE[memo_key]
+    ``keep_checkpointed_pooled`` (not persist): with a persist every
+    consumer's physical plan still NESTS the full upstream subtree — the
+    composed flagships (q75/q158/q161/q165) carried hundreds of runtime
+    exchange nodes and, worse, after the harness's between-query
+    ``release_all`` a module-level memo kept serving frames whose cache was
+    gone, so every fan-out branch recomputed the whole DAG (the honest
+    r12 re-pricing: q75 at 11.2 s driver). With a checkpoint pin each
+    consumer's plan bottoms out at a block scan, the stage computes exactly
+    once per release cycle, and the plan-keyed pool IS the memo — warm
+    repeats within a cycle reuse it, ``release_all`` drops it, the next
+    query rebuilds it cold. ``eager=False`` defers the stage compute to the
+    first downstream action so callers that never touch a stage never pay
+    for it. (Semantic anchor: the reference's own stage materialization,
+    to_dp.py:922-935.)"""
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
 
     orgs = FIX.organizations(spark, sf_dir)
     locs = FIX.locations(spark, sf_dir)
     brs = FIX.branches(spark, sf_dir)
     svcs = FIX.services(spark, sf_dir)
-    fb = flat_branches(brs, locs, orgs).persist(StorageLevel.MEMORY_AND_DISK)
-    fs = flat_services(svcs, fb)
-    # flat_table is ALSO a multi-consumer stage: card_data reads it once, but
-    # card_data_full fans it into the score-pair explode, the category
-    # explode and the enrichment join, and the autocomplete corpus reads it
-    # again — without the persist each branch re-runs the service × branch
-    # join + dedup window (~4 recomputes at sf0.1). The reference dumps this
-    # stage to disk for the same reason (to_dp.py:697).
-    ft = flat_table(fs, fb).persist(StorageLevel.MEMORY_AND_DISK)
-    cards = card_data(ft)
-    stages = {
-        "flat_branches": fb,
-        "flat_services": fs,
-        "flat_table": ft,
-        "card_data": cards,
-        "card_data_full": card_data_full(ft),
-    }
+    fb = flat_branches(brs, locs, orgs)
     if use_cache:
-        _DERIVE_CACHE[memo_key] = stages
-    return stages
+        fb = keep_checkpointed_pooled(fb, "derive_stages", eager=False)
+    fs = flat_services(svcs, fb)
+    ft = flat_table(fs, fb)
+    if use_cache:
+        ft = keep_checkpointed_pooled(ft, "derive_stages", eager=False)
+    # card_data / card_data_full plans are built ON ACCESS: their expression
+    # trees are large (nested array transforms, Arrow kernels — ~1 s of
+    # driver-side construction), and most consumers read only the flat
+    # stages. A plain dict would pay that second per run_derive call.
+    return _LazyStages(
+        {
+            "flat_branches": fb,
+            "flat_services": fs,
+            "flat_table": ft,
+        },
+        {
+            "card_data": lambda: card_data(ft),
+            "card_data_full": lambda: card_data_full(ft),
+        },
+    )
+
+
+class _LazyStages(dict):
+    """run_derive's stage map with deferred plan construction for the
+    expensive card surfaces. Only ``[...]`` access is lazy-aware — every
+    call site indexes by name."""
+
+    def __init__(self, eager: dict, builders: dict):
+        super().__init__(eager)
+        self._builders = builders
+
+    def __getitem__(self, key):
+        if key not in self and key in self._builders:
+            self[key] = self._builders.pop(key)()
+        return super().__getitem__(key)

@@ -155,9 +155,14 @@ def operator_publish_all(
 
     The six index names are the reference's own (srm__cards srm__places
     srm__responses srm__situations srm__orgs srm__autocomplete). The derive
-    DAG runs once (run_derive memo + the shared persisted card projection);
-    each publish streams from it."""
-    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    DAG runs once (run_derive's checkpoint pins + the shared card projection
+    below); each publish streams from it. The card projection is itself a
+    lineage-truncating checkpoint pin, not a persist: four of the six
+    surfaces consume it and each publish runs several actions (bulk ship +
+    revision sweep), so with a persist every one of those plans nested the
+    full card_data_full subtree — q161 carried 172 runtime exchange nodes
+    that way; with the pin each bottoms out at the block scan."""
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
     from ..pipelines import staging_fixtures as FIX  # noqa: PLC0415
     from ..pipelines.autocomplete import (  # noqa: PLC0415
         autocomplete_corpus,
@@ -168,7 +173,7 @@ def operator_publish_all(
     from ..sinks.es import publish  # noqa: PLC0415
 
     st = run_derive(spark, sf_dir)
-    cards = keep_persisted(
+    cards = keep_checkpointed_pooled(
         cards_api_surface(st["card_data_full"]).select(
             "card_id", "card_key", "service_id", "service_name", "branch_city",
             "organization", "organization_name", "national_service",
@@ -176,6 +181,7 @@ def operator_publish_all(
             "response_ids", "situation_ids",
         ),
         "es_operator_cards",
+        eager=False,
     )
     locs = FIX.locations(spark, sf_dir)
     surfaces = [

@@ -28,9 +28,11 @@ This module makes that handoff explicit and certifiable as ONE lineage:
    organizations count surface from the SAME post-upsert state.
 
 Scale shape: each upsert is one key-partitioned join (shuffle ∝ |table|);
-the post tables are persisted once and consumed by both the certification
-row-sets and the derive DAG; derive's own multi-consumer stages persist as
-in ``run_derive``. Nothing here collects to the driver.
+the merge outputs, post tables and derive multi-consumer stages are pinned
+as lazy lineage-truncating checkpoints (``keep_checkpointed_pooled``, the
+``run_derive`` discipline) so each stage computes once per release cycle and
+every consumer's plan bottoms out at a block scan. Nothing here collects to
+the driver.
 """
 
 from __future__ import annotations
@@ -41,6 +43,11 @@ from pyspark.sql import functions as F
 from ..operators.upsert import staging_upsert
 from . import staging_fixtures as FIX
 
+
+# one full ETL run holds 9 live pins (3 merges + 3 post tables + fb/ft/cards);
+# the pool cap must exceed that or the LRU would evict a pin that a later
+# stage still reads through
+_ETL_POOL_SLOTS = 12
 
 ORG_FIELDS = ["name", "short_name", "kind", "phone", "description"]
 BRANCH_FIELDS = [
@@ -175,6 +182,14 @@ def _merge_and_post(
         current, fetched, key="id", table_fields=fields,
         source_id=source_id, manage_status=manage_status, only_changed=False,
     )
+    # the merge feeds BOTH the write set and the post-merge table — pin it so
+    # neither consumer re-runs the full-outer upsert join (and so both plans
+    # bottom out at the checkpoint scan instead of nesting it)
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
+
+    merged = keep_checkpointed_pooled(
+        merged, "etl_stages", max_slots=_ETL_POOL_SLOTS, eager=False
+    )
     writes = merged.filter(F.col("_changed"))
     post = merged.drop("_changed")
     if not manage_status:
@@ -188,9 +203,13 @@ def _merge_and_post(
 def run_full_etl(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Ingestion upserts → post-merge staging tables → derive DAG → publish
     surfaces, one lineage. Returns every certified stage; the post tables and
-    the derive multi-consumer stages are session-persisted (each feeds both
-    its certification row-set and the downstream consumer)."""
-    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    the derive multi-consumer stages are pinned as LAZY lineage-truncating
+    checkpoints (each feeds both its certification row-set and the downstream
+    consumer — a six-deep chain of pins whose plans, under persist, each
+    nested the full upstream tree: q165 carried 50 runtime exchanges and
+    recomputed the whole ETL per consumer after the harness's between-query
+    cache release)."""
+    from ..operators.session_cache import keep_checkpointed_pooled as _pin  # noqa: PLC0415
     from .derive import card_data, flat_branches, flat_services, flat_table  # noqa: PLC0415
 
     w_orgs, post_orgs = _merge_and_post(
@@ -208,18 +227,19 @@ def run_full_etl(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         FIX.services(spark, sf_dir).drop("status"),
         SERVICE_FIELDS, "guidestar", manage_status=True,
     )
-    post_orgs = keep_persisted(post_orgs, "etl_post_orgs")
-    post_brs = keep_persisted(post_brs, "etl_post_branches")
-    post_svcs = keep_persisted(post_svcs, "etl_post_services")
+    post_orgs = _pin(post_orgs, "etl_stages", max_slots=_ETL_POOL_SLOTS, eager=False)
+    post_brs = _pin(post_brs, "etl_stages", max_slots=_ETL_POOL_SLOTS, eager=False)
+    post_svcs = _pin(post_svcs, "etl_stages", max_slots=_ETL_POOL_SLOTS, eager=False)
 
     # the UNMODIFIED derive DAG over the post-upsert staging state — the
     # handoff the reference's scheduler performs implicitly via Airtable
     locs = FIX.locations(spark, sf_dir)
-    fb = keep_persisted(flat_branches(post_brs, locs, post_orgs), "etl_fb")
-    ft = keep_persisted(
-        flat_table(flat_services(post_svcs, fb), fb), "etl_ft"
+    fb = _pin(flat_branches(post_brs, locs, post_orgs), "etl_stages", max_slots=_ETL_POOL_SLOTS, eager=False)
+    ft = _pin(
+        flat_table(flat_services(post_svcs, fb), fb), "etl_stages",
+        max_slots=_ETL_POOL_SLOTS, eager=False,
     )
-    cards = keep_persisted(card_data(ft), "etl_cards")
+    cards = _pin(card_data(ft), "etl_stages", max_slots=_ETL_POOL_SLOTS, eager=False)
     return {
         "writes_orgs": w_orgs,
         "writes_branches": w_brs,

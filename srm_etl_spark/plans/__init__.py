@@ -61,73 +61,70 @@ REGISTRY.update(EXT24_REGISTRY)
 REGISTRY.update(EXT25_REGISTRY)
 REGISTRY.update(EXT26_REGISTRY)
 
-# Driver-window rotation, round 12: the gate verifies the FIRST 50 registry
-# entries. This round's window = the TWO NEW queries (q169 any-length
-# maximal repeats, q170 exact-substring decontamination — every new query
-# enters the window in its own round) + the 12
-# micro-queries the r11 rotation dropped to fit (q102-q108/q120-q122/
-# q138-q139, promised back this round) + 37 of the q01-q52 head, the
-# stalest band (last driver-gated r9). The 15 head entries dropped to fit
-# are those whose kernels are load-bearing inside composed certifications
-# gated in r10/r11: q06/q51 upserts inside q165; q15 concatenate inside
-# q161's union legs; q22/q26 dedup and
-# q23-q25 text kernels inside q160/q166/q167; q34-q36 derive surfaces
-# inside q158/q161/q165; q40 templates inside q74; q32 tumbling inside
-# q53 + the streaming recovery gate; q29/q30 similarity inside the
-# q92/q116/q156 family; q39 TF-IDF inside q75. Displaced entries keep
-# their committed local verification (CORRECTNESS_LOCAL_r12, full-registry
-# run from the final tree).
+# Driver-window rotation, round 13: the gate verifies the FIRST 50 registry
+# entries. This round's window = the THREE queries whose ENGINE semantics or
+# physical path materially changed this round (q75: rs/mode computed per-row
+# over a folded score-map literal; q112: the salt-split BLAS kernel path,
+# max_block_size=16 < cluster size so the oracle gates the sub-block pair
+# grid; q169: certificate counting replaced by sorted-adjacent LCP) + the
+# ENTIRE q53-q73 / q76-q101 bands — the stalest: no driver row since
+# r8-r11 (the r12 verdict's rotation ask). Everything displaced (q01-q52
+# head, q102+ verticals, the other composed flagships whose derive/publish
+# internals changed: q34-q36, q74, q113, q158, q160, q161, q165, q166,
+# q168, q170) was re-verified this round in the committed full-registry
+# local run (CORRECTNESS_LOCAL_r13, final tree) and at the other invariance
+# axes.
 _WINDOW = [
+    "q75_card_surface",
+    "q112_semantic_dedup",
     "q169_maximal_repeats",
-    "q170_exact_decontaminate",
-    "q102_taxonomy_flatten",
-    "q103_html_scrape",
-    "q104_spreadsheet_ingest",
-    "q105_sitemap",
-    "q106_enum_envelope",
-    "q107_urls_parse",
-    "q108_clean_org_name",
-    "q120_datapackage_roundtrip",
-    "q121_geojson_roundtrip",
-    "q122_es_actions",
-    "q138_branch_sources",
-    "q139_click_scrape",
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_left_join_enrich",
-    "q04_revenue_by_nation",
-    "q05_brand_agg",
-    "q07_collect_set_join",
-    "q08_count_per_key",
-    "q09_two_level_agg",
-    "q10_mode_priority",
-    "q11_window_topk",
-    "q12_group_count_window",
-    "q13_latest_per_user",
-    "q14_dedup_composite_key",
-    "q16_explode_tokens",
-    "q17_sessionize",
-    "q18_date_math",
-    "q19_score_math",
-    "q20_surrogate_ids",
-    "q21_taxonomy_parents",
-    "q27_simhash_pairs",
-    "q28_jaccard_pairs",
-    "q31_centroids",
-    "q33_filter_with_stats",
-    "q37_clean_contacts",
-    "q38_fuzzy_nation_match",
-    "q41_json_props",
-    "q42_geo_points",
-    "q43_age_groups",
-    "q44_enumerate_topn",
-    "q45_embedding_near_dup",
-    "q46_taxonomy_fix",
-    "q47_sliding_window",
-    "q48_asof_last_purchase",
-    "q49_token_stats",
-    "q50_salted_join_agg",
-    "q52_band_join",
+    "q53_stream_tumbling",
+    "q54_multimodal_decode",
+    "q55_percentiles",
+    "q56_rollup_revenue",
+    "q57_html_text_clean",
+    "q58_address_parts",
+    "q59_implements_merge",
+    "q60_stream_running_totals",
+    "q61_ivf_topk",
+    "q62_dup_clusters",
+    "q63_sketch_agg",
+    "q64_stream_join",
+    "q65_redact_pii",
+    "q66_quality_flags",
+    "q67_repetition_stats",
+    "q68_stratified_sample",
+    "q69_bloom_semi_join",
+    "q70_zorder_key",
+    "q71_passage_dedup",
+    "q72_bigram_stats",
+    "q73_stream_enrich",
+    "q76_sequence_packing",
+    "q77_bm25_search",
+    "q78_curation_funnel",
+    "q79_incremental_dedup",
+    "q80_decontamination",
+    "q81_source_quota",
+    "q82_pagerank",
+    "q83_kmeans",
+    "q84_chunking",
+    "q85_quantize",
+    "q86_cms_heavy_hitters",
+    "q87_source_mixing",
+    "q88_stream_sessions",
+    "q89_profile",
+    "q90_quality_drift",
+    "q91_quantized_topk",
+    "q92_pq_topk",
+    "q93_incremental_cards",
+    "q94_skew_report",
+    "q95_rag_retrieval",
+    "q96_mixed_sample",
+    "q97_audio_features",
+    "q98_geocode",
+    "q99_connector_parity",
+    "q100_curation_v2",
+    "q101_snapshot_diff",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

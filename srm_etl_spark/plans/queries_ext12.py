@@ -111,10 +111,16 @@ def q112_semantic_dedup(spark, sf_dir):
     q83's deterministic k-means (k=8, 2 Lloyd iterations) assigns clusters,
     then the per-cluster BLAS kernel drops every vector with a smaller-id
     cluster-mate at cosine >= 0.3. Every row is emitted with its cluster and
-    kept flag so the removal is auditable."""
+    kept flag so the removal is auditable.
+
+    ``max_block_size=16`` is deliberately below the typical cluster size at
+    every test SF, so the oracle gates the SALT-SPLIT kernel path (sub-block
+    pair grid) — the r12 resolve_entities precedent: the capped plan must
+    produce the identical pair set, not just the easy unsalted one."""
     emb = _t(spark, sf_dir, "embeddings")
     out = semantic_dedup(
-        emb, "embedding", "vec_id", k=8, iterations=2, threshold=0.3
+        emb, "embedding", "vec_id", k=8, iterations=2, threshold=0.3,
+        max_block_size=16,
     )
     return out.select("vec_id", "cluster", "kept")
 

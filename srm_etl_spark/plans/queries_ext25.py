@@ -161,7 +161,10 @@ def q168_doremi_weights(spark, sf_dir):
 
 Q168_SQL = """
 WITH toks AS (
-  SELECT doc_id, source,
+  -- engine parity (operators/doremi.py): NULL domains coalesce to a
+  -- sentinel up front (equi-joins would silently drop them) and map back
+  -- to NULL in the output row
+  SELECT doc_id, coalesce(source, chr(0) || '__null_domain__') AS source,
          list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS t
   FROM documents
 ), pairs AS (
@@ -210,7 +213,9 @@ WITH toks AS (
 ), e AS (
   SELECT *, CAST(round(exp(excess), 12) AS DECIMAL(20,12)) AS _e FROM ex
 )
-SELECT source, CAST(n_docs AS BIGINT) AS n_docs, loss_ref, loss_dom, excess,
+SELECT CASE WHEN source = chr(0) || '__null_domain__' THEN NULL ELSE source END
+         AS source,
+       CAST(n_docs AS BIGINT) AS n_docs, loss_ref, loss_dom, excess,
        round(CAST(_e AS DOUBLE) / CAST(sum(_e) OVER () AS DOUBLE), 6) AS weight
 FROM e
 """

@@ -46,7 +46,16 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    # SPARK_GRAFT_RETRY=1 is the task-failure/retry invariance axis: local
+    # mode defaults to maxFailures=1 (any task failure kills the job), so
+    # the axis uses the local[N, F] form to allow real scheduler retries of
+    # the faults sources/tables.py injects into every scan.
+    if master is None:
+        master = (
+            f"local[{cpus}, 4]"
+            if os.environ.get("SPARK_GRAFT_RETRY") == "1"
+            else f"local[{cpus}]"
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
     builder = (

@@ -93,7 +93,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = True)
         est_partitions = max(1, _file_bytes(path) // max_bytes)
         if est_partitions < parallelism // 2:
             df = df.repartition(parallelism)
+    if os.environ.get("SPARK_GRAFT_RETRY") == "1":
+        df = _with_task_retry_fault(df)
     return df
+
+
+def _with_task_retry_fault(df: DataFrame) -> DataFrame:
+    """SPARK_GRAFT_RETRY=1 — tenth invariance axis: task-failure/retry
+    determinism. Every EVEN-numbered partition of every table scan FAILS its
+    first task attempt with a real exception, so the scheduler (session
+    factory runs ``local[N, 4]`` under the axis) re-executes those tasks —
+    the lost-executor shape of a 100 TB run, where any stage can see a mix
+    of first-attempt and retried tasks. The full registry must hash-MATCH
+    the clean run: this catches kernels whose output depends on attempt
+    count, partial re-execution, or non-deterministic per-task state that
+    only a retry would expose. The injector is schema-preserving and
+    otherwise an identity pass-through."""
+    schema = df.schema
+
+    def inject(batches):
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        ctx = TaskContext.get()
+        if (
+            ctx is not None
+            and ctx.attemptNumber() == 0
+            and ctx.partitionId() % 2 == 0
+        ):
+            raise RuntimeError(
+                "SPARK_GRAFT_RETRY fault injection: first attempt of even "
+                f"partition {ctx.partitionId()} dies (expected; retried)"
+            )
+        yield from batches
+
+    return df.mapInPandas(inject, schema)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -191,6 +191,38 @@ def test_embedding_near_dup_arrow_matches_expression(spark):
     assert a[(0, 61)] == pytest.approx(1.0)
 
 
+def test_embedding_near_dup_arrow_block_cap_parity(spark):
+    """max_block_size salt-split must emit EXACTLY the uncapped pair set with
+    cosines equal to BLAS reproducibility (unit vectors normalize per row,
+    so grouping cannot change the math), with the sub-block pair grid
+    visible in the capped plan and absent from the plain one."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, i % 2, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    rows.append((50, 0, rows[1][2]))  # exact duplicate across the big block
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    plain = DD.embedding_near_dup_pairs_arrow(
+        df, "embedding", "vec_id", threshold=0.2, block_col="label"
+    )
+    capped = DD.embedding_near_dup_pairs_arrow(
+        df, "embedding", "vec_id", threshold=0.2, block_col="label",
+        max_block_size=5,  # S = ceil(26/5) = 6 sub-blocks on the bigger block
+    )
+    p = {(r.left_id, r.right_id): r.cosine for r in plain.collect()}
+    c = {(r.left_id, r.right_id): r.cosine for r in capped.collect()}
+    # same pair set; cosines agree to BLAS reproducibility (dgemm may pick
+    # shape-dependent kernels, so bitwise equality is not guaranteed)
+    assert set(p) == set(c) and len(c) > 0
+    for key in p:
+        assert abs(p[key] - c[key]) < 1e-12
+    capped_plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "_nsplit" in capped_plan
+    assert "_nsplit" not in plain._jdf.queryExecution().optimizedPlan().toString()
+    with pytest.raises(ValueError):
+        DD.embedding_near_dup_pairs_arrow(df, max_block_size=0)
+
+
 def test_embedding_near_dup_arrow_unblocked(spark):
     """block_col=None compares across the whole frame (single group)."""
     df = spark.createDataFrame(

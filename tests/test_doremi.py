@@ -31,6 +31,41 @@ def test_doremi_weights_hand_computed(spark):
     assert out["X"]["loss_dom"] < out["X"]["loss_ref"]
 
 
+def test_doremi_null_domain_kept_and_oracle_parity(spark):
+    # NULL-source docs must survive as their own domain (the sentinel
+    # coalesce), come back with source=NULL, and — the r12 ADVICE gap —
+    # the q168 DuckDB oracle must agree on a corpus that actually CONTAINS
+    # a NULL domain (testdata has none, so the driver gate alone never
+    # exercises this path).
+    import duckdb
+    import pandas as pd
+
+    rows = [(1, "a b a b", "X"), (2, "c d c e", None), (3, "a b c", "X")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in doremi_weights(docs).collect()}
+    assert set(got) == {"X", None}
+    assert got[None]["n_docs"] == 1
+    assert sum(r["weight"] for r in got.values()) == pytest.approx(1.0, abs=1e-5)
+
+    from srm_etl_spark.plans.queries_ext25 import Q168_SQL
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    oracle = {
+        r[0]: r for r in con.execute(Q168_SQL).fetchall()
+    }  # source, n_docs, loss_ref, loss_dom, excess, weight
+    assert set(oracle) == {"X", None}
+    for src, row in got.items():
+        o = oracle[src]
+        assert row["n_docs"] == o[1]
+        assert row["loss_ref"] == pytest.approx(o[2], abs=1e-6)
+        assert row["loss_dom"] == pytest.approx(o[3], abs=1e-6)
+        assert row["excess"] == pytest.approx(o[4], abs=1e-6)
+        assert row["weight"] == pytest.approx(o[5], abs=1e-6)
+
+
 def test_doremi_single_domain_degenerates_to_uniform(spark):
     # one domain: the domain model IS the reference model -> excess 0,
     # weight 1 (the paper's uniform starting point)

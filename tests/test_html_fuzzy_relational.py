@@ -192,6 +192,14 @@ def test_resolve_entities_block_cap_salt_split_parity(spark):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, capped.collect()))
     assert a == b
-    # and the heavy block really was split: S = ceil(60/4) = 15 sub-blocks
-    # (sanity that the cap engaged rather than degenerating to S=1)
-    assert 60 / 4 > 1
+    # and the heavy block really was split (S = ceil(60/4) = 15 > 1): the
+    # salted PAIR stage carries the explode-over-sequence salt columns —
+    # inspected on _blocked_edit_pairs because the entity frame's lineage is
+    # truncated by connected_components' checkpoints
+    from srm_etl_spark.operators.relational import _blocked_edit_pairs
+
+    capped_pairs = _blocked_edit_pairs(recs, "nm", "record_id", blk, 2, 4)
+    plain_pairs = _blocked_edit_pairs(recs, "nm", "record_id", blk, 2, None)
+    capped_plan = capped_pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "_nsplit" in capped_plan and "explode" in capped_plan.lower()
+    assert "_nsplit" not in plain_pairs._jdf.queryExecution().optimizedPlan().toString()

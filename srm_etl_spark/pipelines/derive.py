@@ -106,8 +106,12 @@ def flat_services(services: DataFrame, flat_branches_df: DataFrame) -> DataFrame
     branches_per_org = flat_branches_df.groupBy("organization").agg(
         F.array_sort(F.collect_set("branch_id")).alias("org_branches")
     )
+    # explicit hint, not AQE: flat_branches arrives as a lineage-truncated
+    # checkpoint (run_derive pin) whose LogicalRDD has NO size statistics —
+    # without the hint the planner assumes Long.Max bytes and sort-merges a
+    # |orgs|-row aggregate against the services table
     return (
-        svc.join(branches_per_org, "organization", "inner")
+        svc.join(F.broadcast(branches_per_org), "organization", "inner")
         .select(
             F.col("id").alias("service_id"),
             F.col("name").alias("service_name"),
@@ -123,9 +127,15 @@ def flat_services(services: DataFrame, flat_branches_df: DataFrame) -> DataFrame
 
 
 def flat_table(flat_services_df: DataFrame, flat_branches_df: DataFrame) -> DataFrame:
-    """service × branch join (J2) + composite-PK dedup (A8)."""
+    """service × branch join (J2) + composite-PK dedup (A8).
+
+    The branch side broadcasts explicitly: branches are staging-dimension
+    scale (~10⁴ in the reference, never fact scale), and the frame arrives
+    as a checkpoint pin whose LogicalRDD carries no size statistics — AQE
+    cannot discover the broadcast on its own and would sort-merge the
+    fan-out."""
     joined = flat_services_df.join(
-        flat_branches_df.drop("organization"), "branch_id", "inner"
+        F.broadcast(flat_branches_df.drop("organization")), "branch_id", "inner"
     )
     w = Window.partitionBy("service_id", "branch_id").orderBy(F.asc("service_name"))
     return joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
@@ -298,11 +308,19 @@ def _rs_mode_per_row(
 
 
 def _rs_mode_joined(
-    base: DataFrame, score_tbl: DataFrame, max_score: float, auto_tagged_col: str | None
+    base: DataFrame,
+    score_tbl: DataFrame | None,
+    max_score: float,
+    auto_tagged_col: str | None,
 ) -> DataFrame:
-    """The explode → two-level aggregate → join-back formulation — the scale
-    fallback when the observed (response, situation) pair count exceeds the
-    map-literal budget. Same semantics as :func:`_rs_mode_per_row`."""
+    """The explode → two-level aggregate → join-back formulation — the
+    default (rs/mode sides are join-key aggregates, so Catalyst eliminates
+    them for consumers that drop the rs columns) and the fallback when the
+    observed (response, situation) pair count exceeds the per-row map-literal
+    budget. Same semantics as :func:`_rs_mode_per_row`. ``score_tbl=None``
+    builds the pair-frequency table from ``base`` itself."""
+    from ..functions.scoring import idf_score_table  # noqa: PLC0415
+
     sit = base.select(
         "card_key",
         F.size("response_ids").alias("_nr"),
@@ -315,6 +333,11 @@ def _rs_mode_joined(
         *(["_auto_tagged"] if auto_tagged_col is not None else []),
         F.explode("response_ids").alias("response_id"),
     )
+    if score_tbl is None:
+        score_tbl = idf_score_table(
+            pairs.select("response_id", "situation_id"),
+            "response_id", "situation_id", "_score",
+        )
     scored_rows = pairs.join(
         F.broadcast(score_tbl), ["response_id", "situation_id"], "left"
     )
@@ -382,6 +405,7 @@ def card_data_full(
     flat_table_df: DataFrame,
     max_score: float = 30.0,
     auto_tagged_col: str | None = None,
+    rs_mode: str = "joined",
     score_map_max_entries: int = 65536,
 ) -> DataFrame:
     """The full reference card surface (to_dp.py:821-915 + to_es.py:24-59):
@@ -407,21 +431,31 @@ def card_data_full(
       resolved org names, collapse_key** (``to_dp.py:855-915``,
       ``helpers.py:57-76``).
 
-    Scale shape: the score table's cardinality is |situations|×|responses| —
-    taxonomy-bounded and corpus-size-independent — so it collapses to a
-    driver-collected map literal (the bounded-sync pattern of kmeans'
-    centroid collect, ``operators/similarity.py``) and the per-card
-    cap/resort and the category mode run PER ROW in array expressions:
-    zero joins, and the only shuffle left is the (tiny-output,
-    map-side-combinable) pair-frequency aggregate. The earlier explode →
-    two-level aggregate → join-back formulation shuffled ~|cards| ×
-    |situations| × |responses| rows twice and re-shuffled the card table
-    for each join — cost that grew with the fact table for per-row-derivable
-    values. Above ``score_map_max_entries`` observed (response, situation)
-    pairs the map literal would bloat every task's serialized plan, so the
-    join formulation takes over (``_rs_mode_joined``) — same semantics,
-    oracle-gated on both paths.
+    Two value-identical formulations for the rs/mode legs, both oracle-gated:
+
+    - ``rs_mode="joined"`` (default): explode → two-level aggregate →
+      join-back. The rs and mode sides are aggregates on the join key, so
+      Catalyst ELIMINATES them entirely for consumers that never project an
+      rs column (the ES surfaces project card_score + ids only — their plans
+      drop the whole scoring subtree), and every column is individually
+      prunable.
+    - ``rs_mode="per_row"``: the score table's cardinality is
+      |situations|×|responses| — taxonomy-bounded and corpus-size-
+      independent — so it collapses to a driver-collected map literal (the
+      bounded-sync pattern of kmeans' centroid collect,
+      ``operators/similarity.py``) and the per-card cap/resort and the
+      category mode run PER ROW in array expressions: zero joins, and the
+      only shuffle left is the (tiny-output, map-side-combinable)
+      pair-frequency aggregate — the shape for shuffle-constrained
+      deployments computing the FULL surface. The trade: the heavy array
+      trees evaluate behind a Generate barrier that column pruning cannot
+      remove, so partial-surface consumers pay for columns they drop — which
+      is why it is opt-in, not the default. Above ``score_map_max_entries``
+      observed (response, situation) pairs the map literal would bloat every
+      task's serialized plan, so the join formulation takes over.
     """
+    if rs_mode not in ("joined", "per_row"):
+        raise ValueError("rs_mode must be 'joined' or 'per_row'")
     from ..functions.fuzzy import address_parts, org_name_parts  # noqa: PLC0415
     from ..functions.geo import calc_point_id, validate_geometry  # noqa: PLC0415
     from ..functions.scoring import card_score, idf_score_table  # noqa: PLC0415
@@ -468,15 +502,20 @@ def card_data_full(
     # table itself is built over all pairs. The pair explode below exists
     # ONLY to feed the frequency aggregate — per-card application happens in
     # array-land (no join back).
-    pairs_slim = base.select(
-        F.explode("situation_ids").alias("situation_id"), "response_ids"
-    ).select("situation_id", F.explode("response_ids").alias("response_id"))
-    score_tbl = idf_score_table(pairs_slim, "response_id", "situation_id", "_score")
-    entries = score_tbl.limit(score_map_max_entries + 1).collect()
-    if len(entries) <= score_map_max_entries:
-        enriched = _rs_mode_per_row(base, entries, max_score, auto_tagged_col)
+    if rs_mode == "per_row":
+        pairs_slim = base.select(
+            F.explode("situation_ids").alias("situation_id"), "response_ids"
+        ).select("situation_id", F.explode("response_ids").alias("response_id"))
+        score_tbl = idf_score_table(
+            pairs_slim, "response_id", "situation_id", "_score"
+        )
+        entries = score_tbl.limit(score_map_max_entries + 1).collect()
+        if len(entries) <= score_map_max_entries:
+            enriched = _rs_mode_per_row(base, entries, max_score, auto_tagged_col)
+        else:
+            enriched = _rs_mode_joined(base, score_tbl, max_score, auto_tagged_col)
     else:
-        enriched = _rs_mode_joined(base, score_tbl, max_score, auto_tagged_col)
+        enriched = _rs_mode_joined(base, None, max_score, auto_tagged_col)
 
     # ---- possible_autocomplete (to_dp.py:180-195) ---------------------------
     # Nested set comprehension over responses × situations (+city variants),

@@ -29,8 +29,13 @@ def q161_es_publish_surfaces(spark, sf_dir):
     session-persisted once; the cards leg projects it, the three count legs
     each run one hash aggregate over it, places is dimension-sized, and the
     autocomplete leg reuses run_derive's persisted flat_table. The union is
-    per-leg maps — no recomputation across legs."""
-    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    per-leg maps — no recomputation across legs. The card surface pins as a
+    lineage-truncating checkpoint, not a persist: five legs plus the union
+    each nested the full card_data_full subtree under a persist (q161 carried
+    172 runtime exchanges in the r12 PLAN_AUDIT); every dimension join below
+    the pin carries an explicit broadcast hint, so the stats-free LogicalRDD
+    scan cannot demote a broadcast."""
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
     from ..pipelines import staging_fixtures as FIX  # noqa: PLC0415
     from ..pipelines.autocomplete import (  # noqa: PLC0415
         autocomplete_corpus,
@@ -47,12 +52,13 @@ def q161_es_publish_surfaces(spark, sf_dir):
     )
 
     st = run_derive(spark, sf_dir)
-    surface = keep_persisted(
+    surface = keep_checkpointed_pooled(
         cards_api_surface(st["card_data_full"]).select(
             "card_key", "card_score", "airtable_last_modified", "service_name",
             "branch_city", "organization", "response_ids", "situation_ids",
         ),
         "es_five_surface",
+        eager=False,
     )
     locs = FIX.locations(spark, sf_dir)
     places = places_surface(spark, locs)

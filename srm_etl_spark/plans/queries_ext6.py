@@ -35,7 +35,11 @@ def q75_card_surface(spark, sf_dir):
     from ..pipelines.derive import card_data_full, run_derive  # noqa: PLC0415
 
     ft = run_derive(spark, sf_dir)["flat_table"]
-    full = card_data_full(ft, max_score=_Q75_MAX_SCORE)
+    # rs_mode="per_row" — q75 is the full-surface consumer AND the oracle
+    # gate for the shuffle-free formulation (folded score-map literal,
+    # per-row cap/resort/mode); partial-surface consumers use the default
+    # joined formulation, which Catalyst prunes
+    full = card_data_full(ft, max_score=_Q75_MAX_SCORE, rs_mode="per_row")
     return full.select(
         "card_key",
         "rs_score",

@@ -64,6 +64,27 @@ def test_card_taxonomy_parent_expansion(stages):
             assert parent in ids
 
 
+def test_card_data_full_rs_modes_agree(spark, sf_dir):
+    # The joined (default, Catalyst-prunable) and per_row (shuffle-free,
+    # folded score-map literal) formulations must produce identical values
+    # on every column — q75's oracle gates per_row directly; this parity
+    # makes the gate transitive to the joined default.
+    from srm_etl_spark.pipelines.derive import card_data_full, run_derive
+
+    ft = run_derive(spark, sf_dir)["flat_table"]
+    joined = card_data_full(ft, max_score=3.0, rs_mode="joined")
+    per_row = card_data_full(ft, max_score=3.0, rs_mode="per_row")
+    cols = sorted(joined.columns)
+    assert cols == sorted(per_row.columns)
+    a = sorted(map(tuple, joined.select(cols).collect()))
+    b = sorted(map(tuple, per_row.select(cols).collect()))
+    assert a == b and len(a) > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        card_data_full(ft, rs_mode="nope")
+
+
 def test_auto_tagged_situations_score_zero(spark, sf_dir):
     # reference to_dp.py:735-736: an auto-tagged situation contributes 0 to
     # the card's rs_score, so it sorts behind organically-scored situations

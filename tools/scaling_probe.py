@@ -292,12 +292,15 @@ def probes(spark):
     def p_semantic_dedup(k):
         # SemDeDup's operating point grows cluster COUNT with the corpus so
         # per-cluster pairwise work stays bounded — the probe scales k (the
-        # cluster count) with the data exactly as the paper does
+        # cluster count) with the data exactly as the paper does — and runs
+        # the production block cap (r13): clusters past max_block_size
+        # salt-split into the sub-block pair grid, so task size stays
+        # bounded even when k-means hands one cluster a hot spot
         from srm_etl_spark.operators.dedup import semantic_dedup  # noqa: PLC0415
 
         return semantic_dedup(
             scaled_emb(spark, k), "embedding", "vec_id",
-            k=8 * k, iterations=2, threshold=0.3,
+            k=8 * k, iterations=2, threshold=0.3, max_block_size=128,
         )
 
     def p_substr_spans(k):

@@ -89,6 +89,11 @@ def enumerate_rows_scalable(
         r["_pid"]: r["n"]
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if not counts:
+        # empty frame: zero rows to index, but the mapping below would be an
+        # UNTYPED empty map literal (map()[_pid] fails analysis with a VOID
+        # key type) — emit a typed null index column over the empty frame
+        return ranged.withColumn(out_col, F.lit(None).cast("long")).drop("_pid")
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

@@ -64,6 +64,19 @@ def test_enumerate_rows_scalable_parity(spark):
     assert sorted((r["id"], r["idx"]) for r in a) == sorted((r["id"], r["idx"]) for r in b)
 
 
+def test_enumerate_rows_scalable_empty_frame(spark):
+    # Zero input rows used to fail ANALYSIS (the offsets create_map() is an
+    # untyped empty literal, so map()[_pid] has a VOID key type) — hit in
+    # the wild by maximal_repeat_spans on a corpus with no duplicated
+    # windows. Must return an empty frame with the index column present.
+    from srm_etl_spark.operators.windows import enumerate_rows_scalable
+
+    df = spark.range(0, 100).withColumn("v", F.col("id")).filter(F.col("id") < 0)
+    out = enumerate_rows_scalable(df, ["v"], "idx", num_partitions=4)
+    assert out.count() == 0
+    assert "idx" in out.columns and "_pid" not in out.columns
+
+
 def test_keep_persisted_pooled_bounds_slot_count(spark):
     # A long session enumerating many distinct frames must not accumulate
     # unbounded MEMORY_AND_DISK relations: the pool is LRU-bounded.

@@ -59,31 +59,27 @@ def enumerate_rows_scalable(
     ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    # PIN the ranged exchange before counting: repartitionByRange picks its
-    # boundaries by SAMPLING, and the counting job and the main action are
-    # two separate evaluations — an upstream change (AQE coalescing, input
-    # split drift) can re-sample different boundaries in the second run and
-    # desync every offset (caught at sf0.1, r8: scores shifted by a
-    # partition-boundary overlap). The session slot materializes the
-    # partitions once (MEMORY_AND_DISK — the same spillable copy
-    # RDD.zipWithIndex pays implicitly), both jobs read one physical
-    # layout, and warm repeats of the same plan reuse it instead of
-    # stacking a new cached relation per call. The slot pool is keyed by
-    # the plan's semantic hash, bounded LRU: two DIFFERENT frames enumerated in one session
-    # must not evict each other's pin mid-computation (a shared slot would
-    # reintroduce the resample bug for the first frame's deferred action),
-    # but a long session enumerating MANY distinct frames must not
-    # accumulate unbounded cached relations either. ``max_pinned_frames``
-    # sizes the pool for the caller: it must be >= the number of enumerated
-    # frames the caller may hold with actions still pending, because an
-    # evicted pin recomputes with RESAMPLED range boundaries and the
-    # driver-collected offsets below would silently desync (the pool logs
-    # every eviction for exactly this diagnosis).
-    from .session_cache import keep_persisted_pooled  # noqa: PLC0415
+    # PIN the ranged exchange with a lineage-truncating CHECKPOINT before
+    # counting: repartitionByRange picks its boundaries by SAMPLING, and the
+    # counting job and the main action are two separate evaluations — if the
+    # second evaluation recomputes (an upstream change, a cache-lookup miss),
+    # it can re-sample different boundaries and desync every offset. A
+    # persist pin was NOT enough: under AQE-off the composed q159 union plan
+    # bypassed the CacheManager entry for this frame (the executed plan
+    # carried a live rangepartitioning exchange) and re-sampled over a
+    # differently-partitioned cached upstream — 205 of 211 sitemap pages
+    # mis-chunked. The checkpoint stores the partitions PHYSICALLY (lazy —
+    # materialized by the counting job below); recompute is impossible, so
+    # both jobs read one frozen layout regardless of how plan matching goes.
+    # The pool is keyed by the plan's semantic hash so warm repeats of the
+    # same frame reuse the blocks; ``max_pinned_frames`` bounds how many
+    # distinct enumerated frames stay pinned (an evicted entry's blocks
+    # survive as long as the returned frame references them — eviction can
+    # no longer desync a deferred action, unlike the old persist pool).
+    from .session_cache import keep_checkpointed_pooled  # noqa: PLC0415
 
-    ranged = keep_persisted_pooled(
-        ranged, "enumerate_ranged", max_slots=max_pinned_frames,
-        warn_on_evict=True,
+    ranged = keep_checkpointed_pooled(
+        ranged, "enumerate_ranged", max_slots=max_pinned_frames, eager=False
     )
     counts = {
         r["_pid"]: r["n"]

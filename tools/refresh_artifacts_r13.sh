@@ -7,28 +7,44 @@ echo "=== refresh start $(date) ===" > $log
 
 step() { echo "--- $1 $(date +%H:%M:%S) ---" >> $log; }
 
-step pytest
-python -m pytest tests/ -q 2>&1 | tail -3 >> $log
-
 step correctness_sf001
 python tools/check_correctness.py > CORRECTNESS_LOCAL_r13.txt 2>/dev/null
 tail -1 CORRECTNESS_LOCAL_r13.txt >> $log
 
-step correctness_sf0001
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/check_correctness.py > CORRECTNESS_LOCAL_r13_sf0001.txt 2>/dev/null
-tail -1 CORRECTNESS_LOCAL_r13_sf0001.txt >> $log
+step correctness_retry
+# TENTH invariance axis (new, r13): real task failures + scheduler retries
+# injected into every scan (local[N,4] + first-attempt faults on even
+# partitions) — results must hash-MATCH the clean run.
+SPARK_GRAFT_RETRY=1 python tools/check_correctness.py > CORRECTNESS_LOCAL_r13_retry.txt 2>/dev/null
+tail -1 CORRECTNESS_LOCAL_r13_retry.txt >> $log
+
+step correctness_aqe0
+SPARK_GRAFT_AQE=0 python tools/check_correctness.py > CORRECTNESS_LOCAL_r13_aqe0.txt 2>/dev/null
+tail -1 CORRECTNESS_LOCAL_r13_aqe0.txt >> $log
+
+step plan_audit
+python tools/plan_audit.py > /dev/null 2>&1
+wc -l PLAN_AUDIT.txt >> $log
+grep -c " ok " PLAN_AUDIT.txt >> $log 2>&1 || true
+
+step scaling_suite
+python tools/scaling_probe.py 1 4 16 >> $log 2>/dev/null
+
+step bench_min3
+SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL_r13.json python bench.py >> $log 2>/dev/null
+cp BENCH_LOCAL_r13.json BENCH_LOCAL_latest.json
 
 step correctness_sf01
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/check_correctness.py > CORRECTNESS_LOCAL_r13_sf01.txt 2>/dev/null
 tail -1 CORRECTNESS_LOCAL_r13_sf01.txt >> $log
 
+step correctness_sf0001
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/check_correctness.py > CORRECTNESS_LOCAL_r13_sf0001.txt 2>/dev/null
+tail -1 CORRECTNESS_LOCAL_r13_sf0001.txt >> $log
+
 step correctness_p7
 SPARK_SHUFFLE_PARTITIONS=7 python tools/check_correctness.py > CORRECTNESS_LOCAL_r13_p7.txt 2>/dev/null
 tail -1 CORRECTNESS_LOCAL_r13_p7.txt >> $log
-
-step correctness_aqe0
-SPARK_GRAFT_AQE=0 python tools/check_correctness.py > CORRECTNESS_LOCAL_r13_aqe0.txt 2>/dev/null
-tail -1 CORRECTNESS_LOCAL_r13_aqe0.txt >> $log
 
 step correctness_codegen0
 SPARK_GRAFT_CODEGEN=0 python tools/check_correctness.py > CORRECTNESS_LOCAL_r13_codegen0.txt 2>/dev/null
@@ -46,23 +62,7 @@ step correctness_spill
 SPARK_GRAFT_SPILL=1 python tools/check_correctness.py > CORRECTNESS_LOCAL_r13_spill.txt 2>/dev/null
 tail -1 CORRECTNESS_LOCAL_r13_spill.txt >> $log
 
-step correctness_retry
-# TENTH invariance axis (new, r13): real task failures + scheduler retries
-# injected into every scan (local[N,4] + first-attempt faults on even
-# partitions) — results must hash-MATCH the clean run.
-SPARK_GRAFT_RETRY=1 python tools/check_correctness.py > CORRECTNESS_LOCAL_r13_retry.txt 2>/dev/null
-tail -1 CORRECTNESS_LOCAL_r13_retry.txt >> $log
-
-step plan_audit
-python tools/plan_audit.py > /dev/null 2>&1
-wc -l PLAN_AUDIT.txt >> $log
-grep -c " ok " PLAN_AUDIT.txt >> $log 2>&1 || true
-
-step scaling_suite
-python tools/scaling_probe.py 1 4 16 >> $log 2>/dev/null
-
-step bench_min3
-SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL_r13.json python bench.py >> $log 2>/dev/null
-cp BENCH_LOCAL_r13.json BENCH_LOCAL_latest.json
+step pytest
+python -m pytest tests/ -q 2>&1 | tail -3 >> $log
 
 echo "=== refresh done $(date) ===" >> $log

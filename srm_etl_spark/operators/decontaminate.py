@@ -171,8 +171,15 @@ def exact_substring_decontaminate(
         # one shuffle-free aggregate over the EVAL side only (never the
         # corpus): total window count upper-bounds the distinct key count,
         # ~44 bytes per md5 row vs. the session broadcast budget
-        thresh = int(
-            corpus.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        from ..session import parse_byte_size  # noqa: PLC0415
+
+        # sessions outside get_spark render the default as '10485760b', and
+        # users set unit forms like '10MB' — never bare int() a size conf
+        thresh = parse_byte_size(
+            corpus.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            ),
+            default=10 << 20,
         )
         n_keys_ub = (
             eval_df.select(

@@ -39,6 +39,37 @@ def scratch_dir(prefix: str = "srm") -> str:
     return tempfile.mkdtemp(prefix=prefix + "_", dir=_SCRATCH_ROOT[0])
 
 
+_BYTE_UNITS = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def parse_byte_size(value, default: int | None = None) -> int:
+    """Spark byte-size conf value → bytes.
+
+    Spark renders size confs in every form users set them: a plain integer
+    (``10485760``), the JVM-normalized ``10485760b``, or a unit-suffixed
+    string (``10MB``, ``1g``). ``int(conf.get(...))`` crashes on all but the
+    first — sessions outside :func:`get_spark` surface the built-in default
+    as ``'10485760b'``. One parser for every conf-driven byte decision
+    (broadcast-threshold gates, scan-split sizing). ``-1`` (broadcast
+    disabled) passes through. Unparseable values fall back to ``default``
+    when given, else raise."""
+    try:
+        s = str(value).strip().lower()
+        num = s.rstrip("kmgtpb")
+        return int(num) * _BYTE_UNITS[s[len(num):]]
+    except (ValueError, KeyError):
+        if default is not None:
+            return default
+        raise ValueError(f"unparseable byte size: {value!r}") from None
+
+
 def get_spark(
     app_name: str = "srm-etl-spark",
     master: str | None = None,

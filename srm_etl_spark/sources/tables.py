@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from ..session import parse_byte_size
+
 TABLES = [
     "region",
     "nation",
@@ -87,8 +89,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = True)
         # which converts the plan to an RDD on every load — measurable fixed
         # cost when the bench loads tables hundreds of times.
         parallelism = spark.sparkContext.defaultParallelism
-        max_bytes = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        max_bytes = parse_byte_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+            default=128 << 20,
         )
         est_partitions = max(1, _file_bytes(path) // max_bytes)
         if est_partitions < parallelism // 2:

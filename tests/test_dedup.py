@@ -458,3 +458,44 @@ def test_exact_substring_decontaminate_cuts_eval_spans(spark):
     assert out[3].clean_text == "tail1 tail2"
     # an eval-internal duplicate must NOT mark train docs that lack it
     assert out[2].contam_tokens == 0
+
+
+def test_parse_byte_size_forms():
+    from srm_etl_spark.session import parse_byte_size
+
+    # every form Spark renders / users set: plain, JVM-normalized 'b',
+    # unit-suffixed, disabled (-1)
+    assert parse_byte_size("10485760") == 10 << 20
+    assert parse_byte_size("10485760b") == 10 << 20
+    assert parse_byte_size("10MB") == 10 << 20
+    assert parse_byte_size("10mb") == 10 << 20
+    assert parse_byte_size("1g") == 1 << 30
+    assert parse_byte_size("512k") == 512 << 10
+    assert parse_byte_size(-1) == -1
+    assert parse_byte_size("-1") == -1
+    assert parse_byte_size("garbage", default=7) == 7
+    with pytest.raises(ValueError):
+        parse_byte_size("garbage")
+
+
+def test_decontaminate_broadcast_decision_survives_suffixed_conf(spark):
+    # ADVICE r13: sessions outside get_spark render the broadcast threshold
+    # as '10485760b' — the default broadcast-decision path must not crash
+    from srm_etl_spark.operators.decontaminate import exact_substring_decontaminate
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    train = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(9, "w1 w2 w3 w4 w5 w6")], "doc_id long, text string"
+    )
+    try:
+        spark.conf.set(key, "10485760b")
+        rows = exact_substring_decontaminate(
+            train, ev, "text", "doc_id", min_tokens=6
+        ).collect()
+        assert rows[0].n_contam_spans == 1
+    finally:
+        spark.conf.set(key, old)

@@ -598,7 +598,7 @@ def embedding_near_dup_pairs_arrow(
     threshold: float = 0.95,
     block_col: str | None = None,
     chunk_rows: int = 1024,
-    max_block_size: int | None = None,
+    max_block_size: int | str | None = None,
 ) -> DataFrame:
     """BLAS-backed twin of :func:`embedding_near_dup_pairs`: per-block cosine
     matrix via ``applyInPandas`` + numpy matmul, emitting only pairs at or
@@ -633,12 +633,15 @@ def embedding_near_dup_pairs_arrow(
     per row, independent of grouping). Peak task memory drops from
     O(B·dim) to O(2·cap·dim); total work is unchanged (the cap bounds
     stragglers, it does not reduce B²) — the ``resolve_entities`` block-cap
-    precedent applied to the BLAS kernel.
+    precedent applied to the BLAS kernel. The string sentinel
+    ``"half-avg"`` derives the cap lazily in-plan as half the average block
+    size (S >= 2 everywhere — the oracle gate shape, q171); production
+    callers pass the int task-memory budget.
     """
     import numpy as np  # noqa: PLC0415
 
-    if max_block_size is not None and max_block_size < 1:
-        raise ValueError("max_block_size must be >= 1")
+    if max_block_size is not None and max_block_size != "half-avg" and int(max_block_size) < 1:
+        raise ValueError("max_block_size must be >= 1 (or the 'half-avg' sentinel)")
 
     def make_score(salted: bool):
         def score(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -690,13 +693,30 @@ def embedding_near_dup_pairs_arrow(
     blk = F.col(block_col) if block_col else F.lit(1)
     base = df.select(id_col, vec_col, blk.alias("_blk"))
     sizes = base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bn"))
-    # one extra shuffle on _blk (the key the kernel groups on anyway);
-    # S = 1 for every block under the cap, so the common case reduces to the
-    # uncapped grouping with a constant (0, 0) sub-block pair
+    if max_block_size == "half-avg":
+        # lazy cap = half the AVERAGE block size, derived in-plan from the
+        # sizes the kernel aggregates anyway (no driver-side count at plan
+        # construction — the r13 q112 eager-count ADVICE): forces S >= 2 on
+        # every average-sized block at ANY corpus scale, the oracle gate for
+        # the salted sub-block pair grid. Production callers pass an int cap
+        # sized to the task-memory budget instead.
+        cap = sizes.agg(
+            F.greatest(
+                F.lit(2), F.ceil(F.avg("_bn") / 2).cast("int")
+            ).alias("_cap")
+        )
+        sizes = sizes.crossJoin(F.broadcast(cap))
+    else:
+        sizes = sizes.withColumn("_cap", F.lit(int(max_block_size)))
+    # the block-size side is k rows (one per block) — broadcast it
+    # explicitly so the corpus stream picks up (_bn, _cap) map-side instead
+    # of shuffling on _blk twice (the sizes agg shuffles k rows only; the
+    # corpus shuffles once, on the kernel's own (_blk,_gi,_gj) key). Blocks
+    # are bounded-count by the same budget that bounds the Lloyd sync.
     salted = (
-        base.join(sizes, "_blk")
+        base.join(F.broadcast(sizes), "_blk")
         .withColumn(
-            "_nsplit", F.ceil(F.col("_bn") / F.lit(max_block_size)).cast("int")
+            "_nsplit", F.ceil(F.col("_bn") / F.col("_cap")).cast("int")
         )
         .withColumn(
             "_salt",
@@ -730,7 +750,8 @@ def semantic_dedup(
     iterations: int = 2,
     threshold: float = 0.95,
     chunk_rows: int = 1024,
-    max_block_size: int | None = None,
+    max_block_size: int | str | None = None,
+    train_filter=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the embedding
     corpus, then drop semantic duplicates *within* each cluster — a row is a
@@ -748,13 +769,18 @@ def semantic_dedup(
     O(cluster²·dim) per task instead of O(n²) — on a 100 TB corpus ``k``
     grows with the data (the paper uses ~100k clusters for LAION-scale) so
     cluster size, and with it task memory and runtime, stays bounded. The
-    k-means trainer itself is one codegen argmin map + one map-side-combined
-    (cluster, dim) average per iteration (operators/similarity.py:kmeans).
+    k-means trainer: Lloyd syncs over ``train_filter``'s sample when given
+    (the FAISS quantizer-training posture — the full corpus pays exactly one
+    assignment pass), and the assignment itself is the exact coarse-then-fine
+    pruned kernel past 64 centroids (O(n·√k) typical instead of the flat n·k
+    that goes ~n² when k tracks corpus size — the r13 probe's one
+    super-linear leg; operators/similarity.py:assign_clusters).
     """
     from .similarity import kmeans  # noqa: PLC0415
 
     assigned = keep_persisted(  # feeds the pair kernel AND the final join
-        kmeans(df, vec_col, id_col, k=k, iterations=iterations), "semantic_dedup_assigned"
+        kmeans(df, vec_col, id_col, k=k, iterations=iterations, train_filter=train_filter),
+        "semantic_dedup_assigned",
     )
     pairs = embedding_near_dup_pairs_arrow(
         assigned, vec_col, id_col,

@@ -412,25 +412,49 @@ def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
 ASSIGN_LITERAL_MAX_K = 64
 
 
+# Large-k assignment strategy: "hierarchical" (default — coarse-then-fine
+# exact pruned search, O(n·√k) typical) or "matrix" (the broadcast-row
+# transform+array_min expression, O(n·k) interpreted — kept as the
+# zero-Python fallback and as the parity reference for tests).
+ASSIGN_LARGE_K_MODE = "hierarchical"
+
+
 def assign_clusters(
     df: DataFrame, centroids_by_id: dict[int, list[float]], vec_col: str = "_v"
 ) -> DataFrame:
     """Nearest-centroid assignment against a broadcast centroid set.
 
-    Two physically different plans, value-identical by construction (same
-    sequential-fold distance, same (dist, cid) struct-min tie-break to the
-    lowest centroid id):
+    Physically different plans, value-identical by construction (same
+    sequential-fold distance, same (dist, cid) tie-break to the lowest
+    centroid id):
 
     - k <= ASSIGN_LITERAL_MAX_K (64): the centroid matrix inlines into the plan
       as literal arrays — pure whole-stage-codegen array math, zero shuffle,
       zero Python.
-    - larger k: inlining k literal expressions makes Catalyst re-analyze and
-      codegen-compile an O(k·dim)-node expression tree on EVERY Lloyd
-      iteration — the measured 11.6x scaling knee of semantic_dedup at 16x
-      corpus (SCALING.md r4). Instead the matrix ships as ONE broadcast row
+    - larger k, ``ASSIGN_LARGE_K_MODE == "hierarchical"`` (default): the
+      coarse-then-fine EXACT pruned search (:func:`_assign_hierarchical`).
+      Flat argmin is n·k work, and SemDeDup's operating point grows k with
+      the corpus (k ∝ n ⇒ n² across the cluster) — the one super-linear leg
+      the r13 scaling probes exposed. The hierarchical kernel groups the k
+      fine centroids under ~√k coarse centers (driver-side numpy Lloyd over
+      the k×dim matrix — bounded by the same budget that lets the Lloyd
+      driver sync collect it) and per row scans only the coarse cells the
+      triangle inequality cannot exclude: ‖x−f‖ ≥ ‖x−c_G‖ − r_G, so a cell
+      whose lower bound exceeds the incumbent (plus an fp-slack margin ~1e-9,
+      seven orders above the ~1e-16 sqrt/subtract rounding it guards) can be
+      skipped without ever skipping the true argmin. Typical work is
+      n·(√k coarse + a few cells·(k/√k) fine) = O(n·√k); worst case degrades
+      to the flat scan, never below exactness. Distances inside the kernel
+      replay the expression path's sequential dim fold (a fixed-order numpy
+      dim loop, batch-shape independent), so assignments are deterministic
+      under ANY input partitioning and bit-match the literal path — the
+      invariance axes and the q83/q112-family oracles gate this.
+    - larger k, ``"matrix"``: the matrix ships as ONE broadcast row
       (array<array<double>>) and the argmin is a constant-size
-      ``transform``+``array_min`` over it — compile cost independent of k,
-      still no shuffle (broadcast nested-loop against a single row).
+      ``transform``+``array_min`` over it — compile cost independent of k
+      (inlining k literals re-analyzes + recompiles an O(k·dim)-node tree
+      EVERY Lloyd iteration, the measured r4 11.6x knee), still no shuffle,
+      but n·k interpreted work.
     """
     items = sorted((int(cid), [float(x) for x in c]) for cid, c in centroids_by_id.items())
     if len(items) <= ASSIGN_LITERAL_MAX_K:
@@ -444,6 +468,8 @@ def assign_clusters(
             ]
         )
         return df.withColumn("cluster", F.array_min(cands)["cid"])
+    if ASSIGN_LARGE_K_MODE == "hierarchical":
+        return _assign_hierarchical(df, items, vec_col)
     spark = df.sparkSession
     cent = spark.createDataFrame(
         [([cid for cid, _ in items], [c for _, c in items])],
@@ -467,6 +493,121 @@ def assign_clusters(
     )
 
 
+def _sq_dists_seqfold(X, C):
+    """Pairwise squared distances with the SAME fold as the expression path:
+    acc ← acc + (a−b)·(a−b), dim-major sequential. A fixed-order dim loop
+    (each step one elementwise numpy op) is bit-identical regardless of how
+    many rows share the batch — numpy's axis reductions use pairwise
+    summation whose tree would match only by accident, so they are banned
+    here. X: (m, d), C: (b, d) → (m, b) float64."""
+    import numpy as np  # noqa: PLC0415
+
+    acc = np.zeros((X.shape[0], C.shape[0]))
+    for t in range(X.shape[1]):
+        diff = X[:, t, None] - C[None, :, t]
+        acc += diff * diff
+    return acc
+
+
+def _coarse_structure(C, g: int, iterations: int = 3):
+    """Group the k fine centroids under g coarse centers (driver-side numpy
+    Lloyd, deterministic init = first g centroids in cid order, ties to the
+    lowest coarse index). Empty cells are dropped. Returns
+    (coarse_centers (g'×d), members: list of ascending fine-index arrays,
+    radii (g',) where radii[G] = max ‖c_G − f‖ over members f — the triangle
+    bound's per-cell term)."""
+    import numpy as np  # noqa: PLC0415
+
+    k = C.shape[0]
+    g = max(1, min(g, k))
+    cc = C[:g].copy()
+    for _ in range(iterations):
+        assign = np.argmin(_sq_dists_seqfold(C, cc), axis=1)
+        for j in range(g):
+            m = assign == j
+            if m.any():
+                cc[j] = C[m].mean(axis=0)
+    assign = np.argmin(_sq_dists_seqfold(C, cc), axis=1)
+    members, centers, radii = [], [], []
+    for j in range(g):
+        idx = np.nonzero(assign == j)[0]
+        if idx.size == 0:
+            continue
+        members.append(idx)
+        centers.append(cc[j])
+        radii.append(float(np.sqrt(_sq_dists_seqfold(C[idx], cc[j][None, :])).max()))
+    return np.array(centers), members, np.array(radii)
+
+
+# relative fp-slack on the triangle-inequality prune: sqrt/subtract round at
+# ~1e-16, so 1e-9 can only ever cause harmless extra scans, never a skip of
+# the true argmin
+_PRUNE_SLACK = 1e-9
+
+
+def _assign_hierarchical(df: DataFrame, items: list, vec_col: str) -> DataFrame:
+    """Coarse-then-fine EXACT nearest-centroid assignment (see
+    :func:`assign_clusters` for the contract and the scale argument).
+
+    One ``mapInPandas`` over the corpus — no shuffle; the k×dim centroid
+    matrix and its coarse structure ship once per executor as a Spark
+    broadcast variable, not per-task closure. Per batch: distances to the g'
+    coarse centers (m·g' dim-fold), an exact scan of each row's nearest
+    cell, then only the cells whose lower bound ‖x−c_G‖ − r_G does not
+    exceed the incumbent distance (plus fp slack). All candidate distances
+    use the sequential dim fold, so the winning (d, cid) is identical to the
+    flat literal/matrix paths' array_min."""
+    import numpy as np  # noqa: PLC0415
+    from pyspark.sql.types import IntegerType, StructField, StructType  # noqa: PLC0415
+
+    cids = np.array([cid for cid, _ in items], dtype=np.int64)
+    C = np.array([c for _, c in items], dtype=np.float64)
+    g = max(1, int(len(items) ** 0.5))
+    centers, members, radii = _coarse_structure(C, g)
+    b = df.sparkSession.sparkContext.broadcast((C, cids, centers, members, radii))
+
+    out_schema = StructType(list(df.schema) + [StructField("cluster", IntegerType())])
+
+    def gen(batches):
+        C, cids, centers, members, radii = b.value
+        ng = len(members)
+
+        def scan(X, rows, G, best_d, best_ix):
+            mem = members[G]
+            D = _sq_dists_seqfold(X[rows], C[mem])
+            j = np.argmin(D, axis=1)  # first min = lowest fine index = lowest cid
+            cand_d, cand_ix = D[np.arange(len(rows)), j], mem[j]
+            take = (cand_d < best_d[rows]) | (
+                (cand_d == best_d[rows]) & (cand_ix < best_ix[rows])
+            )
+            idx = rows[take]
+            best_d[idx], best_ix[idx] = cand_d[take], cand_ix[take]
+
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                yield pdf.assign(cluster=np.array([], dtype=np.int32))
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            dc = np.sqrt(_sq_dists_seqfold(X, centers))  # (m, g') — prune-only
+            order = np.argsort(dc, axis=1, kind="stable")
+            best_d = np.full(m, np.inf)
+            best_ix = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+            for G in np.unique(order[:, 0]):
+                scan(X, np.nonzero(order[:, 0] == G)[0], G, best_d, best_ix)
+            for p in range(1, ng):
+                Gp = order[:, p]
+                lb = dc[np.arange(m), Gp] - radii[Gp]
+                need = lb <= np.sqrt(best_d) * (1.0 + _PRUNE_SLACK) + _PRUNE_SLACK
+                if not need.any():
+                    continue
+                for G in np.unique(Gp[need]):
+                    scan(X, np.nonzero(need & (Gp == G))[0], G, best_d, best_ix)
+            yield pdf.assign(cluster=cids[best_ix].astype(np.int32))
+
+    return df.mapInPandas(gen, out_schema)
+
+
 def kmeans(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -475,6 +616,7 @@ def kmeans(
     iterations: int = 2,
     round_to: int = 6,
     use_cache: bool = True,
+    train_filter: Column | None = None,
 ) -> DataFrame:
     """Lloyd's k-means with deterministic init: cluster assignment for every
     row after ``iterations`` rounds. Output: (id_col, cluster, vec_col) — the
@@ -488,17 +630,30 @@ def kmeans(
     ``round_to``-decimal grid so the next assignment's argmin is identical
     across engines regardless of float summation order.
 
+    ``train_filter`` (a boolean Column over the input, e.g.
+    ``F.col("vec_id") % 4 == 0``) trains the Lloyd iterations on the
+    matching SAMPLE only — the standard quantizer-training posture at
+    corpus scale (FAISS trains IVF coarse quantizers on a bounded sample):
+    init and every centroid sync read the sample; the FULL corpus pays
+    exactly ONE assignment pass regardless of ``iterations``. The filter
+    must be engine-reproducible (id arithmetic, not rand()) so the SQL
+    oracles can replay it (q171 pins this path).
+
     Scale shape (the same sync structure MLlib's KMeans uses):
     - Per iteration the only distributed work is one nearest-centroid map
-      (codegen array math, no shuffle) and one (cluster, dim)-keyed avg —
-      a map-side-combinable aggregate whose output is k x dim rows.
+      (codegen array math for k <= 64, the exact coarse-then-fine pruned
+      kernel above it — see :func:`assign_clusters` — both shuffle-free)
+      and one (cluster, dim)-keyed avg whose output is k x dim rows.
     - The k x dim centroid matrix is the only thing collected per round —
       bounded by design (it must fit in the plan as literals), the classic
       Lloyd driver sync.
     """
     if k <= 0 or iterations <= 0:
         raise ValueError("k and iterations must be positive")
-    params = (vec_col, id_col, k, iterations, round_to)
+    params = (
+        vec_col, id_col, k, iterations, round_to,
+        None if train_filter is None else str(train_filter),
+    )
     if not use_cache:
         clear_kmeans_memo()
     if _KMEANS_MEMO:
@@ -512,23 +667,38 @@ def kmeans(
                 return prev_out
         except Exception:  # noqa: BLE001, S110 — prior session may be gone
             _KMEANS_MEMO.clear()
+    base = df if train_filter is None else df.filter(train_filter)
     data = df.select(
         F.col(id_col).alias("_kid"), F.col(vec_col).cast("array<double>").alias("_v")
     ).persist()
-    init = data.orderBy("_kid").limit(k).collect()
+    train = (
+        data
+        if train_filter is None
+        else base.select(
+            F.col(id_col).alias("_kid"), F.col(vec_col).cast("array<double>").alias("_v")
+        ).persist()
+    )
+    init = train.orderBy("_kid").limit(k).collect()
     if not init:
+        if train is not data:
+            train.unpersist(blocking=False)
         data.unpersist(blocking=False)
         return data.select(
             F.col("_kid").alias(id_col), F.lit(0).alias("cluster"), F.col("_v").alias(vec_col)
         )
     cents: dict[int, list[float]] = {i: list(r["_v"]) for i, r in enumerate(init)}
-    assigned = data
-    for i in range(iterations):
-        assigned = assign_clusters(data, cents)
-        if i < iterations - 1:  # the last assignment is the result — no sync
-            new_rows = centroid_vectors(assigned, "cluster", "_v", round_to=round_to).collect()
-            cents = {int(r["cluster"]): list(r["centroid"]) for r in new_rows}
+    # equivalent to assign-then-sync per iteration with the sync skipped on
+    # the last round: (iterations - 1) train-side Lloyd updates, then ONE
+    # full-corpus assignment with the final centroids
+    for _ in range(iterations - 1):
+        new_rows = centroid_vectors(
+            assign_clusters(train, cents), "cluster", "_v", round_to=round_to
+        ).collect()
+        cents = {int(r["cluster"]): list(r["centroid"]) for r in new_rows}
+    assigned = assign_clusters(data, cents)
     out = assigned.select(F.col("_kid").alias(id_col), "cluster", F.col("_v").alias(vec_col))
+    if train is not data:
+        train.unpersist(blocking=False)
     data.unpersist(blocking=False)
     if use_cache:
         clear_kmeans_memo()  # evict (and unpersist) the predecessor

@@ -132,10 +132,10 @@ def test_exact_rerank_orders_by_true_cosine(spark):
     assert got == [(10, 1), (11, 2)]
 
 
-def test_assign_clusters_matrix_path_matches_literal(spark, monkeypatch):
-    """The broadcast-matrix assignment (the k>128 codegen-knee fix) must be
-    value-identical to the literal-inline path: same fold order, same
-    (dist, cid) tie-break."""
+def test_assign_clusters_large_k_paths_match_literal(spark, monkeypatch):
+    """BOTH large-k assignments — the broadcast-matrix expression and the
+    hierarchical pruned kernel — must be value-identical to the
+    literal-inline path: same fold order, same (dist, cid) tie-break."""
     from srm_etl_spark.operators import similarity as S
 
     import random
@@ -147,11 +147,54 @@ def test_assign_clusters_matrix_path_matches_literal(spark, monkeypatch):
     cents[8] = list(cents[0])
     df = spark.createDataFrame(rows, "vec_id long, _v array<double>")
     lit = S.assign_clusters(df, cents).select("vec_id", "cluster").collect()
+    want = sorted((r.vec_id, r.cluster) for r in lit)
     monkeypatch.setattr(S, "ASSIGN_LITERAL_MAX_K", 0)
-    mat = S.assign_clusters(df, cents).select("vec_id", "cluster").collect()
-    assert sorted((r.vec_id, r.cluster) for r in lit) == sorted(
-        (r.vec_id, r.cluster) for r in mat
+    for mode in ("matrix", "hierarchical"):
+        monkeypatch.setattr(S, "ASSIGN_LARGE_K_MODE", mode)
+        got = S.assign_clusters(df, cents).select("vec_id", "cluster").collect()
+        assert sorted((r.vec_id, r.cluster) for r in got) == want, mode
+
+
+def test_assign_hierarchical_exact_at_real_large_k(spark, monkeypatch):
+    """The hierarchical prune must return the EXACT flat argmin at a k that
+    genuinely exercises multi-cell pruning (k=120 → ~10 coarse cells), on the
+    real embeddings table, bit-for-bit against the matrix expression path —
+    including under a tiny batch size (batch-shape independence)."""
+    import os
+
+    from srm_etl_spark.operators import similarity as S
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    emb = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+        .limit(1200)
     )
+    cents = {
+        int(r.vec_id): list(r._v)
+        for r in emb.orderBy("vec_id").limit(120).collect()
+    }
+    monkeypatch.setattr(S, "ASSIGN_LARGE_K_MODE", "matrix")
+    want = sorted(
+        (r.vec_id, r.cluster)
+        for r in S.assign_clusters(emb, cents).select("vec_id", "cluster").collect()
+    )
+    monkeypatch.setattr(S, "ASSIGN_LARGE_K_MODE", "hierarchical")
+    got = sorted(
+        (r.vec_id, r.cluster)
+        for r in S.assign_clusters(emb, cents).select("vec_id", "cluster").collect()
+    )
+    assert got == want
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        got_small = sorted(
+            (r.vec_id, r.cluster)
+            for r in S.assign_clusters(emb, cents).select("vec_id", "cluster").collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got_small == want
 
 
 def test_kmeans_use_cache_false_bypasses_memo(spark):

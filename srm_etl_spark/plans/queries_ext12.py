@@ -113,20 +113,18 @@ def q112_semantic_dedup(spark, sf_dir):
     cluster-mate at cosine >= 0.3. Every row is emitted with its cluster and
     kept flag so the removal is auditable.
 
-    The cap is sized to HALF the average cluster so the oracle gates the
-    SALT-SPLIT kernel path (sub-block pair grid, S ≈ 2) at EVERY test SF —
-    the r12 resolve_entities precedent: the capped plan must produce the
-    identical pair set, not just the easy unsalted one. Sizing it relative
-    to n matters: a fixed cap far below the cluster size replicates each
-    row S ≈ B/cap times (the grid is exact but total rows grow as B²/cap —
-    a fixed cap=16 cost q112 5× at sf0.1), while cap ≈ B/2 pays one extra
-    row per row. Production callers size the cap to the task-memory budget,
-    which is exactly this computation in reverse."""
+    This query prices the PRODUCTION path: the cap is the task-memory
+    budget (4096 rows × 64 dims × 8 B ≈ 2 MiB of resident block matrix per
+    task), which no test-SF cluster reaches — the salted plan machinery is
+    present (bounded tasks under any skew) but S = 1 everywhere, so the
+    query costs what a deployment would pay. The S > 1 sub-block pair grid
+    is oracle-gated separately by q171 (lazy 'half-avg' cap — splits at
+    every SF) plus a salted-plan assertion test, the r13 re-pricing ask:
+    gating the split at toy scale here charged q112 5.7× its r12 cost."""
     emb = _t(spark, sf_dir, "embeddings")
-    n = emb.count()  # one column-pruned count over the dimension-sized table
     out = semantic_dedup(
         emb, "embedding", "vec_id", k=8, iterations=2, threshold=0.3,
-        max_block_size=max(2, (n + 15) // 16),
+        max_block_size=4096,
     )
     return out.select("vec_id", "cluster", "kept")
 

@@ -499,3 +499,49 @@ def test_decontaminate_broadcast_decision_survives_suffixed_conf(spark):
         assert rows[0].n_contam_spans == 1
     finally:
         spark.conf.set(key, old)
+
+
+def test_q171_exercises_salted_split_and_sample_training(spark):
+    """q171's registry row must provably gate the S>1 salt-split path and
+    the sample-trained hierarchical kmeans: the pair-kernel plan carries the
+    salt/explode machinery, and a genuinely split block's pair set matches
+    the unsalted kernel (the exactly-once grid emission)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.operators.dedup import embedding_near_dup_pairs_arrow
+    from srm_etl_spark.operators.similarity import kmeans
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    assigned = kmeans(
+        emb, "embedding", "vec_id", k=96, iterations=2,
+        train_filter=F.col("vec_id") % 2 == 0, use_cache=False,
+    ).persist()
+    try:
+        salted = embedding_near_dup_pairs_arrow(
+            assigned, "embedding", "vec_id", threshold=0.3,
+            block_col="cluster", max_block_size="half-avg",
+        )
+        plan = salted._jdf.queryExecution().optimizedPlan().toString()
+        assert "_nsplit" in plan and "explode" in plan.lower()
+        # the half-avg cap actually splits: some block carries S > 1
+        import math
+
+        sizes = assigned.groupBy("cluster").count()
+        avg = sizes.agg(F.avg("count")).collect()[0][0]
+        cap = max(2, math.ceil(avg / 2))
+        assert sizes.filter(F.col("count") > cap).count() > 0, "no block splits"
+        plain = embedding_near_dup_pairs_arrow(
+            assigned, "embedding", "vec_id", threshold=0.3, block_col="cluster"
+        )
+        got = sorted((r.left_id, r.right_id, r.cosine) for r in salted.collect())
+        want = sorted((r.left_id, r.right_id, r.cosine) for r in plain.collect())
+        # pair SET identical; cosines agree to BLAS-reblocking ULPs (sub-block
+        # matmul shapes differ, so dgemm summation trees differ in the last
+        # bits — see the kernel docstring)
+        assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+        assert all(abs(g[2] - w[2]) < 1e-12 for g, w in zip(got, want))
+    finally:
+        assigned.unpersist(blocking=False)

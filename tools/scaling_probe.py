@@ -83,7 +83,8 @@ def _generator_fingerprint() -> str:
     import inspect  # noqa: PLC0415
 
     src = "".join(
-        inspect.getsource(f) for f in (scaled_docs, scaled_emb, scaled_sf_dir, scaled_docs_dir)
+        inspect.getsource(f)
+        for f in (scaled_docs, scaled_emb, scaled_sf_dir, scaled_docs_dir, scaled_emb_dir)
     )
     return hashlib.sha256((SF + "\n" + src).encode()).hexdigest()[:16]
 
@@ -140,6 +141,39 @@ def scaled_docs_dir(spark, k: int) -> str:
             fh.write(_generator_fingerprint())
     _SCALED_DOC_DIRS[k] = out
     return out
+
+
+_SCALED_EMB_DIRS: dict[int, str] = {}
+
+
+def scaled_emb_dir(spark, k: int) -> str:
+    """The k-x EMBEDDINGS corpus materialized as a parquet file (suite-shared
+    cache): the scale axis for embedding-corpus operators (semantic dedup).
+    In-memory explode+repartition of the replicas costs ~1s at 16x and is
+    probe scaffolding, not an operator property — a real corpus arrives on
+    disk (the scaled_docs_dir precedent)."""
+    if k == 1:
+        return f"{SF}/embeddings.parquet"
+    if k in _SCALED_EMB_DIRS:
+        return _SCALED_EMB_DIRS[k]
+    import glob  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    out, ready = _cache_slot(f"emb_{k}x")
+    if not ready:
+        os.makedirs(out, exist_ok=True)
+        tmp = os.path.join(out, "_emb_dir")
+        scaled_emb(spark, k).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(os.path.join(out, "embeddings.parquet"), ignore_errors=True)
+        os.makedirs(os.path.join(out, "embeddings.parquet"))
+        for i, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
+            shutil.move(f, f"{out}/embeddings.parquet/part-{i:05d}.parquet")
+        shutil.rmtree(tmp)
+        with open(os.path.join(out, ".ready"), "w") as fh:
+            fh.write(_generator_fingerprint())
+    path = f"{out}/embeddings.parquet"
+    _SCALED_EMB_DIRS[k] = path
+    return path
 
 
 def scaled_sf_dir(spark, k: int, full: bool = False) -> str:
@@ -292,15 +326,23 @@ def probes(spark):
     def p_semantic_dedup(k):
         # SemDeDup's operating point grows cluster COUNT with the corpus so
         # per-cluster pairwise work stays bounded — the probe scales k (the
-        # cluster count) with the data exactly as the paper does — and runs
-        # the production block cap (r13): clusters past max_block_size
-        # salt-split into the sub-block pair grid, so task size stays
-        # bounded even when k-means hands one cluster a hot spot
+        # cluster count) with the data exactly as the paper does — in the
+        # FULL production posture (r14, q171's oracle-gated shape): Lloyd
+        # trained on the vec_id%4 sample (one full-corpus assignment pass,
+        # hierarchical past 64 centroids — the r13 n·k leg is gone), block
+        # cap = the task-memory budget (1024 rows: splits the hot clusters
+        # k-means hands a dense region, leaves average ones whole — a toy
+        # cap here priced pure grid overhead, the q112 r13 mistake). Corpus
+        # reads from a cached parquet file like every disk-backed probe.
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
         from srm_etl_spark.operators.dedup import semantic_dedup  # noqa: PLC0415
 
+        emb = spark.read.parquet(scaled_emb_dir(spark, k))
         return semantic_dedup(
-            scaled_emb(spark, k), "embedding", "vec_id",
-            k=8 * k, iterations=2, threshold=0.3, max_block_size=128,
+            emb, "embedding", "vec_id",
+            k=8 * k, iterations=2, threshold=0.3, max_block_size=1024,
+            train_filter=F.col("vec_id") % 4 == 0,
         )
 
     def p_substr_spans(k):
@@ -566,6 +608,54 @@ _PROBE_NAMES = [
 ]
 
 
+def _steal_total() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — co-tenant CPU theft
+    is the interference that poisoned three r13 probe points; wall-clock
+    alone cannot distinguish it from a real regression."""
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+
+# an attempt is contaminated when co-tenants stole > this share of the
+# machine's CPU time during it; contaminated attempts are re-run (bounded)
+# and never become the reported minimum while a clean attempt exists
+STEAL_MAX_PCT = 1.0
+_MAX_ATTEMPTS = 4
+
+
+def _timed_attempts(run) -> dict:
+    """min-of-2-CLEAN attempt harness: each attempt records wall time, the
+    1-min loadavg at start, and the co-tenant steal share during it; dirty
+    attempts (steal > STEAL_MAX_PCT) trigger bounded re-runs. Returns the
+    best clean time when one exists (dirty=False), else the best overall
+    with dirty=True — the artifact carries its own noise adjudication
+    instead of burning a manual one per suspicious point (r13 task)."""
+    attempts = []
+    while len(attempts) < _MAX_ATTEMPTS:
+        load1 = os.getloadavg()[0]
+        s0, t0j = _steal_total()
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        s1, t1j = _steal_total()
+        steal_pct = 100.0 * (s1 - s0) / max(1, t1j - t0j)
+        attempts.append({"t": dt, "steal_pct": steal_pct, "load1": load1})
+        clean = [a for a in attempts if a["steal_pct"] <= STEAL_MAX_PCT]
+        if len(clean) >= 2:
+            break
+    clean = [a for a in attempts if a["steal_pct"] <= STEAL_MAX_PCT]
+    pool = clean or attempts
+    best = min(pool, key=lambda a: a["t"])
+    return {
+        "t": best["t"],
+        "steal_pct": round(best["steal_pct"], 2),
+        "load1": round(best["load1"], 2),
+        "dirty": not clean,
+        "n_attempts": len(attempts),
+    }
+
+
 def run_one(name: str, scales: list[int]) -> None:
     """Child mode: run ONE probe in this (fresh) Spark session and print its
     times as a parseable line. Isolating every probe in its own JVM kills
@@ -578,17 +668,22 @@ def run_one(name: str, scales: list[int]) -> None:
     spark = get_spark("scaling-probe")
     spark.read.parquet(f"{SF}/documents.parquet").count()
     fn = probes(spark)[name]
-    times = []
+    times, points = [], []
     for k in scales:
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(k).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times.append(best)
-        print(f"{name} x{k}: {best:.2f}s", flush=True)
-    print("PROBE_RESULT " + json.dumps({"name": name, "times": times}), flush=True)
+        point = _timed_attempts(
+            lambda k=k: fn(k).write.format("noop").mode("overwrite").save()
+        )
+        times.append(point["t"])
+        points.append(point)
+        print(
+            f"{name} x{k}: {point['t']:.2f}s steal={point['steal_pct']}% "
+            f"load={point['load1']}{' DIRTY' if point['dirty'] else ''}",
+            flush=True,
+        )
+    print(
+        "PROBE_RESULT " + json.dumps({"name": name, "times": times, "points": points}),
+        flush=True,
+    )
 
 
 def main() -> None:
@@ -629,26 +724,37 @@ def main() -> None:
         if proc.returncode != 0 or result is None:
             sys.stderr.write(proc.stderr[-4000:])
             raise RuntimeError(f"probe {name} failed (rc={proc.returncode})")
-        table[result["name"]] = result["times"]
+        table[result["name"]] = result
 
     lines = [
         "# SCALING — measured operator scaling at synthetic 1x/4x/16x (sf0.1 base)",
         "",
         "Replicated corpora (distinct ids + per-replica content perturbation);",
-        "min-of-2 warm; EACH PROBE IN ITS OWN FRESH SPARK SESSION (subprocess",
-        "JVM), local[32] — no cross-probe GC or cache pollution. `ratio` =",
-        "t(16x)/t(1x); linear scaling with fixed overheads gives ratio <= 16 —",
-        "super-linear growth is a red flag.",
+        "min-of-2-CLEAN warm (attempts with co-tenant CPU steal > "
+        f"{STEAL_MAX_PCT}% during the run are re-run, bounded at {_MAX_ATTEMPTS},",
+        "and never become the reported minimum while a clean attempt exists —",
+        "a point that stayed dirty is marked DIRTY and is not adjudicable);",
+        "EACH PROBE IN ITS OWN FRESH SPARK SESSION (subprocess JVM), local[32]",
+        "— no cross-probe GC or cache pollution. `ratio` = t(16x)/t(1x);",
+        "linear scaling with fixed overheads gives ratio <= 16 — super-linear",
+        "growth is a red flag. steal%/load1 columns are the chosen attempt's",
+        "co-tenant steal share and starting 1-min loadavg.",
         "",
-        "| probe | " + " | ".join(f"{k}x" for k in scales) + " | ratio |",
-        "|---|" + "---|" * (len(scales) + 1),
+        "| probe | " + " | ".join(f"{k}x" for k in scales) + " | ratio | steal% | load1 |",
+        "|---|" + "---|" * (len(scales) + 3),
     ]
-    for name, times in table.items():
+    for name, result in table.items():
+        times = result["times"]
+        points = result.get("points", [])
         ratio = times[-1] / times[0] if times[0] > 0 else float("nan")
+        steal = "/".join(
+            f"{p['steal_pct']}{'D' if p['dirty'] else ''}" for p in points
+        ) or "-"
+        load = "/".join(f"{p['load1']}" for p in points) or "-"
         lines.append(
             f"| {name} | "
             + " | ".join(f"{t:.2f}s" for t in times)
-            + f" | {ratio:.1f}x |"
+            + f" | {ratio:.1f}x | {steal} | {load} |"
         )
     if own_cache:
         import shutil  # noqa: PLC0415

@@ -219,12 +219,19 @@ def _rs_mode_per_row(
     pure per-row array math: the collected score table enters the plan as a
     ``from_json`` map literal (constant-folded by Catalyst — parsed once at
     optimize time, never per row), so no explode leaves the row and no join
-    returns. Semantics are identical to :func:`_rs_mode_joined` — the
-    grouped formulation's ``sum(applied)/nr`` over duplicate situation
-    occurrences equals ``occurrences × Σ_r score(r,s) / nr`` exactly
-    (multiplication by a small integer is IEEE-exact), and the mode's
-    (count desc, first position, category) keeper maps to ``array_min`` over
-    the same key struct."""
+    returns. Semantics match :func:`_rs_mode_joined` up to summation-order
+    ULPs: the grouped formulation sums the occ×nr applied scores in
+    shuffle/aggregation order while this one folds each response vector in
+    array order and multiplies by the occurrence count, so the two unrounded
+    sums can differ in the last bits. The 6-decimal output rounding absorbs
+    that everywhere except a suffix sum landing within ~1 ulp of the
+    ``max_score`` cap — scores are ln-frequency ratios, so a nonzero sum
+    hitting the (rational) cap exactly requires a measure-zero coincidence,
+    and the all-zero ties both paths produce are exactly equal; the
+    hypothesis parity suite (NULL elements included) and the q75-family
+    oracles gate the agreement empirically rather than by an IEEE-exactness
+    claim. The mode's (count desc, first position, category) keeper maps to
+    ``array_min`` over the same key struct (first positions NULL-safe)."""
     import json  # noqa: PLC0415
 
     payload = {
@@ -239,6 +246,16 @@ def _rs_mode_per_row(
     )
     situ, resp = F.col("situation_ids"), F.col("response_ids")
     nr = F.size(resp)
+
+    def first_pos(arr, v):
+        # 0-based first index of v in arr, NULL-SAFE: array_position(arr,
+        # NULL) is NULL, which would order a NULL element's tie-break after
+        # every real position while the joined formulation's min(pos) is the
+        # element's actual index — the r13 ADVICE divergence. array_min
+        # skips the unmatched (NULL) slots.
+        return F.array_min(
+            F.transform(arr, lambda x, i: F.when(x.eqNullSafe(v), i))
+        )
 
     def pair_score(r, s):
         if mexpr is None:
@@ -261,7 +278,7 @@ def _rs_mode_per_row(
             ).otherwise(sc)
         return F.struct(
             (-sc).alias("ns"),
-            (F.array_position(situ, s) - 1).alias("sp"),
+            first_pos(situ, s).alias("sp"),
             s.alias("sid"),
         )
 
@@ -274,7 +291,7 @@ def _rs_mode_per_row(
         n = F.size(F.filter(cats, lambda x: x.eqNullSafe(c)))
         return F.struct(
             (-n).alias("nn"),
-            (F.array_position(cats, c) - 1).alias("fp"),
+            first_pos(cats, c).alias("fp"),
             c.alias("cat"),
         )
 
@@ -431,7 +448,8 @@ def card_data_full(
       resolved org names, collapse_key** (``to_dp.py:855-915``,
       ``helpers.py:57-76``).
 
-    Two value-identical formulations for the rs/mode legs, both oracle-gated:
+    Two formulations for the rs/mode legs, agreeing to summation-order ULPs
+    (see ``_rs_mode_per_row`` for the exact caveat), both oracle-gated:
 
     - ``rs_mode="joined"`` (default): explode → two-level aggregate →
       join-back. The rs and mode sides are aggregates on the join key, so
@@ -790,14 +808,43 @@ def run_derive(spark: SparkSession, sf_dir: str, use_cache: bool = True) -> dict
 
 class _LazyStages(dict):
     """run_derive's stage map with deferred plan construction for the
-    expensive card surfaces. Only ``[...]`` access is lazy-aware — every
-    call site indexes by name."""
+    expensive card surfaces. EVERY access path resolves the pending
+    builders — ``in``/``get``/``keys``/``items``/``values``/iteration/
+    ``len`` agree with ``[...]`` (a dict subclass that hid keys from
+    ``items()`` would silently skip stages for a future consumer — the r13
+    ADVICE contract gap); only the backing plans stay lazy (built on first
+    materializing access)."""
 
     def __init__(self, eager: dict, builders: dict):
         super().__init__(eager)
         self._builders = builders
 
-    def __getitem__(self, key):
-        if key not in self and key in self._builders:
+    def _resolve(self, key):
+        if not dict.__contains__(self, key) and key in self._builders:
             self[key] = self._builders.pop(key)()
+
+    def __getitem__(self, key):
+        self._resolve(key)
         return super().__getitem__(key)
+
+    def __contains__(self, key):
+        return dict.__contains__(self, key) or key in self._builders
+
+    def __iter__(self):
+        yield from dict.__iter__(self)
+        yield from list(self._builders)
+
+    def __len__(self):
+        return dict.__len__(self) + len(self._builders)
+
+    def keys(self):
+        return list(self)
+
+    def get(self, key, default=None):
+        return self[key] if key in self else default
+
+    def items(self):
+        return [(k, self[k]) for k in self]
+
+    def values(self):
+        return [self[k] for k in self]

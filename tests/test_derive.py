@@ -180,3 +180,33 @@ def test_card_search_slot_never_leaks_across_sf_dirs(spark):
     assert sorted(r["card_key"] for r in small.collect()) == sorted(
         r["card_key"] for r in small_again.collect()
     )
+
+
+def test_lazy_stages_dict_contract(spark):
+    """Every dict access path must see the lazily-built card surfaces:
+    'in', get, keys/items/values, iteration, len, dict-unpacking (the r13
+    ADVICE contract gap — __getitem__-only laziness hid stages from
+    items())."""
+    from srm_etl_spark.pipelines.derive import _LazyStages
+
+    built = []
+
+    def mk(name):
+        def b():
+            built.append(name)
+            return name.upper()
+        return b
+
+    stages = _LazyStages({"a": 1, "b": 2}, {"card": mk("card"), "full": mk("full")})
+    assert "card" in stages and "missing" not in stages
+    assert len(stages) == 4
+    assert sorted(stages) == ["a", "b", "card", "full"]
+    assert sorted(stages.keys()) == ["a", "b", "card", "full"]
+    assert stages.get("card") == "CARD"
+    assert stages.get("missing", 9) == 9
+    items = dict(stages.items())
+    assert items == {"a": 1, "b": 2, "card": "CARD", "full": "FULL"}
+    assert sorted(map(str, stages.values())) == ["1", "2", "CARD", "FULL"]
+    assert {**stages} == items
+    # each builder ran exactly once despite the many access paths
+    assert sorted(built) == ["card", "full"]

@@ -38,8 +38,15 @@ _resp = st.sampled_from(
 _sit = st.sampled_from(
     ["human_situations:age:youth", "human_situations:lang:arabic", "human_situations:age:old"]
 )
-_resp_arr = st.one_of(st.none(), st.lists(_resp, min_size=0, max_size=4))
-_sit_arr = st.one_of(st.none(), st.lists(_sit, min_size=0, max_size=4))
+# arrays may carry NULL ELEMENTS (not just be NULL): the r13 ADVICE
+# divergence was per_row's array_position(col, NULL) -> NULL tie-break vs
+# joined's real min position — generate them so the parity tests reach it
+_resp_arr = st.one_of(
+    st.none(), st.lists(st.one_of(st.none(), _resp), min_size=0, max_size=4)
+)
+_sit_arr = st.one_of(
+    st.none(), st.lists(st.one_of(st.none(), _sit), min_size=0, max_size=4)
+)
 _card = st.tuples(_resp_arr, _sit_arr)
 _corpus = st.lists(_card, min_size=1, max_size=8)
 

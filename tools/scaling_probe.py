@@ -28,6 +28,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from srm_etl_spark.hostload import STEAL_MAX_PCT  # noqa: E402
+
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -608,52 +610,13 @@ _PROBE_NAMES = [
 ]
 
 
-def _steal_total() -> tuple[int, int]:
-    """(steal_jiffies, total_jiffies) from /proc/stat — co-tenant CPU theft
-    is the interference that poisoned three r13 probe points; wall-clock
-    alone cannot distinguish it from a real regression."""
-    with open("/proc/stat") as fh:
-        vals = [int(x) for x in fh.readline().split()[1:]]
-    return (vals[7] if len(vals) > 7 else 0), sum(vals)
-
-
-# an attempt is contaminated when co-tenants stole > this share of the
-# machine's CPU time during it; contaminated attempts are re-run (bounded)
-# and never become the reported minimum while a clean attempt exists
-STEAL_MAX_PCT = 1.0
+# min-of-2-CLEAN attempt harness (srm_etl_spark/hostload.py): each attempt
+# records wall time, the 1-min loadavg at start, and the co-tenant steal
+# share during it; dirty attempts (steal > STEAL_MAX_PCT) trigger bounded
+# re-runs and never become the reported minimum while a clean attempt
+# exists — the artifact carries its own noise adjudication instead of
+# burning a manual one per suspicious point (r13 task).
 _MAX_ATTEMPTS = 4
-
-
-def _timed_attempts(run) -> dict:
-    """min-of-2-CLEAN attempt harness: each attempt records wall time, the
-    1-min loadavg at start, and the co-tenant steal share during it; dirty
-    attempts (steal > STEAL_MAX_PCT) trigger bounded re-runs. Returns the
-    best clean time when one exists (dirty=False), else the best overall
-    with dirty=True — the artifact carries its own noise adjudication
-    instead of burning a manual one per suspicious point (r13 task)."""
-    attempts = []
-    while len(attempts) < _MAX_ATTEMPTS:
-        load1 = os.getloadavg()[0]
-        s0, t0j = _steal_total()
-        t0 = time.perf_counter()
-        run()
-        dt = time.perf_counter() - t0
-        s1, t1j = _steal_total()
-        steal_pct = 100.0 * (s1 - s0) / max(1, t1j - t0j)
-        attempts.append({"t": dt, "steal_pct": steal_pct, "load1": load1})
-        clean = [a for a in attempts if a["steal_pct"] <= STEAL_MAX_PCT]
-        if len(clean) >= 2:
-            break
-    clean = [a for a in attempts if a["steal_pct"] <= STEAL_MAX_PCT]
-    pool = clean or attempts
-    best = min(pool, key=lambda a: a["t"])
-    return {
-        "t": best["t"],
-        "steal_pct": round(best["steal_pct"], 2),
-        "load1": round(best["load1"], 2),
-        "dirty": not clean,
-        "n_attempts": len(attempts),
-    }
 
 
 def run_one(name: str, scales: list[int]) -> None:
@@ -663,6 +626,7 @@ def run_one(name: str, scales: list[int]) -> None:
     accumulated GC/cache pressure inflating a later probe's 16x point."""
     import json  # noqa: PLC0415
 
+    from srm_etl_spark.hostload import timed_attempts  # noqa: PLC0415
     from srm_etl_spark.session import get_spark  # noqa: PLC0415
 
     spark = get_spark("scaling-probe")
@@ -670,8 +634,10 @@ def run_one(name: str, scales: list[int]) -> None:
     fn = probes(spark)[name]
     times, points = [], []
     for k in scales:
-        point = _timed_attempts(
-            lambda k=k: fn(k).write.format("noop").mode("overwrite").save()
+        point = timed_attempts(
+            lambda k=k: fn(k).write.format("noop").mode("overwrite").save(),
+            base_attempts=2,
+            max_attempts=_MAX_ATTEMPTS,
         )
         times.append(point["t"])
         points.append(point)

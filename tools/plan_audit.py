@@ -102,6 +102,12 @@ SINGLE_PARTITION_OK = {
                                 # the q125 precedent) + softmax normalization
                                 # window over the <=20-domain aggregate (the
                                 # q87 precedent) — both post-aggregation
+    "q171_semdedup_production", # single-row 'half-avg' cap aggregate over
+                                # the k-row block-sizes frame (one row out,
+                                # partials combine map-side — the q125/q87
+                                # bounded-aggregate precedent); the corpus
+                                # path shuffles only on the kernel's own
+                                # (_blk,_gi,_gj) grid key
     # q161 no longer needs a whitelist slot: the published autocomplete leg
     # is a plain hash aggregate on qid (the limit_rows rank gate was a
     # misattribution — reference to_es.py:325-331 publishes UNLIMITED; the

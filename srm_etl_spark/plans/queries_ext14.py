@@ -500,6 +500,18 @@ def q137_meser_streaming_staging(spark, sf_dir):
         MES.sanitize_meser(MES.meser_raw(spark, sf_dir)), MES.meser_tag_mapping(spark)
     )
     fetched = t.select(F.col("organization_id").alias("id")).distinct()
+    base = scratch_dir("srm_q137")
+    data = os.path.join(base, "stream")
+    os.makedirs(data)
+    now = _time.time()
+    # Execute the transform lineage ONCE: all four batch files are
+    # projections of `fetched`, so materialize it and carve the batches out
+    # of the (org-registry-sized) re-read — previously every batch write
+    # re-ran sanitize+transform+groupBy+distinct, 4 full executions for one
+    # result (guide §1.2: don't compute things you throw away).
+    fdir = os.path.join(base, "fetched")
+    fetched.coalesce(1).write.parquet(fdir)
+    fetched = spark.read.parquet(fdir)
     last = F.substring(F.col("id"), -1, 1)
     batches = [
         fetched.filter(last.isin("0", "1", "2", "3")),
@@ -507,10 +519,6 @@ def q137_meser_streaming_staging(spark, sf_dir):
         fetched.filter(last.isin("7", "8", "9")),
         fetched,  # reconciliation snapshot — restores partial-feed statuses
     ]
-    base = scratch_dir("srm_q137")
-    data = os.path.join(base, "stream")
-    os.makedirs(data)
-    now = _time.time()
     staged = []
     for i, b in enumerate(batches):
         d = os.path.join(base, f"b{i}")

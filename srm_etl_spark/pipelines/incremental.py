@@ -35,7 +35,21 @@ from .derive import card_data, flat_branches, flat_services, flat_table
 
 def _cards_for(branches: DataFrame, locations: DataFrame, organizations: DataFrame,
                services: DataFrame) -> DataFrame:
-    fb = flat_branches(branches, locations, organizations)
+    from ..operators.session_cache import keep_checkpointed_pooled
+
+    # fb feeds TWO consumers (flat_services and flat_table) — unpinned it is
+    # computed twice per call, and this helper runs twice per refresh (the
+    # previous table and the recomputed slice): 4 flat_branches executions
+    # for 2 distinct results. The checkpoint pin is the run_derive
+    # precedent (one pool entry per distinct branch snapshot, lineage
+    # truncated so the composed plan stays additive); flat_services /
+    # flat_table carry explicit broadcast hints below the pin, so the
+    # stats-free checkpoint scan cannot demote their dimension joins.
+    fb = keep_checkpointed_pooled(
+        flat_branches(branches, locations, organizations),
+        "incremental_fb",
+        eager=False,
+    )
     return card_data(flat_table(flat_services(services, fb), fb))
 
 

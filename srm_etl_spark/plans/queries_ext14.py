@@ -546,6 +546,7 @@ def q137_meser_streaming_staging(spark, sf_dir):
         stream_upsert_to_staging(
             stream, root, key="id", source_id="meser",
             checkpoint=os.path.join(base, "ckpt"),
+            source_bytes=sum(os.path.getsize(p) for p in staged),
         )
 
     # SPARK_GRAFT_STREAM_RECOVERY=1: kill-and-resume for the foreachBatch

@@ -334,7 +334,11 @@ def q53_stream_tumbling(spark, sf_dir):
     premise) — complete output mode, availableNow trigger."""
     import os  # noqa: PLC0415
 
-    from ..streaming.events import run_to_memory, stream_events  # noqa: PLC0415
+    from ..streaming.events import (  # noqa: PLC0415
+        run_to_memory,
+        source_bytes_of,
+        stream_events,
+    )
 
     name = f"q53_sink_{next(_SINK_IDS)}"
 
@@ -369,7 +373,11 @@ def q53_stream_tumbling(spark, sf_dir):
             spark, ts_ordered_halves(ev), build, name, mode="complete"
         )
         return out
-    run_to_memory(build(stream_events(spark, f"{sf_dir}/events.parquet")), name, mode="complete")
+    src = f"{sf_dir}/events.parquet"
+    run_to_memory(
+        build(stream_events(spark, src)), name, mode="complete",
+        source_bytes=source_bytes_of(src),
+    )
     return spark.table(name)
 
 

@@ -197,6 +197,7 @@ def q60_stream_running_totals(spark, sf_dir):
     from ..streaming.events import (  # noqa: PLC0415
         run_to_memory,
         running_user_totals,
+        source_bytes_of,
         stream_events,
     )
 
@@ -223,8 +224,10 @@ def q60_stream_running_totals(spark, sf_dir):
             spark, ts_ordered_halves(ev), build, name, mode="update"
         )
     else:
+        src = f"{sf_dir}/events.parquet"
         run_to_memory(
-            build(stream_events(spark, f"{sf_dir}/events.parquet")), name, mode="update"
+            build(stream_events(spark, src)), name, mode="update",
+            source_bytes=source_bytes_of(src),
         )
         sink = spark.table(name)
     return (

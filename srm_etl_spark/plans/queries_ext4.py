@@ -137,7 +137,12 @@ def q64_stream_join(spark, sf_dir):
     repeated invocations in one session hold no sink state."""
     import os  # noqa: PLC0415
 
-    from ..streaming.events import interval_join, run_to_memory, stream_events  # noqa: PLC0415
+    from ..streaming.events import (  # noqa: PLC0415
+        interval_join,
+        run_to_memory,
+        source_bytes_of,
+        stream_events,
+    )
 
     name = "q64_sink"
 
@@ -177,9 +182,10 @@ def q64_stream_join(spark, sf_dir):
                 spark, ts_ordered_halves(ev), build, name, stop_after=1
             )
         else:
+            src = f"{sf_dir}/events.parquet"
             run_to_memory(
-                build(stream_events(spark, f"{sf_dir}/events.parquet")),
-                name, mode="append",
+                build(stream_events(spark, src)), name, mode="append",
+                source_bytes=source_bytes_of(src),
             )
             sink = spark.table(name)
     finally:

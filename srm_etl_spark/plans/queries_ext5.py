@@ -303,7 +303,12 @@ def q73_stream_enrich(spark, sf_dir):
     the batch answer."""
     import os  # noqa: PLC0415
 
-    from ..streaming.events import run_to_memory, stream_events, stream_static_enrich  # noqa: PLC0415
+    from ..streaming.events import (  # noqa: PLC0415
+        run_to_memory,
+        source_bytes_of,
+        stream_events,
+        stream_static_enrich,
+    )
 
     dim = spark.createDataFrame(
         [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
@@ -334,8 +339,9 @@ def q73_stream_enrich(spark, sf_dir):
             spark, ts_ordered_halves(ev), build, "q73_rec", mode="complete"
         )
         return out
-    agg = build(stream_events(spark, f"{sf_dir}/events.parquet"))
-    run_to_memory(agg, "q73_sink", mode="complete")
+    src = f"{sf_dir}/events.parquet"
+    agg = build(stream_events(spark, src))
+    run_to_memory(agg, "q73_sink", mode="complete", source_bytes=source_bytes_of(src))
     # materialize the memory sink via a parquet round-trip (the q64 pattern)
     # so no result frame is ever collect()ed to the driver
     from ..session import scratch_dir  # noqa: PLC0415

@@ -166,7 +166,11 @@ def q88_stream_sessions(spark, sf_dir):
     exactness (the q53 discipline)."""
     import os  # noqa: PLC0415
 
-    from ..streaming.events import run_to_memory, stream_events  # noqa: PLC0415
+    from ..streaming.events import (  # noqa: PLC0415
+        run_to_memory,
+        source_bytes_of,
+        stream_events,
+    )
 
     name = f"q88_sink_{next(_SINK_IDS)}"
 
@@ -201,7 +205,11 @@ def q88_stream_sessions(spark, sf_dir):
             spark, ts_ordered_halves(ev), build, name, mode="complete"
         )
         return out
-    run_to_memory(build(stream_events(spark, f"{sf_dir}/events.parquet")), name, mode="complete")
+    src = f"{sf_dir}/events.parquet"
+    run_to_memory(
+        build(stream_events(spark, src)), name, mode="complete",
+        source_bytes=source_bytes_of(src),
+    )
     return spark.table(name)
 
 

@@ -16,6 +16,8 @@ Design rules:
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -198,17 +200,88 @@ def interval_join(
     return l.join(r, cond, "inner").drop(r[key])
 
 
-def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
-    """Replay the available data through the streaming plan into an in-memory
-    table (tests / local inspection). Returns the finished query."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
+def _dir_bytes(path: str) -> int:
+    """Total size of the regular files at ``path`` — a single file or one
+    flat directory (the replay source dirs are flat)."""
+    import os  # noqa: PLC0415
+
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for entry in os.scandir(path):
+            if entry.is_file():
+                total += entry.stat().st_size
+    except OSError:
+        return 0
+    return total
+
+
+def source_bytes_of(path: str) -> int:
+    """Public size probe for a replay source (file or flat dir) — the value
+    callers hand to :func:`run_to_memory` / the replay harnesses so state
+    partitioning can be derived from input volume (guide §2)."""
+    return _dir_bytes(path)
+
+
+@_contextmanager
+def scaled_state_partitions(spark: SparkSession, source_bytes: int | None):
+    """Scale-adaptive shuffle partitioning for ONE streaming query start
+    (guide §2: derive partition counts from input size, never from a
+    constant tuned to either local mode or the cluster).
+
+    A stateful streaming query binds one state-store instance per shuffle
+    partition at its first micro-batch, and AQE never re-plans streaming
+    aggregations — so the session's batch-sized ``spark.sql.shuffle
+    .partitions`` (cores on the bench, thousands on a cluster) silently
+    becomes the state-partition count even for a dimension-scale replay,
+    and every micro-batch then pays (open + load + commit) on every
+    mostly-empty store. Derive the count the way AQE would coalesce the
+    equivalent batch shuffle: ceil(source_bytes / advisoryPartitionSize),
+    clamped to the session setting. At production volumes the ratio
+    exceeds the clamp and this is a no-op; a query restarted from a
+    checkpoint keeps its recorded partitioning regardless (Spark pins the
+    state layout in checkpoint metadata), so recovery is unaffected."""
+    if not source_bytes:
+        yield
+        return
+    from ..session import parse_byte_size  # noqa: PLC0415
+
+    conf = spark.conf
+    cur = int(conf.get("spark.sql.shuffle.partitions"))
+    advisory = parse_byte_size(
+        conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None) or "64m",
+        64 << 20,
     )
-    q.awaitTermination()
+    target = max(1, min(cur, -(-int(source_bytes) // max(1, advisory))))
+    if target == cur:
+        yield
+        return
+    conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.shuffle.partitions", str(cur))
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, mode: str = "append",
+    source_bytes: int | None = None,
+):
+    """Replay the available data through the streaming plan into an in-memory
+    table (tests / local inspection). Returns the finished query.
+
+    ``source_bytes`` (when the caller knows the replay source volume)
+    engages :func:`scaled_state_partitions` for the run."""
+    with scaled_state_partitions(stream_df.sparkSession, source_bytes):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 
@@ -246,6 +319,7 @@ def stream_upsert_to_staging(
     key: str,
     source_id: str | None = None,
     checkpoint: str | None = None,
+    source_bytes: int | None = None,
 ):
     """Incremental merge: each micro-batch runs the engine's upsert primitive
     (operators/upsert.py:staging_upsert — the reference's airtable_updater
@@ -296,8 +370,11 @@ def stream_upsert_to_staging(
     writer = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
+    # scale the per-micro-batch MERGE shuffles to the feed volume (the
+    # foreachBatch joins inherit the session shuffle partitioning)
+    with scaled_state_partitions(stream.sparkSession, source_bytes):
+        q = writer.start()
+        q.awaitTermination()
     return q
 
 
@@ -405,22 +482,23 @@ def replay_in_batches(
         # spaced mtimes pin the batch order however fast the writes ran
         os.utime(dst, (now - 100 * (len(batches) - i), now - 100 * (len(batches) - i)))
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(data)
-    q = (
-        build(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_sec):
-        # a partial sink snapshot would return silently wrong results —
-        # stop the straggling query and fail loudly instead
-        q.stop()
-        raise RuntimeError(
-            f"replay_in_batches[{name}]: availableNow replay did not finish "
-            f"within {timeout_sec}s"
+    with scaled_state_partitions(spark, _dir_bytes(data)):
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(timeout_sec):
+            # a partial sink snapshot would return silently wrong results —
+            # stop the straggling query and fail loudly instead
+            q.stop()
+            raise RuntimeError(
+                f"replay_in_batches[{name}]: availableNow replay did not finish "
+                f"within {timeout_sec}s"
+            )
     out_path = os.path.join(base, "result")
     spark.table(name).write.mode("overwrite").parquet(out_path)
     progress = list(q.recentProgress)
@@ -505,12 +583,18 @@ def replay_with_recovery(
             )
         return list(q.recentProgress)
 
+    # one size for BOTH runs: run 1's first micro-batch fixes the state
+    # layout in the checkpoint, so the resumed run must (and does) see the
+    # same derived partitioning — computed from the full staged volume
+    src_bytes = sum(os.path.getsize(p) for p in staged)
     for i in range(stop_after):
         land(i)
-    p1 = run()  # "crash" after the first stop_after micro-batches committed
+    with scaled_state_partitions(spark, src_bytes):
+        p1 = run()  # "crash" after the first stop_after micro-batches committed
     for i in range(stop_after, len(batches)):
         land(i)
-    p2 = run()  # resume from the checkpoint
+    with scaled_state_partitions(spark, src_bytes):
+        p2 = run()  # resume from the checkpoint
     return spark.read.parquet(out_path), [p1, p2]
 
 
@@ -625,10 +709,14 @@ def replay_with_recovery_memory(
         spark.catalog.dropTempView(sink)
         return spark.read.parquet(snap), list(q.recentProgress)
 
+    # same one-size-for-both-runs rule as replay_with_recovery
+    src_bytes = sum(os.path.getsize(p) for p in staged)
     for i in range(stop_after):
         land(i)
-    _r1, p1 = run(1)  # "crash" after the first stop_after micro-batches
+    with scaled_state_partitions(spark, src_bytes):
+        _r1, p1 = run(1)  # "crash" after the first stop_after micro-batches
     for i in range(stop_after, len(batches)):
         land(i)
-    r2, p2 = run(2)  # resume from the checkpoint
+    with scaled_state_partitions(spark, src_bytes):
+        r2, p2 = run(2)  # resume from the checkpoint
     return r2, [p1, p2]

@@ -36,8 +36,10 @@ def main() -> None:
 
     for name in names:
         qd = REGISTRY[name]
+        # bench semantics: release BETWEEN queries, reps share warm pools —
+        # rep2 is the steady-state number the bench's min-of-reps reports
+        release_all(spark)
         for rep in (1, 2):
-            release_all(spark)
             sc.setJobDescription(f"{name} construct rep{rep}")
             t0 = time.monotonic()
             df = qd.spark(spark, sf_dir)

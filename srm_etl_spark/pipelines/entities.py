@@ -1048,8 +1048,12 @@ def run_entities(
     # merge 3: branches (current = last-digit perturbation of the fetch).
     # Slot shared with q127 — one materialization of the unwound union.
     active = enriched.filter(F.col("status") == "ACTIVE")
+    # one lazy branches frame for both consumers (merge 3 and merge 4):
+    # the builder is a ~100-expression plan whose py4j construction is pure
+    # driver cost — build it once, reuse the immutable frame
+    gbranches = guidestar_branches(spark, sf_dir)
     fetched3 = keep_persisted(
-        unwind_branches(active, guidestar_branches(spark, sf_dir), gs),
+        unwind_branches(active, gbranches, gs),
         "entities_unwound",
     )
     last = F.substring(F.col("id"), -1, 1)
@@ -1077,7 +1081,7 @@ def run_entities(
     fetched4, unknown = process_services(
         orgs_all_active,
         guidestar_services(spark, sf_dir),
-        guidestar_branches(spark, sf_dir),
+        gbranches,
         taxonomy_mapping(spark),
     )
     # slot shared with q128/q130 (same plan -> warm reuse)

@@ -191,6 +191,14 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark's DataFrame-debugging wrapper adds 3-4 py4j round trips to
+        # EVERY DataFrame/Column API call (a conf.get + PySparkCurrentOrigin
+        # set/clear, purely to enrich error messages with user call sites).
+        # The composed pipelines build plans from thousands of such calls, so
+        # the wrapper alone is ~25% of warm plan-construction time (measured
+        # on the entities builders: process_services 1.90→1.42 s). Costs only
+        # call-site lines in error messages; plans and results are untouched.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if os.environ.get("SPARK_GRAFT_SPILL") == "1":
         # the fraction alone cannot force spills at test scale (a 19 MB/task

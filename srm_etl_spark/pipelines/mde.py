@@ -342,7 +342,12 @@ def _remap_links(df: DataFrame, col: str, imported: DataFrame) -> DataFrame:
     semi-map → ordered re-collect (links are 1-element arrays in the
     curation model, but the operator handles N)."""
     # the unique business id is the row handle (monotonically_increasing_id
-    # would not survive recomputation across plan branches)
+    # would not survive recomputation across plan branches). ``marked`` feeds
+    # both the explode leg and the join-back left side, but persisting it is
+    # a measured net loss: the cache materializes every column of the wide
+    # curation frame and the InMemoryRelation hides stats/pruning from the
+    # composed q149 plan (rep2 6.3 -> 12.2 s). The double-execution is cheap
+    # because both legs are narrow projections of the same scan.
     marked = df.withColumn("_lid", F.col("id"))
     ex = marked.select("_lid", F.posexplode_outer(col).alias("_p", "_item"))
     m = imported.select(
@@ -397,10 +402,14 @@ def run_curation_import(
         )
         writeback = wb if writeback is None else writeback.unionByName(wb)
 
+    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+
     orgs_in = _importable(t["organizations"]).filter(
         (F.size("services") > 0) | (F.size("branch_services") > 0)
     )
-    imported_orgs = orgs_in.select("id", "name")
+    # broadcast side of BOTH the branch and the service remap — pin the
+    # dimension once instead of re-deriving the gate chain per remap
+    imported_orgs = keep_persisted(orgs_in.select("id", "name"), "curation_imported_orgs")
 
     br = _importable(t["branches"]).filter(
         (F.size("services") > 0) | (F.size("org_services") > 0)
@@ -417,7 +426,12 @@ def run_curation_import(
     )
     br = _remap_links(br, "organization", imported_orgs)
     br = br.filter(F.size("organization") > 0)
-    imported_branches = br.select("id", "name")
+    # broadcast side of the service branch-remap: without a pin the whole
+    # branch leg (location rewrite + its own remap) re-executes under the
+    # services plan
+    imported_branches = keep_persisted(
+        br.select("id", "name"), "curation_imported_branches"
+    )
 
     sv = _importable(t["services"])
     fix_status = None

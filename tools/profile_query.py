@@ -34,25 +34,31 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     sc = spark.sparkContext
 
+    tracker = sc.statusTracker()
+
     for name in names:
         qd = REGISTRY[name]
         # bench semantics: release BETWEEN queries, reps share warm pools —
         # rep2 is the steady-state number the bench's min-of-reps reports
         release_all(spark)
         for rep in (1, 2):
-            sc.setJobDescription(f"{name} construct rep{rep}")
+            # job counts are the noise-immune metric on a stolen-CPU host:
+            # a warm rep that re-runs as many jobs as the cold rep got zero
+            # cache reuse, whatever the wall clock says
+            group = f"prof_{name}_r{rep}"
+            sc.setJobGroup(group, f"{name} rep{rep}")
             t0 = time.monotonic()
             df = qd.spark(spark, sf_dir)
             t1 = time.monotonic()
-            sc.setJobDescription(f"{name} exec rep{rep}")
             df.write.format("noop").mode("overwrite").save()
             t2 = time.monotonic()
+            n_jobs = len(tracker.getJobIdsForGroup(group))
             print(
                 f"{name} rep{rep}: construct={t1 - t0:.3f}s exec={t2 - t1:.3f}s "
-                f"total={t2 - t0:.3f}s",
+                f"total={t2 - t0:.3f}s jobs={n_jobs}",
                 flush=True,
             )
-        sc.setJobDescription(None)
+        sc._jsc.clearJobGroup()
 
 
 if __name__ == "__main__":

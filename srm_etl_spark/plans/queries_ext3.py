@@ -221,13 +221,14 @@ def q60_stream_running_totals(spark, sf_dir):
 
         ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
         sink, _progress = replay_with_recovery_memory(
-            spark, ts_ordered_halves(ev), build, name, mode="update"
+            spark, ts_ordered_halves(ev), build, name, mode="update",
+            python_stateful=True,
         )
     else:
         src = f"{sf_dir}/events.parquet"
         run_to_memory(
             build(stream_events(spark, src)), name, mode="update",
-            source_bytes=source_bytes_of(src),
+            source_bytes=source_bytes_of(src), python_stateful=True,
         )
         sink = spark.table(name)
     return (

@@ -225,7 +225,9 @@ def source_bytes_of(path: str) -> int:
 
 
 @_contextmanager
-def scaled_state_partitions(spark: SparkSession, source_bytes: int | None):
+def scaled_state_partitions(
+    spark: SparkSession, source_bytes: int | None, python_stateful: bool = False
+):
     """Scale-adaptive shuffle partitioning for ONE streaming query start
     (guide §2: derive partition counts from input size, never from a
     constant tuned to either local mode or the cluster).
@@ -241,10 +243,23 @@ def scaled_state_partitions(spark: SparkSession, source_bytes: int | None):
     clamped to the session setting. At production volumes the ratio
     exceeds the clamp and this is a no-op; a query restarted from a
     checkpoint keeps its recorded partitioning regardless (Spark pins the
-    state layout in checkpoint metadata), so recovery is unaffected."""
+    state layout in checkpoint metadata), so recovery is unaffected.
+
+    ``python_stateful``: the per-byte cost of a Python-stateful stage
+    (``applyInPandasWithState``) is orders of magnitude above a JVM shuffle
+    write — every group pays a Python function dispatch plus pandas frame
+    assembly per micro-batch — so sizing its partitions by the SHUFFLE
+    advisory starves it of parallelism (measured: q60's replay at one
+    byte-derived partition ran its whole per-user loop single-threaded,
+    1.5 s → 5-6 s). Such stages size against a proportionally smaller
+    advisory (``SPARK_GRAFT_PY_STATE_ADVISORY``, default advisory/1024 =
+    64 KiB at the 64 MiB default): the same input-derived, cluster-agnostic
+    rule, with the operator's actual processing rate priced in."""
     if not source_bytes:
         yield
         return
+    import os  # noqa: PLC0415
+
     from ..session import parse_byte_size  # noqa: PLC0415
 
     conf = spark.conf
@@ -253,6 +268,10 @@ def scaled_state_partitions(spark: SparkSession, source_bytes: int | None):
         conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None) or "64m",
         64 << 20,
     )
+    if python_stateful:
+        advisory = parse_byte_size(
+            os.environ.get("SPARK_GRAFT_PY_STATE_ADVISORY", ""), advisory // 1024
+        )
     target = max(1, min(cur, -(-int(source_bytes) // max(1, advisory))))
     if target == cur:
         yield
@@ -266,14 +285,17 @@ def scaled_state_partitions(spark: SparkSession, source_bytes: int | None):
 
 def run_to_memory(
     stream_df: DataFrame, name: str, mode: str = "append",
-    source_bytes: int | None = None,
+    source_bytes: int | None = None, python_stateful: bool = False,
 ):
     """Replay the available data through the streaming plan into an in-memory
     table (tests / local inspection). Returns the finished query.
 
     ``source_bytes`` (when the caller knows the replay source volume)
-    engages :func:`scaled_state_partitions` for the run."""
-    with scaled_state_partitions(stream_df.sparkSession, source_bytes):
+    engages :func:`scaled_state_partitions` for the run; ``python_stateful``
+    flags a plan whose stateful stage runs in Python (see there)."""
+    with scaled_state_partitions(
+        stream_df.sparkSession, source_bytes, python_stateful=python_stateful
+    ):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -620,6 +642,7 @@ def replay_with_recovery_memory(
     stop_after: int = 1,
     mode: str = "complete",
     timeout_sec: int = 300,
+    python_stateful: bool = False,
 ):
     """Kill-and-resume harness for output modes a file sink can't carry
     (``complete`` / ``update`` — Spark's file sink is append-only): memory
@@ -713,10 +736,10 @@ def replay_with_recovery_memory(
     src_bytes = sum(os.path.getsize(p) for p in staged)
     for i in range(stop_after):
         land(i)
-    with scaled_state_partitions(spark, src_bytes):
+    with scaled_state_partitions(spark, src_bytes, python_stateful=python_stateful):
         _r1, p1 = run(1)  # "crash" after the first stop_after micro-batches
     for i in range(stop_after, len(batches)):
         land(i)
-    with scaled_state_partitions(spark, src_bytes):
+    with scaled_state_partitions(spark, src_bytes, python_stateful=python_stateful):
         r2, p2 = run(2)  # resume from the checkpoint
     return r2, [p1, p2]

@@ -394,3 +394,36 @@ def test_checkpoint_recovery_whole_streaming_family(spark, sf_dir):
             os.environ.pop("SPARK_GRAFT_STREAM_RECOVERY", None)
         assert recovered == plain, f"{name}: recovery changed the emitted set"
         assert len(recovered) > 0
+
+
+def test_scaled_state_partitions_sizing(spark):
+    """The state-partition derivation: byte-derived for JVM-state plans,
+    rate-adjusted (smaller advisory) for Python-stateful plans, clamped to
+    the session setting, and always restored on exit."""
+    from srm_etl_spark.streaming.events import scaled_state_partitions
+
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    advisory = 64 << 20  # session default advisoryPartitionSizeInBytes
+
+    # JVM-state: a dimension-scale source coalesces to ceil(bytes/advisory)
+    with scaled_state_partitions(spark, 2 * advisory + 1):
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == min(cur, 3)
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == cur
+
+    # Python-stateful: the same source sizes against advisory/1024 — the
+    # per-group Python dispatch cost means one shuffle-advisory of input is
+    # NOT one partition of work (the q60 single-partition regression)
+    src = 2 * (advisory // 1024) + 1
+    with scaled_state_partitions(spark, src, python_stateful=True):
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == min(cur, 3)
+    with scaled_state_partitions(spark, src):  # JVM sizing: same bytes -> 1
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == 1
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == cur
+
+    # production volumes clamp at the session setting (no-op)
+    with scaled_state_partitions(spark, 10_000 * advisory):
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == cur
+
+    # unknown volume: untouched
+    with scaled_state_partitions(spark, None):
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == cur

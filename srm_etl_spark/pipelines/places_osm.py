@@ -268,7 +268,10 @@ def generate_place_bounds(
     """The full generator: returns ``merged`` (the per-key join_with_self
     surface, generate_places.py:166-173) and ``places`` (the final
     official-matched, filtered, bounds-annotated package rows, :209-223)."""
-    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    from ..operators.session_cache import (  # noqa: PLC0415
+        keep_checkpointed_pooled,
+        keep_persisted,
+    )
 
     # the parsed tag map is referenced FOUR times below (three scalar
     # extracts + the name harvest) — same projection-collapse duplication as
@@ -289,9 +292,14 @@ def generate_place_bounds(
     # whole-stage codegen) and Catalyst's projection collapse would inline
     # it once per downstream reference (the gate filter, the key, the output
     # column — measured ~3x re-evaluation of the dominant per-row work).
-    # Persisting the bare named rows evaluates it exactly once; everything
-    # below reads the cached column.
-    named = keep_persisted(named, "places_osm_named")
+    # A lineage-truncating checkpoint (not a persist): the fix-chain tree is
+    # ~10^3 expression nodes, and with a persist every downstream op's
+    # analysis re-walks it (the cache only short-circuits EXECUTION — the
+    # logical plan under each consumer still carries the whole subtree;
+    # measured ~5 s of warm plan-construction per q163 build on this tree).
+    # The checkpoint bottoms every consumer out at a block scan. The frame
+    # is feature-count-sized (dimension scale, never corpus scale).
+    named = keep_checkpointed_pooled(named, "places_osm_named", eager=False)
     rows = named.filter(
         F.col("place").isin(*RANKS)
         | (F.col("landuse") == "residential")
@@ -320,8 +328,10 @@ def generate_place_bounds(
     # one re-runs the scan + group-by (measured 37.8 s at sf0.1 with both
     # pins missing: the whole pipeline re-derived per leg). Post-merge it is
     # key-count-sized (10²-10³ rows); this pin is the reference's
-    # checkpoint() (generate_places.py:175) made explicit.
-    merged = keep_persisted(merged, "places_osm_merged")
+    # checkpoint() (generate_places.py:175) made explicit — a TRUNCATING
+    # checkpoint so the three consumers' plans (and their analysis cost)
+    # bottom out at the scan instead of each carrying the full parse tree.
+    merged = keep_checkpointed_pooled(merged, "places_osm_merged", eager=False)
 
     # fuzzy official matching over the merged rows (generate_places.py:75-95).
     # Score computed ONCE per (name, official) pair — a ratio in the join

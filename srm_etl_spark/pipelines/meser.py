@@ -410,22 +410,33 @@ def run_meser(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     from ..operators.upsert import staging_upsert  # noqa: PLC0415
 
-    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
 
     cur = current_meser_staging(spark, sf_dir)
-    # same slot as q132 — the three merges and the transform query share one
-    # materialization of the 4-key groupby + ordered tag merge
-    t = keep_persisted(
+    # The transform (sanitize -> 4-key groupby + ordered tag merge) feeds
+    # THREE downstream remap/upsert legs. A lineage-TRUNCATING checkpoint,
+    # not a persist: the sanitize/transform expression tree is deep, and
+    # with a persist every one of the ~30 downstream ops re-analyzes it
+    # (the cache short-circuits execution only — the logical plan under
+    # each consumer still carries the whole subtree; q133's warm plan
+    # construction measured 5.8 s, its formatted plan 2021 lines / 212
+    # Exchange occurrences on the persist shape). The frame is
+    # org-registry-sized, never corpus-sized. Broadcast hints below the
+    # pin stay explicit (a checkpoint scan has no size statistics).
+    t = keep_checkpointed_pooled(
         transform_meser(sanitize_meser(meser_raw(spark, sf_dir)), meser_tag_mapping(spark)),
-        "meser_transform",
+        "meser_transform_ckpt",
+        eager=False,
     )
     feed = F.col("meser_id").try_cast("long")
 
     # merge 1: organizations (update_organization.py:18-45 — ids only).
-    # TWO consumers (its merge + the branch-side FK table) — persist the
-    # dimension-sized distinct so it aggregates once.
-    fetched_orgs = keep_persisted(
-        t.select(F.col("organization_id").alias("id")).distinct(), "meser_fetched_orgs"
+    # TWO consumers (its merge + the branch-side FK table) — pin the
+    # dimension-sized distinct so it aggregates once (truncating, as above).
+    fetched_orgs = keep_checkpointed_pooled(
+        t.select(F.col("organization_id").alias("id")).distinct(),
+        "meser_fetched_orgs",
+        eager=False,
     )
     m_org = staging_upsert(
         cur["organizations"], fetched_orgs, key="id", table_fields=[],
@@ -474,7 +485,7 @@ def run_meser(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     # the branch aggregate also feeds the service-side FK table — without a
     # materialization the 4-key groupBy + ordered phone merge runs twice
-    fetched_br = keep_persisted(fetched_br, "meser_fetched_br")
+    fetched_br = keep_checkpointed_pooled(fetched_br, "meser_fetched_br", eager=False)
     m_branch = staging_upsert(
         cur["branches"], fetched_br, key="id",
         table_fields=["organization", "address", "location", "phone_numbers"],

@@ -353,6 +353,7 @@ def pagerank(
     checkpoint_every: int = 1,
     assume_distinct: bool = False,
     symmetric: bool = False,
+    iteration_plan_sink=None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -405,20 +406,47 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
     edges_w = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
+    # Join-strategy decision for the per-iteration rank join, made ONCE from
+    # the node count (already a driver scalar). A rank row is (node long,
+    # pr double); 64 bytes/row is a conservative framed estimate for the
+    # built hash relation. When the rank table fits the session's broadcast
+    # budget, broadcasting it means the (much larger, persisted) edge list
+    # is NEVER shuffled: each iteration becomes one broadcast-hash join plus
+    # one map-side-combined aggregate, instead of re-shuffling |E| per round.
+    # The rank frames are checkpoint scans with NO size statistics (planner
+    # assumes Long.Max), so without the explicit hint the planner always
+    # picks sort-merge here. Past the budget (web-scale |V|) the hint is
+    # withheld and the shuffle join stands — scale-adaptive, not tuned to
+    # either local mode or a cluster.
+    from ..session import parse_byte_size  # noqa: PLC0415
+
+    _thr = parse_byte_size(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"),
+        default=10 * 1024 * 1024,
+    )
+    ranks_fit_broadcast = _thr > 0 and n * 64 <= _thr
+
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
     prev = None
     for i in range(iterations):
+        pr_side = F.broadcast(pr) if ranks_fit_broadcast else pr
         contrib = (
-            edges_w.join(pr, edges_w["src"] == pr["node"])
+            edges_w.join(pr_side, edges_w["src"] == pr_side["node"])
             .select(F.col("dst").alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        pr = nodes.join(contrib, "node", "left").select(
+        contrib_side = F.broadcast(contrib) if ranks_fit_broadcast else contrib
+        pr = nodes.join(contrib_side, "node", "left").select(
             "node",
             (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr"),
         )
+        # diagnostics only: the returned frame is a checkpoint scan, so the
+        # per-iteration join/aggregate shape is invisible in its explain —
+        # the sink receives the LAZY iteration frame for plan capture
+        if iteration_plan_sink is not None:
+            iteration_plan_sink(i, pr)
         # the final round always checkpoints: the caches are unpersisted on
         # return, so the returned frame must not reference them lazily
         if (i + 1) % checkpoint_every == 0 or i + 1 == iterations:

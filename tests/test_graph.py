@@ -125,3 +125,39 @@ def test_duplicate_clusters_use_cache_false_bypasses_and_clears_memo(spark):
     assert sorted((r.node, r.component) for r in a.collect()) == sorted(
         (r.node, r.component) for r in b.collect()
     )
+
+
+def test_pagerank_rank_join_broadcast_gated_by_threshold(spark):
+    """The per-iteration rank join broadcasts the rank table only when the
+    node count fits the session broadcast budget; with auto-broadcast
+    disabled the hint is withheld and the shuffle join stands (the 100 TB
+    fallback)."""
+    from srm_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 40) for i in range(40)] + [(i, (i + 7) % 40) for i in range(40)],
+        "src long, dst long",
+    )
+    plans: dict[str, str] = {}
+
+    def run(tag):
+        def sink(i, pr):
+            plans[tag] = pr._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+        return pagerank(edges, iterations=2, iteration_plan_sink=sink)
+
+    small = run("fit")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        large = run("nofit")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    assert "SortMergeJoin" not in plans["fit"], "ranks within budget must broadcast"
+    assert "SortMergeJoin" in plans["nofit"], "past the budget the shuffle join stands"
+    # strategy never changes results
+    a = {r.node: round(r.pr, 9) for r in small.collect()}
+    b = {r.node: round(r.pr, 9) for r in large.collect()}
+    assert a == b

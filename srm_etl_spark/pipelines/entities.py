@@ -556,19 +556,23 @@ def unwind_branches(
     (``:133-147``) is id-collision-free by key construction (three disjoint
     prefixes), so no extra pass is needed.
     """
-    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
 
     # The org dimension feeds all four union sides (branch join, the
     # anti-join + fallback pair, national) — without a materialization each
     # side re-runs the whole enrich_orgs DAG with its internal broadcasts
-    # (44 exchanges / 32 broadcasts at r6). One persisted dimension-sized
-    # frame collapses the fan; the slot reuses warm across repeat calls.
-    # ``cache_tag`` keeps the slots of two unwinds coexisting in one DAG
-    # (incremental_unwind builds prior + delta) — same-named slots would
-    # evict each other mid-plan and re-run the enrich fan per union side.
-    o = keep_persisted(
+    # (44 exchanges / 32 broadcasts at r6). A lineage-TRUNCATING checkpoint
+    # (not a persist): with a persist every downstream op's analysis still
+    # re-walks the enrich DAG under each of the four sides (the cache only
+    # short-circuits execution), which dominated q129's warm plan
+    # construction. All joins below broadcast this side EXPLICITLY (a
+    # checkpoint scan has no stats). Pools key by plan hash, so the two
+    # incremental unwinds (prior + delta) coexist without ``cache_tag``
+    # eviction races — the tag keeps the pools separate regardless.
+    o = keep_checkpointed_pooled(
         orgs_active.select("id", "name", "short_name", "kind"),
         f"entities_org_dim{cache_tag}",
+        eager=False,
     )
     b = branches.join(
         F.broadcast(o.withColumnRenamed("id", "_oid")),
@@ -604,9 +608,10 @@ def unwind_branches(
         _language_situations(F.col("language")).alias("situations"),
     )
 
-    # Also dimension-sized and read by BOTH fallback sides — persist, or
-    # the anti-join + gs left-join subtree runs twice.
-    no_branch = keep_persisted(
+    # Also dimension-sized and read by BOTH fallback sides — pin
+    # (truncating, as above), or the anti-join + gs left-join subtree runs
+    # twice.
+    no_branch = keep_checkpointed_pooled(
         o.join(
             branches.select(F.col("org_id").alias("_bo")).distinct(),
             o.id == F.col("_bo"),
@@ -619,6 +624,7 @@ def unwind_branches(
             "left",
         ),
         f"entities_no_branch{cache_tag}",
+        eager=False,
     )
     fb_official = no_branch.filter(F.col("full_address").isNotNull()).select(
         F.concat(F.lit("guidestar:"), F.col("id")).alias("id"),
@@ -1043,18 +1049,24 @@ def run_entities(
         source_id="entities", manage_status=False,
     )
 
-    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
 
     # merge 3: branches (current = last-digit perturbation of the fetch).
-    # Slot shared with q127 — one materialization of the unwound union.
+    # Pool shared with q127 — one materialization of the unwound union.
+    # Truncating checkpoints (not persists): both upsert sides build ~20 ops
+    # on top of each pin, and with a persist every op re-analyzes the whole
+    # unwind/process tree (q129 warm plan construction was the largest cost
+    # of the query). The upsert joins are full-outer — never broadcastable —
+    # so the stats-free checkpoint scan cannot demote a join strategy here.
     active = enriched.filter(F.col("status") == "ACTIVE")
     # one lazy branches frame for both consumers (merge 3 and merge 4):
     # the builder is a ~100-expression plan whose py4j construction is pure
     # driver cost — build it once, reuse the immutable frame
     gbranches = guidestar_branches(spark, sf_dir)
-    fetched3 = keep_persisted(
+    fetched3 = keep_checkpointed_pooled(
         unwind_branches(active, gbranches, gs),
         "entities_unwound",
+        eager=False,
     )
     last = F.substring(F.col("id"), -1, 1)
     cur3 = (
@@ -1084,8 +1096,8 @@ def run_entities(
         gbranches,
         taxonomy_mapping(spark),
     )
-    # slot shared with q128/q130 (same plan -> warm reuse)
-    fetched4 = keep_persisted(fetched4, "entities_services")
+    # pool shared with q128/q130 (same plan -> warm reuse)
+    fetched4 = keep_checkpointed_pooled(fetched4, "entities_services", eager=False)
     stale = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_partkey") % 101 == 0)

@@ -329,7 +329,7 @@ def q127_entities_branches(spark, sf_dir):
     assembly, OLC location keys, language situations), the two no-branch
     fallbacks (official Guidestar address / cleaned-org-name), and the
     synthesized national: rows with the fixed disclaimer."""
-    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
 
     orgs = ENT.org_registry(spark, sf_dir)
     gs = ENT.guidestar_org_details(spark, sf_dir)
@@ -337,9 +337,10 @@ def q127_entities_branches(spark, sf_dir):
     enriched = ENT.enrich_orgs(orgs, gs, bk)
     active = enriched.filter(F.col("status") == "ACTIVE")
     return stringify_arrays(
-        keep_persisted(
+        keep_checkpointed_pooled(
             ENT.unwind_branches(active, ENT.guidestar_branches(spark, sf_dir), gs),
             "entities_unwound",
+            eager=False,
         )
     )
 
@@ -569,10 +570,10 @@ processed AS (
 
 
 def _entities_service_frames(spark, sf_dir):
-    # session slots: q128/q129/q130 (and repeated searches) all consume the
-    # processed-service pair — the keep_persisted discipline reuses the warm
-    # frames for semantically identical plans and evicts across sf_dirs
-    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    # session pools: q128/q129/q130 (and repeated searches) all consume the
+    # processed-service pair — lineage-truncating checkpoints so each
+    # consumer's plan (and its per-op analysis cost) bottoms out at the scan
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
 
     orgs = ENT.org_registry(spark, sf_dir)
     gs = ENT.guidestar_org_details(spark, sf_dir)
@@ -589,8 +590,9 @@ def _entities_service_frames(spark, sf_dir):
         ENT.guidestar_branches(spark, sf_dir),
         ENT.taxonomy_mapping(spark),
     )
-    return keep_persisted(out, "entities_services"), keep_persisted(
-        unknown, "entities_unknown_tags"
+    return (
+        keep_checkpointed_pooled(out, "entities_services", eager=False),
+        keep_checkpointed_pooled(unknown, "entities_unknown_tags", eager=False),
     )
 
 

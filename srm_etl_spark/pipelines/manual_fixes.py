@@ -108,6 +108,17 @@ def apply_manual_fixes(
     ex = rows.select(rid.alias("_rid"), F.posexplode(fixes_col).alias("_pos", "fix_id")).join(
         F.broadcast(dim), "fix_id", "left"
     )
+    # The exploded reference set feeds FOUR consumers (both strict gates,
+    # the per-row chain rebuild, the status write-back) — without a pin each
+    # one re-executes the caller's FULL rows lineage (for q149 that is the
+    # whole curation-import gate chain, re-run twice at construction for the
+    # gates alone). It is bounded by construction: only rows that carry
+    # curator fixes explode, a curation-scale set even on a corpus-scale
+    # rows frame. The checkpoint also truncates lineage, so the gates and
+    # chains analyze/execute against a block scan.
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
+
+    ex = keep_checkpointed_pooled(ex, "manual_fixes_refs", eager=True)
     if strict:
         # ONE job for both integrity gates: missing fix ids and duplicate
         # row ids (chains would merge) — map-side-combinable aggregates,

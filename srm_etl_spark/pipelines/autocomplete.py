@@ -164,10 +164,15 @@ def autocomplete_corpus(
     # the final left join) — without a materialization the whole
     # template × response × situation fan-out and its hash aggregate run
     # twice per action. Post-aggregate it is corpus-dictionary-sized
-    # (#distinct queries), so one session-slot persist is cheap.
-    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    # (#distinct queries). A lineage-TRUNCATING checkpoint, not a persist:
+    # with a persist both consumers' plans (and every downstream op's
+    # analysis) still carry the full template fan-out subtree; the
+    # checkpoint bottoms them out at a block scan. The city-bounds join
+    # below already broadcasts its dimension side explicitly (a checkpoint
+    # scan has no size statistics).
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
 
-    grouped = keep_persisted(grouped, "autocomplete_grouped")
+    grouped = keep_checkpointed_pooled(grouped, "autocomplete_grouped", eager=False)
 
     # J7: fuzzy city → bounds; best candidate by (distance, key, nation key).
     with_city = grouped.filter(F.col("city_name").isNotNull())

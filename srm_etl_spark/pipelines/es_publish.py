@@ -110,8 +110,12 @@ def taxonomy_count_surface(
         F.explode(update_taxonomy_with_parents(F.col(id_arr_col))).alias("id")
     )
     counts = ids.groupBy("id").agg(F.count(F.lit(1)).alias("count"))
+    # counts is taxonomy-bounded (one row per referenced taxonomy id) but
+    # aggregated from a checkpoint-pinned card surface, so the planner has
+    # no statistics for it and the dimension (itself a stats-free pinned
+    # scan) would sort-merge — broadcast the bounded side explicitly.
     return (
-        dim.join(counts, "id", "left")
+        dim.join(F.broadcast(counts), "id", "left")
         .filter((F.col("status") == "ACTIVE") & F.col("count").isNotNull())
         .select(
             "id", "name", "synonyms", "breadcrumbs", "count",

@@ -196,12 +196,13 @@ def _taxonomy_dim(services_df: DataFrame, arr_col: str, name_prefix: str) -> Dat
     are pure functions of the id; every id whose length % 7 == 0 is INACTIVE
     so the publish flows' status filter (to_es.py:232/274) has rows to drop."""
     from ..functions.taxonomy import update_taxonomy_with_parents  # noqa: PLC0415
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
 
     ids = services_df.select(
         F.explode(update_taxonomy_with_parents(F.col(arr_col))).alias("id")
     ).distinct()
     seg = F.split("id", ":")
-    return ids.select(
+    out = ids.select(
         "id",
         F.concat(F.lit(name_prefix), F.element_at(seg, -1)).alias("name"),
         F.replace(F.col("id"), F.lit(":"), F.lit(" ")).alias("synonyms"),
@@ -210,6 +211,13 @@ def _taxonomy_dim(services_df: DataFrame, arr_col: str, name_prefix: str) -> Dat
         .otherwise(F.lit("ACTIVE"))
         .alias("status"),
     )
+    # Taxonomy dimensions are consumed by several publish legs per query
+    # (responses + situations surfaces each scan-explode-distinct the
+    # services fixture) — one truncating pin per dimension serves them all;
+    # taxonomy tables are curated and bounded at any corpus scale. Joins
+    # against the pin must broadcast the OTHER side explicitly (a checkpoint
+    # scan has no size statistics).
+    return keep_checkpointed_pooled(out, "fixture_taxonomy_dim", eager=False)
 
 
 _PLACE_KINDS = ["region", "city", "town", "village", "hamlet", "suburb"]

@@ -15,6 +15,7 @@ is bounded to one frame per slot.
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
@@ -36,6 +37,64 @@ _POOLS: dict[str, dict[int, DataFrame]] = {}
 # computed from. Checkpoint blocks are freed by the ContextCleaner when the
 # RDD reference is dropped, so eviction = del.
 _CKPT_POOLS: dict[str, dict[int, tuple[DataFrame, DataFrame]]] = {}
+
+
+def _unpersist_ckpt_blocks(ckpt: DataFrame) -> None:
+    """Deterministically free a localCheckpoint'ed frame's executor blocks.
+
+    Dropping the Python reference alone leaves reclamation to py4j
+    finalization + JVM GC + ContextCleaner — nondeterministic, so executor
+    storage could still hold a released pin's blocks while the next bench
+    query is measured (release_all exists for exactly that isolation). The
+    checkpointed frame's analyzed plan is a LogicalRDD over the materialized
+    block RDD; unpersist it directly. The frame is DEAD afterwards (truncated
+    lineage cannot recompute) — only call where the contract guarantees no
+    consumer is pending. Best-effort: a torn-down session, a RELIABLE
+    checkpoint (file-backed, nothing to unpersist) or a plan shape that is
+    not a bare LogicalRDD all just fall through to the GC path."""
+    try:
+        ckpt._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001, S110 — GC path remains correct
+        pass
+
+
+def _reliable_checkpoint_dir(spark) -> str | None:
+    """Durable checkpoint directory when reliable-checkpoint mode is on.
+
+    ``SPARK_GRAFT_RELIABLE_CKPT_DIR`` (cluster posture: a durable, usually
+    HDFS/object-store path) turns the pin pools' localCheckpoint into a
+    reliable ``DataFrame.checkpoint``: blocks survive executor loss, so a
+    100 TB job does not die mid-query with "checkpoint block not found"
+    when one executor is decommissioned. Local default stays localCheckpoint
+    (cheaper, and local mode cannot lose an executor). Reliable checkpoint
+    files are reclaimed by the ContextCleaner only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — set it on
+    cluster deployments (documented in SCALE.md)."""
+    d = os.environ.get("SPARK_GRAFT_RELIABLE_CKPT_DIR")
+    if not d:
+        return None
+    try:
+        sc = spark.sparkContext
+        current = sc._jsc.sc().getCheckpointDir()
+        if current.isEmpty():
+            sc.setCheckpointDir(d)
+    except Exception:  # noqa: BLE001
+        return None
+    return d
+
+
+def checkpoint_pool_originals() -> list[tuple[str, DataFrame]]:
+    """(pool, original frame) for every live checkpoint pin — the BUILD
+    lineage that the truncated pin hides from the final frame's explain.
+    Diagnostics hook for the plan-audit linter: a pinned stage's scans,
+    pushed filters and exchanges execute at construction, so an audit that
+    only greps the final plan would silently pass anti-patterns buried in
+    the build."""
+    return [
+        (pool, orig)
+        for pool, slots in _CKPT_POOLS.items()
+        for (orig, _ckpt) in slots.values()
+    ]
 
 
 def release_all(spark=None) -> None:
@@ -63,8 +122,13 @@ def release_all(spark=None) -> None:
             except Exception:  # noqa: BLE001, S110
                 pass
     _POOLS.clear()
-    # checkpoint blocks are RDD-cached outside the CacheManager; dropping the
-    # reference lets the ContextCleaner reclaim them
+    # checkpoint blocks are RDD-cached outside the CacheManager; unpersist
+    # the materialized block RDDs directly (deterministic — dropping the
+    # reference alone waits on py4j finalization + JVM GC + ContextCleaner,
+    # so a neighbour query could be measured against leftover blocks)
+    for pool in _CKPT_POOLS.values():
+        for _orig, ckpt in pool.values():
+            _unpersist_ckpt_blocks(ckpt)
     _CKPT_POOLS.clear()
     if spark is not None:
         # also drop operator-internal persists that outlive their call
@@ -193,8 +257,23 @@ def keep_checkpointed_pooled(
         slots.pop(key, None)
     while len(slots) >= max_slots:
         victim = next(iter(slots))
+        # drop the REFERENCE only (ContextCleaner reclaims after GC): an
+        # evicted localCheckpoint frame may still be lazily referenced by a
+        # caller, and unlike a persist (recompute on miss) its blocks are
+        # the only copy — deterministic freeing here would turn a benign
+        # LRU eviction into "checkpoint block not found" downstream. The
+        # deterministic path lives in release_all(), whose contract is that
+        # harnesses call it only between fully-materialized queries.
         _log.debug("session_cache ckpt pool %r dropping LRU %s", pool, victim)
         slots.pop(victim)
-    out = df.localCheckpoint(eager=eager)
+    # Cluster posture: with SPARK_GRAFT_RELIABLE_CKPT_DIR set, pin to a
+    # RELIABLE checkpoint (durable files — survives executor loss; a
+    # localCheckpoint block has no lineage to recompute from, so one lost
+    # executor would kill every downstream action). Local default stays
+    # localCheckpoint: cheaper, and local mode cannot lose an executor.
+    if _reliable_checkpoint_dir(df.sparkSession) is not None:
+        out = df.checkpoint(eager=eager)
+    else:
+        out = df.localCheckpoint(eager=eager)
     slots[key] = (df, out)
     return out

@@ -118,7 +118,11 @@ def apply_manual_fixes(
     # chains analyze/execute against a block scan.
     from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
 
-    ex = keep_checkpointed_pooled(ex, "manual_fixes_refs", eager=True)
+    # eager=strict: the strict gates materialize the pin anyway (their
+    # aggregate is the first action), while strict=False callers keep the
+    # function's lazy contract — no job runs until the caller acts, and an
+    # upstream failure surfaces at action time, not at plan construction.
+    ex = keep_checkpointed_pooled(ex, "manual_fixes_refs", eager=strict)
     if strict:
         # ONE job for both integrity gates: missing fix ids and duplicate
         # row ids (chains would merge) — map-side-combinable aggregates,

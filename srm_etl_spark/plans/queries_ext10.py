@@ -460,37 +460,57 @@ def q100_curation_v2(spark, sf_dir):
     decontamination pass would) → per-(source, lang) quality quota (top 15).
     Output: one row per stage with its surviving doc count — the funnel a
     data-governance review signs off on."""
-    from ..functions.text import quality_score  # noqa: PLC0415
-    from ..operators.decontaminate import decontaminate  # noqa: PLC0415
+    from ..operators.decontaminate import contamination_report  # noqa: PLC0415
     from ..operators.dedup import exact_dedup  # noqa: PLC0415
-    from ..operators.windows import top_k_per_group  # noqa: PLC0415
 
     d = _t(spark, sf_dir, "documents")
     s1 = exact_dedup(d, "text", "doc_id")
     ev = s1.filter(F.col("doc_id") % 37 == 0)
-    s2 = decontaminate(s1, ev, "text", "doc_id", n=3, min_overlap=2)
-    scored = s2.select(
-        "doc_id", "source", "lang", quality_score(F.col("text")).alias("quality")
+    # Single-pass funnel: the four stage counts are exact identities over ONE
+    # aggregation of the dedup output, instead of four aggregates whose
+    # lineages re-run the funnel prefix (raw scanned 4x, dedup windowed 3x):
+    #   raw            = sum(dup_count) over keepers (exact_dedup annotates
+    #                    each keeper with its content-hash group size)
+    #   deduped        = count(keepers)
+    #   decontaminated = deduped - |drop-list|   (decontaminate() is a
+    #                    left_anti of s1 against the report, whose ids are a
+    #                    subset of s1 by construction)
+    #   quota          = sum over (source, lang) of min(15, survivors):
+    #                    top_k_per_group ranks with row_number() <= k, so its
+    #                    per-group cardinality is min(k, n) regardless of the
+    #                    quality ordering — the score need not be computed to
+    #                    count the survivors.
+    flagged = contamination_report(s1, ev, "text", "doc_id", n=3, min_overlap=2)
+    marked = s1.join(
+        F.broadcast(flagged.select("doc_id").withColumn("_hit", F.lit(1))),
+        "doc_id",
+        "left",
     )
-    s3 = top_k_per_group(
-        scored, ["source", "lang"], [F.col("quality").desc(), F.col("doc_id").asc()], k=15
+    per_group = marked.groupBy("source", "lang").agg(
+        F.sum("dup_count").alias("_raw"),
+        F.count(F.lit(1)).alias("_s1"),
+        F.count(F.when(F.col("_hit").isNull(), 1)).alias("_s2"),
     )
-    stages = [
-        ("raw", d),
-        ("deduped", s1),
-        ("decontaminated", s2),
-        ("quota", s3),
-    ]
-    frames = [
-        df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(name).alias("stage"), F.col("n_docs").cast("long").alias("n_docs")
-        )
-        for name, df in stages
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    totals = per_group.agg(
+        F.coalesce(F.sum("_raw"), F.lit(0)).alias("raw"),
+        F.coalesce(F.sum("_s1"), F.lit(0)).alias("deduped"),
+        F.coalesce(F.sum("_s2"), F.lit(0)).alias("decontaminated"),
+        F.coalesce(F.sum(F.least(F.lit(15), F.col("_s2"))), F.lit(0)).alias("quota"),
+    )
+    stages = ["raw", "deduped", "decontaminated", "quota"]
+    return totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("stage"),
+                        F.col(name).cast("long").alias("n_docs"),
+                    )
+                    for name in stages
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.stage", "_r.n_docs")
 
 
 Q100_SQL = """

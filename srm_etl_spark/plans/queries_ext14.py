@@ -272,13 +272,18 @@ def q132_meser_transform(spark, sf_dir):
     group-first pluscode (10-digit OLC, like the reference's default-length
     encode), tag->responses/situations with the same (tag position, id
     position) ordering, and the org-id length filter."""
-    from ..operators.session_cache import keep_persisted  # noqa: PLC0415
+    from ..operators.session_cache import keep_checkpointed_pooled  # noqa: PLC0415
 
-    t = keep_persisted(
+    # SAME pool + plan as run_meser_staging's transform pin (meser.py) — a
+    # session running q132 and q133 computes the transform once and holds
+    # one pin (a keep_persisted under a different name silently broke the
+    # documented q132/q133 shared materialization).
+    t = keep_checkpointed_pooled(
         MES.transform_meser(
             MES.sanitize_meser(MES.meser_raw(spark, sf_dir)), MES.meser_tag_mapping(spark)
         ),
-        "meser_transform",
+        "meser_transform_ckpt",
+        eager=False,
     )
     return stringify_arrays(
         t.select(

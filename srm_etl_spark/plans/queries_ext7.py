@@ -160,7 +160,18 @@ def q82_pagerank(spark, sf_dir):
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    pr = pagerank(edges, iterations=3, damping=0.85, assume_distinct=True, symmetric=True)
+    # checkpoint_every=2 batches two iterations per localCheckpoint pin: each
+    # iteration's subtree appears exactly once in the batched plan (ranks are
+    # referenced once per round), so the arithmetic is unchanged while the
+    # materialization barriers (block write + job launch per round) halve.
+    pr = pagerank(
+        edges,
+        iterations=3,
+        damping=0.85,
+        checkpoint_every=2,
+        assume_distinct=True,
+        symmetric=True,
+    )
     return pr.select(F.col("node").cast("long").alias("node"), F.round("pr", 6).alias("pr"))
 
 

@@ -20,13 +20,25 @@ from pyspark.sql import SparkSession
 # Session-scoped scratch space
 # ---------------------------------------------------------------------------
 
-_SCRATCH_ROOT: list[str] = []
+# One per-process root PER BASE directory: the base choice is re-evaluated
+# on every scratch_dir() call (tmpfs headroom is a moving target on a
+# co-tenant host), and paths already handed out under an earlier base stay
+# valid — lazy frames read them long after allocation.
+_SCRATCH_ROOTS: dict[str, str] = {}
 
 # Minimum free space for the fast-ephemeral default to engage: the scratch
 # round-trips are bounded (staging versions, replay sources, checkpoint
 # logs — dimension-sized, not corpus-sized), but a nearly-full tmpfs must
 # never be chosen over a healthy disk.
 _SCRATCH_MIN_FREE = 8 << 30
+
+# Cap on THIS process's own tmpfs scratch usage: tmpfs pages compete with
+# executor memory, so even with headroom a long session must not balloon
+# /dev/shm — past the cap new allocations fall back to the tempfile default
+# while existing paths stay readable.
+_SCRATCH_SHM_CAP = int(
+    os.environ.get("SPARK_GRAFT_SCRATCH_SHM_CAP", str(16 << 30))
+)
 
 
 def _scratch_base() -> str | None:
@@ -55,20 +67,53 @@ def _scratch_base() -> str | None:
     return None
 
 
+def _tree_bytes(path: str) -> int:
+    """Total bytes under ``path`` (scandir walk; scratch holds dimension-
+    sized intermediates, so the walk is hundreds of entries at most)."""
+    total = 0
+    try:
+        with os.scandir(path) as entries:
+            for e in entries:
+                try:
+                    if e.is_dir(follow_symlinks=False):
+                        total += _tree_bytes(e.path)
+                    elif e.is_file(follow_symlinks=False):
+                        total += e.stat(follow_symlinks=False).st_size
+                except OSError:
+                    continue
+    except OSError:
+        pass
+    return total
+
+
 def scratch_dir(prefix: str = "srm") -> str:
-    """A fresh scratch directory under one per-process root that is removed
-    at interpreter exit.
+    """A fresh scratch directory under a per-process, per-base root that is
+    removed at interpreter exit.
 
     Query plans that round-trip through disk (datapackage/format/bucketed
     demos, streaming replays) need scratch paths that outlive the call —
     the returned frames read from them lazily — but must not accumulate
-    across repeated bench/correctness runs. One root, cleaned once, bounds
-    the leak to a single process lifetime."""
-    if not _SCRATCH_ROOT:
-        root = tempfile.mkdtemp(prefix="srm_scratch_", dir=_scratch_base())
+    across repeated bench/correctness runs. One root per base, cleaned once,
+    bounds the leak to a single process lifetime.
+
+    The base choice is re-evaluated on EVERY call (not once at first use):
+    ``/dev/shm`` headroom on a co-tenant host can evaporate between
+    allocations, and tmpfs pages compete with executor memory — so a tmpfs
+    that has dropped below the headroom floor, or a session whose own shm
+    usage passed ``SPARK_GRAFT_SCRATCH_SHM_CAP``, sends NEW allocations to
+    the tempfile default while previously handed-out paths stay valid."""
+    base = _scratch_base()
+    if base == "/dev/shm":
+        root = _SCRATCH_ROOTS.get(base)
+        if root is not None and _tree_bytes(root) > _SCRATCH_SHM_CAP:
+            base = None
+    key = base or ""
+    root = _SCRATCH_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="srm_scratch_", dir=base)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _SCRATCH_ROOT.append(root)
-    return tempfile.mkdtemp(prefix=prefix + "_", dir=_SCRATCH_ROOT[0])
+        _SCRATCH_ROOTS[key] = root
+    return tempfile.mkdtemp(prefix=prefix + "_", dir=root)
 
 
 _BYTE_UNITS = {

@@ -142,8 +142,19 @@ def test_release_all_drops_every_pin(spark):
     assert sc._SLOTS == {} and sc._POOLS == {} and sc._CKPT_POOLS == {}
     assert not named.storageLevel.useMemory  # unpersisted, not just forgotten
     assert not outside.storageLevel.useMemory  # catalog cache cleared too
-    # frames remain USABLE after release (recompute, not wrong answer)
-    assert named.count() == 20 and pooled.count() == 21 and ck.count() == 22
+    # persisted frames remain USABLE after release (recompute, not wrong
+    # answer); the checkpointed frame's blocks are freed DETERMINISTICALLY
+    # (truncated lineage cannot recompute — release_all's contract is that
+    # harnesses call it only between fully-materialized queries, so nothing
+    # may still reference ck). Re-pinning the same plan rebuilds cleanly.
+    assert named.count() == 20 and pooled.count() == 21
+    import pytest
+
+    with pytest.raises(Exception, match="(?i)checkpoint|block"):
+        ck.count()
+    rebuilt = sc.keep_checkpointed_pooled(spark.range(22), "rel_ck", max_slots=2)
+    assert rebuilt.count() == 22
+    sc.release_all(spark)
 
 
 def test_keep_checkpointed_pooled_truncates_lineage_and_reuses(spark):
@@ -172,3 +183,44 @@ def test_keep_checkpointed_pooled_truncates_lineage_and_reuses(spark):
     )
     assert again is ck
     sc.release_all()
+
+
+def test_keep_checkpointed_pooled_reliable_mode(spark, tmp_path, monkeypatch):
+    # Cluster posture (VERDICT r14): with SPARK_GRAFT_RELIABLE_CKPT_DIR set
+    # the pin is a RELIABLE checkpoint — durable files under the configured
+    # dir, same results, lineage still truncated — and release_all still
+    # clears the pool. localCheckpoint stays the default (no env).
+    import os
+
+    from pyspark.sql import functions as F
+
+    from srm_etl_spark.operators import session_cache as sc
+
+    base = spark.range(0, 50, 1, 4).withColumn("k", F.col("id") % 5).groupBy("k").count()
+    expected = sorted((r["k"], r["count"]) for r in base.collect())
+
+    ckdir = str(tmp_path / "reliable_ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CKPT_DIR", ckdir)
+    try:
+        pinned = sc.keep_checkpointed_pooled(base, "rel_mode_test", max_slots=2)
+        plan = pinned._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "Exchange" not in plan  # truncated either way
+        assert sorted((r["k"], r["count"]) for r in pinned.collect()) == expected
+        # the durable artifact exists under the configured dir
+        found = [
+            os.path.join(dp, f)
+            for dp, _dn, fn in os.walk(ckdir)
+            for f in fn
+        ]
+        assert found, "reliable checkpoint wrote no files"
+        # a reliable-checkpoint pin SURVIVES release_all (file-backed): the
+        # deterministic block unpersist only kills localCheckpoint pins
+        sc.release_all(spark)
+        assert sc._CKPT_POOLS == {}
+        assert sorted((r["k"], r["count"]) for r in pinned.collect()) == expected
+    finally:
+        # unsetting the env restores the localCheckpoint default for every
+        # later pin (the sc-level checkpoint dir may stay set — harmless,
+        # reliable mode is gated on the env var alone)
+        monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CKPT_DIR", raising=False)
+        sc.release_all(spark)

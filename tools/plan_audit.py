@@ -172,6 +172,10 @@ def _runtime_counts(tree: str) -> tuple[int, int]:
 
 
 def main() -> int:
+    from srm_etl_spark.operators.session_cache import (  # noqa: PLC0415
+        checkpoint_pool_originals,
+        release_all,
+    )
     from srm_etl_spark.plans import REGISTRY  # noqa: PLC0415
     from srm_etl_spark.session import get_spark  # noqa: PLC0415
 
@@ -179,32 +183,53 @@ def main() -> int:
     names = sys.argv[1:] or [n for n in REGISTRY if n not in SKIP]
     failures: list[str] = []
     lines: list[str] = []
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     for name in names:
+        # bench discipline: each query's pins are its own, so the pool
+        # snapshot below holds exactly THIS query's checkpoint-pin builds
+        release_all(spark)
         df = REGISTRY[name].spark(spark, SF)
         qe = df._jdf.queryExecution()
-        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         plan = qe.explainString(mode)
+        # A lineage-truncating checkpoint pin hides its BUILD lineage (where
+        # scans, pushed filters, exchanges and any anti-pattern actually
+        # execute) from the final frame's explain — audit the stored
+        # originals too, or a pin-heavy query lints as an empty block scan
+        # (the r14 q127/q128/q130 blind spot).
+        build_plans = [
+            orig._jdf.queryExecution().explainString(mode)
+            for _pool, orig in checkpoint_pool_originals()
+        ]
         n_exchange = len(re.findall(r"\bExchange\b", plan))
         # formatted mode renders the distribution on the node's Arguments
         # line ("Arguments: SinglePartition, ..."), not inline with Exchange
         n_single = len(re.findall(r"\bSinglePartition\b", plan))
         n_bcast = len(re.findall(r"Broadcast(Hash|NestedLoop)Join", plan))
         pushed = bool(re.search(r"PushedFilters: \[[^\]]", plan))
+        b_ex = sum(len(re.findall(r"\bExchange\b", p)) for p in build_plans)
+        b_single = sum(len(re.findall(r"\bSinglePartition\b", p)) for p in build_plans)
+        b_pushed = any(re.search(r"PushedFilters: \[[^\]]", p) for p in build_plans)
         flags = []
-        if "CartesianProduct" in plan:
+        if "CartesianProduct" in plan or any("CartesianProduct" in p for p in build_plans):
             flags.append("CARTESIAN")
-        if "BatchEvalPython" in plan:
+        if "BatchEvalPython" in plan or any("BatchEvalPython" in p for p in build_plans):
             flags.append("ROW_PYTHON_UDF")
-        if n_single and name not in SINGLE_PARTITION_OK:
-            flags.append(f"SINGLE_PARTITION x{n_single}")
+        if (n_single or b_single) and name not in SINGLE_PARTITION_OK:
+            flags.append(f"SINGLE_PARTITION x{n_single + b_single}")
         status = "FLAG " + "+".join(flags) if flags else "ok"
         if flags:
             failures.append(f"{name}: {'+'.join(flags)}")
         rt_ex, rt_bc = _runtime_counts(qe.executedPlan().toString())
+        build_note = (
+            f" build_plans={len(build_plans)} build_exchanges={b_ex}"
+            f" build_pushed={'y' if b_pushed else 'n'}"
+            if build_plans
+            else ""
+        )
         lines.append(
             f"{name}: {status} exchanges={n_exchange} broadcasts={n_bcast} "
             f"rt_exchanges={rt_ex} rt_broadcasts={rt_bc} "
-            f"pushed_filters={'y' if pushed else 'n'}"
+            f"pushed_filters={'y' if pushed else 'n'}{build_note}"
         )
         print(lines[-1], flush=True)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.txt")
